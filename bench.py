@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed once with a small warm-up (session + JVM init) and
+timed wall-clock including the collect-equivalent action (count on the
+result), which forces the full plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osmesa_spark import queries as Q
+from osmesa_spark.session import get_spark
+
+HEADLINE = [
+    "changeset_stats",
+    "pricing_summary",
+    "top_revenue_orders",
+    "range_temporal_join",
+    "window_prev_value",
+    "topk_per_group",
+    "full_outer_stats_merge",
+    "user_statistics",
+    "day_key_histogram",
+    "haversine_user_path",
+    "tile_histogram",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "neardup_jaccard",
+    "knn_bruteforce",
+    "knn_ivf",
+    "doc_quality",
+    "lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("osmesa-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = Q.registry()
+    # warm up JVM + parquet footer caches with the cheapest query
+    registry["pricing_summary"].spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

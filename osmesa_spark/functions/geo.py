@@ -1,0 +1,147 @@
+"""Geometry math as pure Column expressions.
+
+The engine's geometry representation is columnar-native, not a UDT:
+  * points: (lon, lat) doubles
+  * linestrings/rings: ``array<struct<lon:double, lat:double>>`` vertex arrays
+  * WKB ``binary`` only at the I/O edge (Sedona/shapely interop, gated).
+
+Reference semantics rebuilt here:
+  * spherical length of a line, meters — segment-wise Haversine fold
+    (spec: `src/bench/src/main/scala/osmesa/MetresBench.scala:25-65`;
+    production call `st_lengthSphere`, `stats/package.scala:40-47`)
+  * Web-Mercator point→tile math for the vector-grid pipeline
+    (`src/analytics/src/main/scala/osmesa/analytics/vectorgrid/Implicits.scala:57-140`)
+  * Z-order cell ids (`Implicits.scala:228-238`)
+  * planar ring area via the shoelace formula on an equal-area local projection
+    (replaces the UTM-reprojection UDF `stats/package.scala:17-32` with a
+    column-native spherical-excess area: no pyproj needed, no Python UDF)
+
+All functions stay in whole-stage codegen (transform/aggregate/zip_with).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6378137.0  # WGS84 semi-major (spherical model, as GeoTrellis)
+
+
+def _rad(c: Column) -> Column:
+    return F.radians(c)
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters between two lon/lat points."""
+    dlat = _rad(lat2 - lat1)
+    dlon = _rad(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(_rad(lat1)) * F.cos(_rad(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+
+
+def line_length_m(vertices: Column | str) -> Column:
+    """Spherical length (m) of a vertex array — Haversine folded over
+    consecutive pairs, fully in-column via zip_with(verts, verts[1:])."""
+    v = F.col(vertices) if isinstance(vertices, str) else vertices
+    shifted = F.slice(v, 2, F.greatest(F.size(v) - 1, F.lit(0)))
+    seg = F.zip_with(
+        F.slice(v, 1, F.greatest(F.size(v) - 1, F.lit(0))),
+        shifted,
+        lambda p, c: haversine_m(
+            p.getField("lon"), p.getField("lat"), c.getField("lon"), c.getField("lat")
+        ),
+    )
+    return F.coalesce(
+        F.aggregate(seg, F.lit(0.0), lambda acc, x: acc + x), F.lit(0.0)
+    )
+
+
+def ring_area_m2(vertices: Column | str) -> Column:
+    """Approximate geodesic ring area (m²): spherical shoelace
+    (sum of lon-delta × mean-sin-lat terms). Matches planar-UTM areas to ~0.1%
+    for building/landuse-sized rings, with no reprojection UDF — replaces
+    `transformLatLngToUtm` + `st_area` (`stats/package.scala:17-32,49-60`)."""
+    v = F.col(vertices) if isinstance(vertices, str) else vertices
+    shifted = F.slice(v, 2, F.greatest(F.size(v) - 1, F.lit(0)))
+    terms = F.zip_with(
+        F.slice(v, 1, F.greatest(F.size(v) - 1, F.lit(0))),
+        shifted,
+        lambda p, c: _rad(c.getField("lon") - p.getField("lon"))
+        * (
+            F.lit(2.0)
+            + F.sin(_rad(p.getField("lat")))
+            + F.sin(_rad(c.getField("lat")))
+        ),
+    )
+    folded = F.coalesce(
+        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), F.lit(0.0)
+    )
+    return F.abs(folded * F.lit(EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0))
+
+
+# --------------------------------------------------------------------------
+# Web-Mercator tiling math (vector-grid pipeline, SURVEY §2.9 G1)
+# --------------------------------------------------------------------------
+
+MAX_LAT = math.degrees(2 * math.atan(math.exp(math.pi)) - math.pi / 2)  # ±85.0511
+
+
+def tile_x(lon: Column, zoom: int | Column) -> Column:
+    """Spatial-key column index at `zoom` for a longitude."""
+    z = F.lit(zoom) if isinstance(zoom, int) else zoom
+    n = F.pow(F.lit(2.0), z.cast("double"))
+    x = F.floor((lon + 180.0) / 360.0 * n).cast("int")
+    return F.least(F.greatest(x, F.lit(0)), (n - 1).cast("int"))
+
+
+def tile_y(lat: Column, zoom: int | Column) -> Column:
+    """Spatial-key row index at `zoom` for a latitude (Web-Mercator)."""
+    z = F.lit(zoom) if isinstance(zoom, int) else zoom
+    n = F.pow(F.lit(2.0), z.cast("double"))
+    lat_r = F.radians(
+        F.least(F.greatest(lat, F.lit(-MAX_LAT)), F.lit(MAX_LAT))
+    )
+    y = F.floor(
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi) / 2.0 * n
+    ).cast("int")
+    return F.least(F.greatest(y, F.lit(0)), (n - 1).cast("int"))
+
+
+def cell_in_tile(coord: Column, tile_idx: Column, zoom: int | Column, cells: int) -> Column:
+    """Sub-cell index (0..cells-1) of a fractional tile coordinate."""
+    z = F.lit(zoom) if isinstance(zoom, int) else zoom
+    n = F.pow(F.lit(2.0), z.cast("double"))
+    frac = coord * n - tile_idx.cast("double")
+    c = F.floor(frac * cells).cast("int")
+    return F.least(F.greatest(c, F.lit(0)), F.lit(cells - 1))
+
+
+def lon_to_unit(lon: Column) -> Column:
+    """lon → [0,1) Web-Mercator x."""
+    return (lon + 180.0) / 360.0
+
+
+def lat_to_unit(lat: Column) -> Column:
+    """lat → [0,1) Web-Mercator y."""
+    lat_r = F.radians(F.least(F.greatest(lat, F.lit(-MAX_LAT)), F.lit(MAX_LAT)))
+    return (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi) / 2.0
+
+
+def zorder(col_idx: Column, row_idx: Column, bits: int = 16) -> Column:
+    """Interleaved-bit Z-order id of (col, row) — the `__id` feature key
+    (`Implicits.scala:228-238`). Bit-twiddle via shift/or Columns."""
+    z = F.lit(0).cast("bigint")
+    c = col_idx.cast("bigint")
+    r = row_idx.cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            | (F.shiftleft(F.shiftrightunsigned(c, i) & 1, 2 * i))
+            | (F.shiftleft(F.shiftrightunsigned(r, i) & 1, 2 * i + 1))
+        )
+    return z

@@ -1,0 +1,101 @@
+"""Text functions: hashtag extraction, delimited merges, and the
+LLM-data-pipeline text-analysis primitives (token counting, quality scoring,
+language ID, fingerprinting). All pure Column expressions.
+
+Reference semantics:
+  * `hashtags(col)` — regex `#(\\w+)`, lowercased, distinct (vectorpipe;
+    model in `notebooks/zeppelin/hashtags.json` "breakOutHashtags"; call site
+    `src/apps/.../ChangesetStatsCreator.scala:184-199`).
+  * `merge_sets(a, b)` — distinct union of two string arrays (vectorpipe;
+    call site `StreamingChangesetMetadataUpdater.scala:110-111`).
+The text-analysis ops are the training-data-pipeline extension surface
+(BASELINE.json north star), not in the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASHTAG_RE = "#(\\w+)"
+
+
+def hashtags(col: Column | str) -> Column:
+    """Extract distinct lowercased hashtags from free text."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(HASHTAG_RE), 1),
+            F.lower,
+        )
+    )
+
+
+def merge_sets(a: Column, b: Column) -> Column:
+    """Distinct union of two string-array columns, null-safe."""
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(
+        F.concat(F.coalesce(a, empty), F.coalesce(b, empty))
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline text analysis (documents table)
+# --------------------------------------------------------------------------
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count. Kept trivially SQL-expressible so the DuckDB
+    oracle can mirror it exactly."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(text), "\\s+"))
+
+
+def word_tokens(text: Column | str) -> Column:
+    """Lowercased word tokens (BPE-ish regex: runs of letters/digits)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(text), F.lit("([a-z0-9]+)"), 1)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: mean word length sanity +
+    alpha ratio + stopword presence. Deterministic, SQL-mirrorable."""
+    text = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1))
+    mean_wl = n_chars / F.greatest(n_tokens, F.lit(1))
+    wl_ok = (mean_wl >= 3) & (mean_wl <= 12)
+    stop_hits = F.size(
+        F.regexp_extract_all(
+            F.lower(text), F.lit("\\b(the|and|of|to|in|a|is|for)\\b"), 1
+        )
+    )
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    return F.round(
+        alpha_ratio * 0.5
+        + wl_ok.cast("double") * 0.25
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.25,
+        4,
+    )
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of whitespace-normalized,
+    lowercased text. Exact-dedup key."""
+    text = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    return F.md5(normalized)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (for MinHash / Jaccard dedup). Returns
+    array<string> of space-joined n-grams; empty array if fewer than n tokens."""
+    toks = word_tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

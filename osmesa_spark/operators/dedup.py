@@ -1,0 +1,207 @@
+"""Deduplication operators for the training-data pipeline.
+
+Four tiers, cheapest-first (each one a candidate-pruning stage for the next):
+
+1. exact        — hash-groupBy on normalized content (one shuffle, partial agg)
+2. minhash+LSH  — shingle → K minhashes → B bands → band-bucket join;
+                  only same-bucket pairs are compared (Broder '97 / LSH).
+3. simhash      — 64-bit weighted-projection fingerprint; near-dups differ in
+                  few bits (Charikar '02, used at web scale in Manku '07).
+4. n-gram Jaccard — exact verification on the LSH candidate pairs.
+
+Scale notes: nothing here collects to the driver; every stage is an
+explode/groupBy/join of narrow rows, so it partitions by content hash and
+scales linearly. The only O(n²) surface is *within an LSH bucket*, bounded by
+band width. Portable hashing: md5-hex→int (same bits in any engine) so the
+DuckDB oracle can replay signatures exactly — xxhash64 would be faster but is
+Spark-private; swap `_portable_hash` for `F.xxhash64` when oracle parity is
+not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osmesa_spark.functions.text import doc_fingerprint, shingles, word_tokens
+
+
+def _portable_hash(col: Column, seed: int) -> Column:
+    """Deterministic 60-bit integer hash reproducible in DuckDB:
+    bigint(first 15 hex chars of md5(seed || value))."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized-content fingerprint. Returns one row per
+    distinct content: (fingerprint, keep_id = min id, dup_count).
+
+    Plan shape: project → hash-aggregate (map-side combine) → single shuffle
+    on fingerprint. At 100 TB this is the cheapest possible full-data dedup."""
+    return (
+        df.select(
+            doc_fingerprint(text_col).alias("fingerprint"), F.col(id_col)
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — min over shingles of seeded
+    hashes, all in-column (no UDF): explode-free via transform+array_min."""
+    sh = shingles(text_col, shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: _portable_hash(s, i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig")).where(
+        F.size(sh) > 0
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature and self-join per (band, band-hash) bucket.
+    Returns candidate (id_a, id_b) pairs with id_a < id_b, distinct.
+
+    The join key (band index, hashed band slice) is high-cardinality, so the
+    self-join shuffles both sides by bucket and never materializes cross-bucket
+    pairs — the LSH guarantee that makes near-dup detection subquadratic."""
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast(
+                                    "string"
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs: (id_a, id_b, jaccard) with
+    jaccard ≥ threshold. Shingle sets are joined in (two broadcast-or-shuffle
+    hash joins keyed on id), then compared with array set ops in-column."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+    )
+    joined = (
+        pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs.id_a == sh.id)
+        .drop("id")
+        .join(
+            sh.withColumnRenamed("sh", "sh_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.greatest(union, F.lit(1.0)), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column | str, token_hash_bits: int = 60) -> Column:
+    """64-bit (well, `token_hash_bits`-bit) SimHash of word tokens, pure
+    Column HOFs: per-bit vote = sum over tokens of (+1 if bit set else -1);
+    fingerprint bit b = vote > 0. Implemented as a fold over bit positions."""
+    toks = word_tokens(text)
+    hashed = F.transform(toks, lambda t: _portable_hash(t, 0))
+    out = F.lit(0).cast("bigint")
+    for b in range(token_hash_bits):
+        vote = F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h, b=b: acc
+            + F.when((F.shiftrightunsigned(h, b) & 1) == 1, 1).otherwise(-1),
+        )
+        out = out | F.shiftleft(F.when(vote > 0, 1).otherwise(0).cast("bigint"), b)
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+    max_hamming: int = 8,
+    bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top `prefix_bits` of the
+    fingerprint (Manku-style single-table probe), then exact Hamming ≤
+    max_hamming within a block via bit_count(xor)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col, bits).alias("sh")
+    )
+    blocked = sh.withColumn(
+        "block", F.shiftrightunsigned("sh", bits - prefix_bits)
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Two paths:
+  * brute-force top-k cosine — correctness baseline. The query set is small
+    and **broadcast**, so the big side streams through a single narrow stage:
+    no shuffle of the corpus at all; per-partition top-k via window rank is
+    bounded by AQE-coalesced partitions.
+  * IVF-style partitioned search — corpus bucketed by a coarse quantizer
+    (here: provided `label` column, or a hyperplane-LSH bucket), query probes
+    only its bucket. Turns O(N) per query into O(N/buckets); the bucket id is
+    a join key so Spark co-partitions both sides.
+
+Dot products stay in the JVM via `F.zip_with` + `F.aggregate` (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+    Output: (query_id, neighbor_id, rank) — rank 1..k, self excluded.
+    `queries` is broadcast; ties broken by neighbor id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse bucket (`bucket_col` —
+    a precomputed centroid/cluster id). Same output shape as brute force.
+    At scale, bucket both sides and the join co-partitions by bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(bucket_col).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(bucket_col).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit b = sign(dot(vec, plane_b)).
+    `planes` is a small driver-side list (deterministic, seeded)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket | F.shiftleft(
+            F.when(_dot(vec, arr) > 0, 1).otherwise(0), i
+        )
+    return bucket

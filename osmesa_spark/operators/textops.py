@@ -1,0 +1,54 @@
+"""Text-analysis operators over the `documents` table: language ID,
+quality scoring, token counting, fingerprinting. All Column-native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osmesa_spark.functions.text import (
+    doc_fingerprint,
+    quality_score,
+    token_count,
+    word_tokens,
+)
+
+# tiny per-language stopword marker lists for the n-gram/stopword heuristic
+# language detector (deterministic; SQL-mirrorable)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "los", "que"],
+    "fr": ["le", "les", "des", "est"],
+    "de": ["der", "die", "und", "ist"],
+}
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Heuristic language ID: argmax over per-language marker-token hit
+    counts; 'und' when nothing matches. Pure CASE/array expressions."""
+    toks = word_tokens(text)
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        scores.append((lang, score))
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in fixed order; strict > keeps the first language on ties
+    for lang, score in scores:
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per document with the full text-feature set."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        quality_score(text_col).alias("quality"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+        lang_guess(text_col).alias("lang_guess"),
+    )

@@ -1,0 +1,1029 @@
+"""Query catalog: every implemented operator family from SURVEY.md §2 gets a
+named query over the driver's synthetic tables, plus a DuckDB oracle SQL
+string with identical semantics and column names.
+
+Conventions (driver contract, __spark_entry__.py):
+  * every computed column aliased identically in Spark and SQL
+  * doubles rounded (2–6 dp) in BOTH engines so value-hashes are stable
+  * deterministic tie-breaks on every rank/row_number
+  * counts cast to bigint both sides
+
+Each entry documents which SURVEY §2 operators it exercises.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmesa_spark.functions.maps import map_sum_agg
+from osmesa_spark.functions.text import (
+    doc_fingerprint,
+    quality_score,
+    token_count,
+)
+from osmesa_spark.functions.timeseq import day_key, timestamp_to_sequence
+from osmesa_spark.functions import geo
+from osmesa_spark.functions import tags as tg
+from osmesa_spark.operators import dedup as dd
+from osmesa_spark.operators import similarity as sim
+from osmesa_spark.operators import textops
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver table. `events` ships nanosecond parquet timestamps,
+    which Spark's vectorized reader rejects — read them as long and truncate
+    to microseconds (the oracle SQL truncates identically; see
+    EVENTS_MICRO_CTE)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# DuckDB-side mirror of the events µs truncation: a CTE that shadows the
+# `events` view inside each oracle query.
+EVENTS_MICRO_CTE = (
+    "ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts, "
+    "user_id, event_type, value, props FROM events)"
+)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+# ===========================================================================
+# Relational core (SURVEY §2.2-§2.8 over the TPC-H-ish tables)
+# ===========================================================================
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+           COUNT(*)::BIGINT                                            AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="scan+filter pushdown, hash agg w/ partial agg (§2.4 A1 family)",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+    SELECT o.o_orderkey, c.c_mktsegment,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, c.c_mktsegment
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="3-way join (broadcast dim) + agg + deterministic top-k (§2.3 J1/J4, §2.6)",
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "full_outer_stats_merge",
+    """
+    WITH order_stats AS (
+        SELECT o_custkey AS custkey, COUNT(*)::BIGINT AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_spent
+        FROM orders GROUP BY o_custkey
+    ),
+    cust_info AS (
+        SELECT c_custkey AS custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    )
+    SELECT COALESCE(o.custkey, ci.custkey)     AS custkey,
+           COALESCE(o.n_orders, 0)::BIGINT     AS n_orders,
+           COALESCE(o.total_spent, 0.0)        AS total_spent,
+           COALESCE(ci.acctbal, 0.0)           AS acctbal
+    FROM order_stats o FULL OUTER JOIN cust_info ci ON o.custkey = ci.custkey
+    """,
+    doc="full-outer merge of two aggregate branches — ChangesetStatsCreator.scala:144-154 (J3)",
+)
+def q_full_outer_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+    ci = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        )
+    )
+    return (
+        o.join(ci, "custkey", "full_outer")
+        .select(
+            F.col("custkey"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+            F.coalesce("acctbal", F.lit(0.0)).alias("acctbal"),
+        )
+    )
+
+
+@register(
+    "range_temporal_join",
+    """
+    SELECT DATE_TRUNC('month', o.o_orderdate)::DATE AS order_month,
+           COUNT(*)::BIGINT                         AS n_lines,
+           ROUND(SUM(l.l_extendedprice), 2)         AS volume
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY order_month
+    """,
+    doc="equi+range (temporal validity) join — FacetedEditHistogramTileCreator.scala:76 (J6)",
+)
+def q_range_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("volume"),
+        )
+    )
+
+
+@register(
+    "window_prev_value",
+    f"""
+    WITH {EVENTS_MICRO_CTE}
+    SELECT event_id,
+           user_id,
+           ROUND(COALESCE(value - LAG(value) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 2) AS delta
+    FROM ev
+    """,
+    doc="lag() over (id ORDER BY updated) — prevGeom window, stats/package.scala:62-68 (W1)",
+)
+def q_window_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.coalesce(F.col("value") - F.lag("value").over(w), F.lit(0.0)), 2
+        ).alias("delta"),
+    )
+
+
+@register(
+    "minor_version_assignment",
+    f"""
+    WITH {EVENTS_MICRO_CTE}
+    SELECT event_id,
+           (ROW_NUMBER() OVER
+              (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1)::INT
+           AS minor_version
+    FROM ev
+    """,
+    doc="row_number-1 per (id, version) — minorVersion, FacetedEditHistogramTileCreator.scala:115-131 (W2)",
+)
+def q_minor_version_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        (F.row_number().over(w) - 1).cast("int").alias("minor_version"),
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT * FROM (
+        SELECT n.n_name, c.c_custkey,
+               RANK() OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal DESC, c.c_custkey)::INT AS rnk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rnk <= 3
+    """,
+    doc="RANK top-k per group — country_statistics.sql:33-41 (W3)",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", F.rank().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "earliest_event_type",
+    f"""
+    WITH {EVENTS_MICRO_CTE}
+    SELECT user_id, ARG_MIN(event_type, ts) AS first_type,
+           ARG_MAX(event_type, ts) AS last_type
+    FROM ev GROUP BY user_id
+    """,
+    doc="first(col, ignoreNulls) ordered-first semantics — ChangesetStatsCreator.scala:182-190 (A3)",
+)
+def q_earliest_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", "ts").alias("last_type"),
+    )
+
+
+@register(
+    "distinct_user_types",
+    """
+    SELECT user_id, COUNT(DISTINCT event_type)::BIGINT AS n_types
+    FROM events GROUP BY user_id
+    """,
+    doc="dedup / distinct — FootprintCreator.scala:103,145 (A8)",
+)
+def q_distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type")
+        .dropDuplicates()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+
+
+@register(
+    "union_merge",
+    """
+    WITH u AS (
+        SELECT event_id, event_type, value FROM events WHERE event_type = 'signup'
+        UNION ALL
+        SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT event_id, event_type, value FROM events WHERE value > 150
+    )
+    SELECT event_type, COUNT(*)::BIGINT AS n, ROUND(SUM(value), 2) AS value_sum
+    FROM (SELECT DISTINCT event_id, event_type, value FROM u)
+    GROUP BY event_type
+    """,
+    doc="union + dedup-by-id merge — MergeChangesets.scala:99-115 (§2.7)",
+)
+def q_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    u = (
+        ev.where(F.col("event_type") == "signup")
+        .unionByName(ev.where(F.col("event_type") == "purchase"))
+        .unionByName(ev.where(F.col("value") > 150))
+        .dropDuplicates()
+    )
+    return u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+@register(
+    "semi_join_active",
+    """
+    SELECT c.c_mktsegment, COUNT(*)::BIGINT AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="left-semi join (history ⋈ target users) — FootprintCreator.scala:96-109 (J1)",
+)
+def q_semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "anti_join_inactive",
+    """
+    SELECT c.c_mktsegment, COUNT(*)::BIGINT AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="anti join — negated isin filter family, FootprintCreator.scala:82 (P3)",
+)
+def q_anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "explode_membership_join",
+    """
+    SELECT p.p_brand, COUNT(*)::BIGINT AS n_refs,
+           ROUND(SUM(p.p_retailprice), 2) AS retail_sum
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="nds explode → inverted-index join — FacetedEditHistogramTileCreator.scala:68-77 (J5); Spark side builds the array then explodes",
+)
+def q_explode_membership_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    # build way-like rows (order → array of part refs), then explode back and
+    # join the "node" side — the J5 shape on synthetic data
+    ways = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("refs")
+    )
+    exploded = ways.select(
+        F.col("l_orderkey"), F.explode("refs").alias("ref")
+    )
+    return (
+        exploded.join(F.broadcast(p), exploded.ref == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.round(F.sum("p_retailprice"), 2).alias("retail_sum"),
+        )
+    )
+
+
+@register(
+    "day_key_histogram",
+    f"""
+    WITH {EVENTS_MICRO_CTE}
+    SELECT (year(ts) * 1000 + dayofyear(ts))::INT AS day_key,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM ev GROUP BY day_key
+    """,
+    doc="edit-histogram day key — EditHistogramTileCreator.scala:59 (§2.8 date)",
+)
+def q_day_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(day_key("ts").alias("day_key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+@register(
+    "sequence_rollup",
+    f"""
+    WITH {EVENTS_MICRO_CTE}
+    SELECT (((FLOOR(epoch(ts))::BIGINT - 1347432900) // 60) // 1440)::INT AS seq_day,
+           COUNT(*)::BIGINT AS n
+    FROM ev GROUP BY seq_day
+    """,
+    doc="replication sequence ↔ timestamp arithmetic — monitor-checkpoints.sh:19-20 (T1)",
+)
+def q_sequence_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seq = timestamp_to_sequence("ts")
+    return ev.groupBy(
+        (seq / 1440).cast("int").alias("seq_day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ===========================================================================
+# Changeset-stats parity pipeline on synthetic tags (P5/P6 + A1 + map HOFs)
+# ===========================================================================
+
+# events → OSM-ish edits: deterministic synthetic tags per event_type,
+# version/minorVersion/visible derived from event_id/value. The Spark side
+# uses the real engine predicates (functions/tags.py); the oracle mirrors the
+# *semantics* in plain CASE SQL.
+_SYN_SQL_TAGS = """
+        CASE event_type
+            WHEN 'signup'   THEN 'building'
+            WHEN 'click'    THEN 'highway'
+            WHEN 'purchase' THEN 'waterway'
+            WHEN 'view'     THEN 'natural'
+            ELSE                 'railway'
+        END AS tag_key,
+        CASE event_type
+            WHEN 'signup'   THEN 'yes'
+            WHEN 'click'    THEN 'residential'
+            WHEN 'purchase' THEN 'river'
+            WHEN 'view'     THEN 'coastline'
+            ELSE                 'station;yard'
+        END AS tag_val,
+        (event_id % 3 + 1)::INT AS version,
+        (event_id % 2)::INT     AS minor_version,
+        (value > 10)            AS visible
+"""
+
+
+def _synthetic_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tag_key = (
+        F.when(F.col("event_type") == "signup", "building")
+        .when(F.col("event_type") == "click", "highway")
+        .when(F.col("event_type") == "purchase", "waterway")
+        .when(F.col("event_type") == "view", "natural")
+        .otherwise("railway")
+    )
+    tag_val = (
+        F.when(F.col("event_type") == "signup", "yes")
+        .when(F.col("event_type") == "click", "residential")
+        .when(F.col("event_type") == "purchase", "river")
+        .when(F.col("event_type") == "view", "coastline")
+        .otherwise("station;yard")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.create_map(tag_key, tag_val).alias("tags"),
+        (F.col("event_id") % 3 + 1).cast("int").alias("version"),
+        (F.col("event_id") % 2).cast("int").alias("minor_version"),
+        (F.col("value") > 10).alias("visible"),
+    )
+
+
+@register(
+    "changeset_stats",
+    f"""
+    WITH edits AS (SELECT user_id, {_SYN_SQL_TAGS} FROM events),
+    classified AS (
+        SELECT user_id,
+               (tag_key = 'building' AND tag_val <> 'no')  AS is_building,
+               (tag_key = 'highway')                        AS is_road,
+               (tag_key = 'waterway' AND tag_val IN
+                  ('river','riverbank','canal','stream','stream_end','brook',
+                   'drain','ditch','dam','weir','waterfall','pressurised')) AS is_waterway,
+               (tag_key = 'natural' AND tag_val = 'coastline') AS is_coastline,
+               (tag_key = 'railway' AND
+                (list_contains(string_split(tag_val, ';'), 'station')
+                 OR list_contains(string_split(tag_val, ';'), 'yard'))) AS is_rail_feature,
+               (version = 1 AND minor_version = 0) AS is_new,
+               visible
+        FROM edits)
+    SELECT user_id,
+        SUM(CASE WHEN is_building AND is_new THEN 1 ELSE 0 END)::BIGINT  AS buildings_added,
+        SUM(CASE WHEN is_building AND NOT is_new AND visible THEN 1 ELSE 0 END)::BIGINT AS buildings_modified,
+        SUM(CASE WHEN is_building AND NOT visible THEN 1 ELSE 0 END)::BIGINT AS buildings_deleted,
+        SUM(CASE WHEN is_road AND is_new THEN 1 ELSE 0 END)::BIGINT      AS roads_added,
+        SUM(CASE WHEN is_road AND NOT is_new AND visible THEN 1 ELSE 0 END)::BIGINT AS roads_modified,
+        SUM(CASE WHEN is_road AND NOT visible THEN 1 ELSE 0 END)::BIGINT AS roads_deleted,
+        SUM(CASE WHEN is_waterway AND is_new THEN 1 ELSE 0 END)::BIGINT  AS waterways_added,
+        SUM(CASE WHEN is_coastline AND is_new THEN 1 ELSE 0 END)::BIGINT AS coastlines_added,
+        SUM(CASE WHEN is_rail_feature AND is_new THEN 1 ELSE 0 END)::BIGINT AS railway_features_added,
+        COUNT(*)::BIGINT AS total_edits
+    FROM classified GROUP BY user_id
+    """,
+    doc="flagship: tag predicates (P5/P6) + DefaultCounts map build + map-sum rollup (A1) — "
+    "stats/package.scala:119-179, ChangesetStatsCreator.scala:125-142",
+)
+def q_changeset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edits = _synthetic_edits(spark, sf_dir)
+    is_new = tg.is_new("version", "minor_version")
+    not_new_visible = ~is_new & F.col("visible")
+    deleted = ~F.col("visible")
+    counts = F.create_map(
+        F.lit("buildings_added"), (tg.is_building("tags") & is_new).cast("int"),
+        F.lit("buildings_modified"), (tg.is_building("tags") & not_new_visible).cast("int"),
+        F.lit("buildings_deleted"), (tg.is_building("tags") & deleted).cast("int"),
+        F.lit("roads_added"), (tg.is_road("tags") & is_new).cast("int"),
+        F.lit("roads_modified"), (tg.is_road("tags") & not_new_visible).cast("int"),
+        F.lit("roads_deleted"), (tg.is_road("tags") & deleted).cast("int"),
+        F.lit("waterways_added"), (tg.is_waterway("tags") & is_new).cast("int"),
+        F.lit("coastlines_added"), (tg.is_coastline("tags") & is_new).cast("int"),
+        F.lit("railway_features_added"), (tg.is_rail_feature("tags") & is_new).cast("int"),
+        F.lit("total_edits"), F.lit(1),
+    )
+    rolled = map_sum_agg(
+        edits.select("user_id", counts.alias("counts")),
+        ["user_id"],
+        "counts",
+        value_type="bigint",
+    )
+    key_order = [
+        "buildings_added",
+        "buildings_modified",
+        "buildings_deleted",
+        "roads_added",
+        "roads_modified",
+        "roads_deleted",
+        "waterways_added",
+        "coastlines_added",
+        "railway_features_added",
+        "total_edits",
+    ]
+    return rolled.select(
+        "user_id",
+        *[
+            F.coalesce(F.element_at("counts", k), F.lit(0)).alias(k)
+            for k in key_order
+        ],
+    )
+
+
+@register(
+    "user_statistics",
+    f"""
+    WITH {EVENTS_MICRO_CTE}
+    SELECT user_id,
+           COUNT(*)::BIGINT                          AS total_events,
+           COUNT(DISTINCT (year(ts)*1000 + dayofyear(ts)))::BIGINT AS active_days,
+           FLOOR(epoch(MIN(ts)))::BIGINT             AS first_seen,
+           FLOOR(epoch(MAX(ts)))::BIGINT             AS last_seen,
+           ROUND(SUM(value), 2)                      AS value_sum,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS n_error
+    FROM ev GROUP BY user_id
+    """,
+    doc="user_statistics materialized view analog — deployment/sql/materialized_views/user_statistics.sql (A15)",
+)
+def q_user_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct(day_key("ts")).alias("active_days"),
+        F.unix_timestamp(F.min("ts")).alias("first_seen"),
+        F.unix_timestamp(F.max("ts")).alias("last_seen"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("n_purchase"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("bigint")
+        .alias("n_error"),
+    )
+
+
+# ===========================================================================
+# Geo math analogs (W1 + Haversine; G1/G2 tile math) on synthesized coords
+# ===========================================================================
+
+_SYN_COORD_SQL = """
+        (value - 100.0)                          AS lon,
+        ((user_id * 7) % 140) - 70.0             AS lat
+"""
+
+
+def _synthetic_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("value") - 100.0).alias("lon"),
+        ((F.col("user_id") * 7) % 140 - 70.0).cast("double").alias("lat"),
+    )
+
+
+@register(
+    "haversine_user_path",
+    f"""
+    WITH {EVENTS_MICRO_CTE},
+    pts AS (SELECT event_id, user_id, ts, {_SYN_COORD_SQL} FROM ev),
+    hops AS (
+        SELECT user_id, lon, lat,
+               LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+        FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           ROUND(SUM(
+             2.0 * 6378137.0 * ASIN(LEAST(1.0, SQRT(
+                SIN(RADIANS(lat - plat)/2)*SIN(RADIANS(lat - plat)/2)
+                + COS(RADIANS(plat))*COS(RADIANS(lat))
+                  *SIN(RADIANS(lon - plon)/2)*SIN(RADIANS(lon - plon)/2)
+             ))) / 1000.0
+           ), 1) AS km_travelled,
+           COUNT(*)::BIGINT AS n_hops
+    FROM hops WHERE plon IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Haversine spherical length (st_lengthSphere parity, MetresBench.scala:25-65) + lag window (W1)",
+)
+def q_haversine_user_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _synthetic_coords(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = pts.select(
+        "user_id",
+        "lon",
+        "lat",
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+    ).where(F.col("plon").isNotNull())
+    dist = geo.haversine_m(
+        F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat")
+    )
+    return hops.groupBy("user_id").agg(
+        F.round(F.sum(dist / 1000.0), 1).alias("km_travelled"),
+        F.count(F.lit(1)).alias("n_hops"),
+    )
+
+
+@register(
+    "tile_histogram",
+    f"""
+    WITH pts AS (SELECT event_id, {_SYN_COORD_SQL} FROM events),
+    keyed AS (
+        SELECT LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 256.0), 0), 255)::INT AS tx,
+               LEAST(GREATEST(FLOOR(
+                 (1.0 - LN(TAN(RADIANS(LEAST(GREATEST(lat, -85.05112877980659),
+                                             85.05112877980659)))
+                           + 1.0/COS(RADIANS(LEAST(GREATEST(lat, -85.05112877980659),
+                                                   85.05112877980659))))
+                        / PI()) / 2.0 * 256.0), 0), 255)::INT AS ty
+        FROM pts)
+    SELECT tx, ty, COUNT(*)::BIGINT AS density
+    FROM keyed GROUP BY tx, ty
+    """,
+    doc="vector-grid point→SpatialKey web-mercator math + rasterize-by-count — Implicits.scala:57-140,351-408 (G1/G2)",
+)
+def q_tile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _synthetic_coords(spark, sf_dir)
+    return (
+        pts.select(
+            geo.tile_x(F.col("lon"), 8).alias("tx"),
+            geo.tile_y(F.col("lat"), 8).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("density"))
+    )
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (documents / embeddings)
+# ===========================================================================
+
+@register(
+    "doc_token_stats",
+    """
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS total_tokens,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="token counting over documents (text-analysis extension)",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+@register(
+    "doc_quality",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               length(text) AS n_chars_c,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|in|a|is|for)\\b', 1)) AS stop_hits
+        FROM documents)
+    SELECT doc_id,
+           ROUND(
+             (alpha / GREATEST(n_chars_c, 1)) * 0.5
+             + (CASE WHEN n_chars_c / GREATEST(n_tokens, 1) BETWEEN 3 AND 12
+                     THEN 1.0 ELSE 0.0 END) * 0.25
+             + LEAST((stop_hits / GREATEST(n_tokens, 1)) * 5.0, 1.0) * 0.25,
+           4) AS quality
+    FROM f
+    """,
+    doc="heuristic quality scoring (text-analysis extension)",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register(
+    "lang_id",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS t
+        FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+            len(list_filter(t, x -> x IN ('the','and','of','is')))  AS s_en,
+            len(list_filter(t, x -> x IN ('el','la','los','que')))  AS s_es,
+            len(list_filter(t, x -> x IN ('le','les','des','est'))) AS s_fr,
+            len(list_filter(t, x -> x IN ('der','die','und','ist'))) AS s_de
+        FROM toks)
+    SELECT doc_id,
+           CASE
+             WHEN s_de > s_fr AND s_de > s_es AND s_de > s_en AND s_de > 0 THEN 'de'
+             WHEN s_fr > s_es AND s_fr > s_en AND s_fr > 0 THEN 'fr'
+             WHEN s_es > s_en AND s_es > 0 THEN 'es'
+             WHEN s_en > 0 THEN 'en'
+             ELSE 'und'
+           END AS lang_guess,
+           lang AS labeled_lang
+    FROM scored
+    """,
+    doc="n-gram/stopword language ID heuristic (text-analysis extension)",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.lang_guess("text").alias("lang_guess"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           MIN(doc_id)::BIGINT AS keep_id,
+           COUNT(*)::BIGINT    AS dup_count
+    FROM documents GROUP BY fingerprint
+    """,
+    doc="exact dedup by normalized-content fingerprint (dedup extension, hash-groupBy)",
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(d)
+
+
+# shared SQL fragment: shingles + 16 minhashes, mirroring dedup.minhash_signatures
+_MINHASH_CTE = """
+    toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                 list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END AS shs
+        FROM toks),
+    sigs AS (
+        SELECT doc_id, {hash_exprs}
+        FROM sh WHERE len(shs) > 0)
+""".strip()
+
+
+def _minhash_sql_exprs(num_hashes: int = 16) -> str:
+    return ",\n               ".join(
+        "list_min(list_transform(shs, s -> ('0x' || substr(md5('"
+        + f"{i}:' || s), 1, 15))::BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+
+
+def _band_bucket_sql(bands: int = 4, rows: int = 4) -> str:
+    pieces = []
+    for b in range(bands):
+        cols = " || ',' || ".join(
+            f"h{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        pieces.append(f"SELECT doc_id, {b} AS band, {cols} AS bucket FROM sigs")
+    return " UNION ALL ".join(pieces)
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
+    banded AS ({_band_bucket_sql(4, 4)})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash+LSH near-dup candidates: shingle→minhash→band→bucket self-join (dedup extension)",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=16)
+    return dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint")
+    )
+
+
+@register(
+    "neardup_jaccard",
+    f"""
+    WITH {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
+    banded AS ({_band_bucket_sql(4, 4)}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    shd AS (SELECT doc_id, list_distinct(shs) AS shs FROM sh)
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(x.shs, y.shs))
+                 / GREATEST(len(list_distinct(list_concat(x.shs, y.shs))), 1)::DOUBLE,
+                 4) AS jaccard
+    FROM cand JOIN shd x ON cand.id_a = x.doc_id
+              JOIN shd y ON cand.id_b = y.doc_id
+    WHERE len(list_intersect(x.shs, y.shs))
+          / GREATEST(len(list_distinct(list_concat(x.shs, y.shs))), 1)::DOUBLE >= 0.5
+    """,
+    doc="n-gram Jaccard verification of LSH candidates (dedup extension)",
+)
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=16)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    return dd.jaccard_verify(d, pairs, threshold=0.5).select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "jaccard"
+    )
+
+
+@register(
+    "knn_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> x::DOUBLE) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               ROUND(list_dot_product(qv, cv)
+                     / GREATEST(sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv)), 1e-12), 6) AS cos
+        FROM q JOIN c ON q.query_id <> c.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id)::INT AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="brute-force cosine top-k ANN baseline (similarity-search extension); broadcast query side",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.knn_bruteforce(e, e.where(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "knn_ivf",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label AS bucket,
+                      list_transform(embedding, x -> x::DOUBLE) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, label AS bucket,
+                 list_transform(embedding, x -> x::DOUBLE) AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               ROUND(list_dot_product(qv, cv)
+                     / GREATEST(sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv)), 1e-12), 6) AS cos
+        FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id)::INT AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="IVF-style bucketed ANN: probe only the coarse cluster (similarity-search extension)",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.knn_ivf(e, e.where(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "embedding_label_stats",
+    """
+    SELECT label,
+           COUNT(*)::BIGINT AS n,
+           ROUND(AVG(sqrt(list_dot_product(
+               list_transform(embedding, x -> x::DOUBLE),
+               list_transform(embedding, x -> x::DOUBLE)))), 4) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="vectorized norm math over array<float> column (similarity-search extension)",
+)
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+    )
+
+
+@register(
+    "word_frequencies",
+    """
+    WITH words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '([a-z0-9]{8,})', 1)) AS word
+        FROM documents)
+    SELECT word, COUNT(*)::BIGINT AS freq
+    FROM words GROUP BY word
+    ORDER BY freq DESC, word LIMIT 20
+    """,
+    doc="regex token extraction + explode + frequency top-k — hashtags() analog (§2.8 string)",
+)
+def q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit("([a-z0-9]{8,})"), 1
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(20)
+    )
+
+
+def registry() -> dict[str, QuerySpec]:
+    return dict(REGISTRY)
