@@ -34,6 +34,30 @@ def _portable_hash(col: Column, seed: int) -> Column:
     ).cast("bigint")
 
 
+# Universal-hash MinHash: ONE md5 per shingle, then K cheap affine rehashes
+# h_i(x) = (a_i * x + b_i) mod p with p = 2^31 - 1. Keeping x < 2^31 bounds
+# a_i * x < 2^62 so 64-bit arithmetic never overflows (ANSI mode safe).
+MINHASH_PRIME = 2_147_483_647
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def base_shingle_hash(col: Column) -> Column:
+    """Portable base hash of a shingle, reduced below 2^31."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_PRIME
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -61,18 +85,24 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<bigint>[num_hashes]) — min over shingles of seeded
-    hashes, all in-column (no UDF): explode-free via transform+array_min."""
-    sh = shingles(text_col, shingle_n)
+    """(id, sig: array<bigint>[num_hashes]) — min over shingles of K affine
+    rehashes of ONE portable base hash per shingle; explode-free via
+    transform+array_min, all in whole-stage codegen."""
+    coeffs = _minhash_coeffs(num_hashes)
+    base = F.transform(shingles(text_col, shingle_n), base_shingle_hash)
+    sigged = df.select(F.col(id_col).alias("id"), base.alias("hv")).where(
+        F.size("hv") > 0
+    )
+    def affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: _portable_hash(s, i)))
-            for i in range(num_hashes)
+            F.array_min(F.transform(F.col("hv"), affine(a, b)))
+            for a, b in coeffs
         ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig")).where(
-        F.size(sh) > 0
-    )
+    return sigged.select("id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -162,14 +192,14 @@ def simhash64(text: Column | str, token_hash_bits: int = 60) -> Column:
     fingerprint bit b = vote > 0. Implemented as a fold over bit positions."""
     toks = word_tokens(text)
     hashed = F.transform(toks, lambda t: _portable_hash(t, 0))
+    def bit_vote(b: int):
+        return lambda acc, h: acc + F.when(
+            (F.shiftrightunsigned(h, b) & 1) == 1, 1
+        ).otherwise(-1)
+
     out = F.lit(0).cast("bigint")
     for b in range(token_hash_bits):
-        vote = F.aggregate(
-            hashed,
-            F.lit(0),
-            lambda acc, h, b=b: acc
-            + F.when((F.shiftrightunsigned(h, b) & 1) == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(hashed, F.lit(0), bit_vote(b))
         out = out | F.shiftleft(F.when(vote > 0, 1).otherwise(0).cast("bigint"), b)
     return out
 

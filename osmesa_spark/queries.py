@@ -826,7 +826,8 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(d)
 
 
-# shared SQL fragment: shingles + 16 minhashes, mirroring dedup.minhash_signatures
+# shared SQL fragment: shingles + base hash + 16 affine minhashes, mirroring
+# dedup.minhash_signatures exactly (same md5 base, same (a,b) coefficients)
 _MINHASH_CTE = """
     toks AS (
         SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS t
@@ -838,17 +839,22 @@ _MINHASH_CTE = """
                                 i -> array_to_string(t[i:i+2], ' '))
                ELSE [] END AS shs
         FROM toks),
+    hv AS (
+        SELECT doc_id,
+               list_transform(shs,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hvs
+        FROM sh WHERE len(shs) > 0),
     sigs AS (
         SELECT doc_id, {hash_exprs}
-        FROM sh WHERE len(shs) > 0)
+        FROM hv)
 """.strip()
 
 
 def _minhash_sql_exprs(num_hashes: int = 16) -> str:
+    coeffs = dd._minhash_coeffs(num_hashes)
     return ",\n               ".join(
-        "list_min(list_transform(shs, s -> ('0x' || substr(md5('"
-        + f"{i}:' || s), 1, 15))::BIGINT)) AS h{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(hvs, h -> ({a} * h + {b}) % 2147483647)) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
     )
 
 
