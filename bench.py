@@ -39,6 +39,9 @@ HEADLINE = [
     "knn_ivf",
     "doc_quality",
     "lang_id",
+    "osm_changeset_stats",
+    "osm_way_reconstruction",
+    "osm_tile_pyramid",
 ]
 
 

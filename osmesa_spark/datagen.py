@@ -1,0 +1,330 @@
+"""Deterministic OSM-shaped fixture generator (FIXTURES.md schemas 1-3).
+
+Generates `history`, `changesets`, and an `augmented_diffs` drop-dir with the
+distribution constraints FIXTURES.md specifies (tag mix incl. `;`-delimited
+railway values, multi-version ids, deletes, uid 0/1, hashtag comments, open
+changesets, ...). Pure Python + pyarrow — no Spark needed to generate.
+
+Seeded (default 42); identical output for identical args.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from datetime import datetime, timedelta, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+T0 = datetime(2023, 1, 1, tzinfo=timezone.utc)
+
+TAG_POOL = [
+    ("building", ["yes", "house", "apartments", "no"]),
+    ("highway", ["residential", "primary", "service", "footway"]),
+    ("waterway", ["river", "stream", "canal", "ditch", "weir", "madeup_value"]),
+    ("natural", ["coastline", "wood", "water"]),
+    ("landuse", ["residential", "railway", "forest"]),
+    ("railway", ["rail", "station", "station;yard", "yard;rail", "halt"]),
+    ("amenity", ["school", "cafe"]),
+    ("shop", ["bakery"]),
+    ("office", ["company"]),
+    ("leisure", ["park"]),
+    ("aeroway", ["runway"]),
+    ("name", ["alpha", "beta", "gamma"]),
+]
+
+EDITORS = ["iD 2.19", "JOSM/1.5", "Potlatch 2", "StreetComplete 40"]
+HASHTAG_WORDS = ["hotosm", "missingmaps", "mapathon", "osmgeoweek", "visa1"]
+
+# three synthetic "countries" (lon/lat rectangles) the geocoder must resolve
+COUNTRIES = {
+    "AAA": (-10.0, -10.0, 10.0, 10.0),
+    "BBB": (20.0, 0.0, 40.0, 20.0),
+    "CCC": (-60.0, 30.0, -40.0, 50.0),
+}
+
+
+def _ts(minutes: float) -> datetime:
+    return T0 + timedelta(minutes=minutes)
+
+
+def generate_history(n_elements: int = 1000, seed: int = 42) -> list[dict]:
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    n_nodes = int(n_elements * 0.85)
+    n_ways = int(n_elements * 0.14)
+    n_changesets = max(10, n_elements // 12)
+
+    blobs = list(COUNTRIES.values())
+    node_ids = list(range(1, n_nodes + 1))
+    for nid in node_ids:
+        n_versions = rng.choices([1, 2, 3, 4, 5], weights=[40, 25, 20, 10, 5])[0]
+        x0, y0, x1, y1 = rng.choice(blobs)
+        lon = round(rng.uniform(x0, x1), 7)
+        lat = round(rng.uniform(y0, y1), 7)
+        tagged = rng.random() < 0.4
+        tags = {}
+        if tagged:
+            for _ in range(rng.randint(1, 3)):
+                k, vs = rng.choice(TAG_POOL)
+                tags[k] = rng.choice(vs)
+        uid = rng.choices(
+            [0, 1] + list(range(2, 102)),
+            weights=[1, 1] + [100 // (i + 1) + 1 for i in range(100)],
+        )[0]
+        base_minute = rng.uniform(0, 200_000)
+        for v in range(1, n_versions + 1):
+            visible = not (v == n_versions and rng.random() < 0.05)
+            rows.append(
+                {
+                    "id": nid,
+                    "type": "node",
+                    "tags": tags if visible else tags,
+                    "lat": None if rng.random() < 0.01 else lat + 0.0001 * v,
+                    "lon": None if rng.random() < 0.01 else lon + 0.0001 * v,
+                    "nds": None,
+                    "members": None,
+                    "changeset": rng.randint(1, n_changesets),
+                    "timestamp": _ts(base_minute + v * 500),
+                    "uid": uid,
+                    "user": f"user_{uid}" if uid != 7 else f"user_7_v{v}",
+                    "version": v,
+                    "visible": visible,
+                }
+            )
+
+    for wid in range(10_000_001, 10_000_001 + n_ways):
+        n_versions = rng.choices([1, 2, 3], weights=[50, 30, 20])[0]
+        n_nds = rng.randint(2, 12)
+        nds = rng.sample(node_ids, min(n_nds, len(node_ids)))
+        closed = rng.random() < 0.3
+        if closed:
+            nds = nds + [nds[0]]
+        tags = {}
+        k, vs = rng.choice(TAG_POOL)
+        tags[k] = rng.choice(vs)
+        if closed and rng.random() < 0.5:
+            tags["building"] = "yes"
+        uid = rng.randint(2, 101)
+        base_minute = rng.uniform(0, 200_000)
+        for v in range(1, n_versions + 1):
+            visible = not (v == n_versions and rng.random() < 0.05)
+            rows.append(
+                {
+                    "id": wid,
+                    "type": "way",
+                    "tags": tags,
+                    "lat": None,
+                    "lon": None,
+                    "nds": nds,
+                    "members": None,
+                    "changeset": rng.randint(1, n_changesets),
+                    "timestamp": _ts(base_minute + v * 700 + 100),
+                    "uid": uid,
+                    "user": f"user_{uid}",
+                    "version": v,
+                    "visible": visible,
+                }
+            )
+
+    n_rels = n_elements - n_nodes - n_ways
+    for rid in range(20_000_001, 20_000_001 + max(n_rels, 1)):
+        rows.append(
+            {
+                "id": rid,
+                "type": "relation",
+                "tags": {"type": "multipolygon", "landuse": "forest"},
+                "lat": None,
+                "lon": None,
+                "nds": None,
+                "members": [
+                    {"type": "way", "ref": 10_000_001, "role": "outer"},
+                    {"type": "way", "ref": 10_000_002, "role": "inner"},
+                ],
+                "changeset": rng.randint(1, n_changesets),
+                "timestamp": _ts(rng.uniform(0, 200_000)),
+                "uid": rng.randint(2, 101),
+                "user": "rel_user",
+                "version": 1,
+                "visible": True,
+            }
+        )
+    return rows
+
+
+def generate_changesets(history_rows: list[dict], seed: int = 42) -> list[dict]:
+    rng = random.Random(seed + 1)
+    by_cs: dict[int, list[dict]] = {}
+    for r in history_rows:
+        by_cs.setdefault(r["changeset"], []).append(r)
+    max_cs = max(by_cs)
+    rows = []
+    for cs_id in range(1, max_cs + 6):  # a few changesets with no elements
+        members = by_cs.get(cs_id, [])
+        uid = members[0]["uid"] if members else rng.randint(2, 101)
+        created = (
+            min(m["timestamp"] for m in members) if members else _ts(rng.uniform(0, 200_000))
+        )
+        open_ = rng.random() < 0.02
+        closed = None if open_ else created + timedelta(minutes=rng.uniform(1, 1440))
+        n_hash = rng.randint(0, 3)
+        comment_tags = " ".join(f"#{rng.choice(HASHTAG_WORDS)}" for _ in range(n_hash))
+        tags = {
+            "created_by": rng.choice(EDITORS),
+            "comment": f"edited stuff {comment_tags}".strip(),
+        }
+        if rng.random() < 0.3:
+            tags["hashtags"] = ";".join(
+                rng.sample(HASHTAG_WORDS, rng.randint(1, 2))
+            )
+        lats = [m["lat"] for m in members if m["lat"] is not None]
+        lons = [m["lon"] for m in members if m["lon"] is not None]
+        rows.append(
+            {
+                "id": cs_id,
+                "tags": tags,
+                "createdAt": created,
+                "open": open_,
+                "closedAt": closed,
+                "commentsCount": rng.randint(0, 3),
+                "minLat": min(lats) if lats else None,
+                "maxLat": max(lats) if lats else None,
+                "minLon": min(lons) if lons else None,
+                "maxLon": max(lons) if lons else None,
+                "numChanges": len(members),
+                "uid": uid,
+                "user": f"user_{uid}",
+                "comments": None,
+                "sequence": rng.randint(1, 100),
+            }
+        )
+    return rows
+
+
+_HISTORY_PA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("type", pa.string()),
+        ("tags", pa.map_(pa.string(), pa.string())),
+        ("lat", pa.float64()),
+        ("lon", pa.float64()),
+        ("nds", pa.list_(pa.int64())),
+        (
+            "members",
+            pa.list_(
+                pa.struct(
+                    [("type", pa.string()), ("ref", pa.int64()), ("role", pa.string())]
+                )
+            ),
+        ),
+        ("changeset", pa.int64()),
+        ("timestamp", pa.timestamp("us", tz="UTC")),
+        ("uid", pa.int64()),
+        ("user", pa.string()),
+        ("version", pa.int32()),
+        ("visible", pa.bool_()),
+    ]
+)
+
+_CHANGESETS_PA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("tags", pa.map_(pa.string(), pa.string())),
+        ("createdAt", pa.timestamp("us", tz="UTC")),
+        ("open", pa.bool_()),
+        ("closedAt", pa.timestamp("us", tz="UTC")),
+        ("commentsCount", pa.int32()),
+        ("minLat", pa.float64()),
+        ("maxLat", pa.float64()),
+        ("minLon", pa.float64()),
+        ("maxLon", pa.float64()),
+        ("numChanges", pa.int32()),
+        ("uid", pa.int64()),
+        ("user", pa.string()),
+        (
+            "comments",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("date", pa.timestamp("us", tz="UTC")),
+                        ("user", pa.string()),
+                        ("uid", pa.int64()),
+                        ("body", pa.string()),
+                    ]
+                )
+            ),
+        ),
+        ("sequence", pa.int32()),
+    ]
+)
+
+
+def _to_table(rows: list[dict], schema: pa.Schema) -> pa.Table:
+    cols = {}
+    for f in schema:
+        vals = [r.get(f.name) for r in rows]
+        if pa.types.is_map(f.type):
+            vals = [list(v.items()) if v is not None else None for v in vals]
+        cols[f.name] = pa.array(vals, type=f.type)
+    return pa.table(cols, schema=schema)
+
+
+def write_fixtures(out_dir: str, n_elements: int = 1000, seed: int = 42) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    hist = generate_history(n_elements, seed)
+    cs = generate_changesets(hist, seed)
+    pq.write_table(_to_table(hist, _HISTORY_PA), os.path.join(out_dir, "history.parquet"))
+    pq.write_table(
+        _to_table(cs, _CHANGESETS_PA), os.path.join(out_dir, "changesets.parquet")
+    )
+    return {"history": len(hist), "changesets": len(cs)}
+
+
+def write_augdiff_dropdir(
+    out_dir: str, n_sequences: int = 5, per_seq: int = 40, seed: int = 42
+) -> int:
+    """Emulate the augmented-diff replication drop-dir: <dir>/<sequence>.jsonl,
+    one JSON object per line with {old, new} feature pairs
+    (updater/package.scala:69-128 wire model, simplified to our columns)."""
+    rng = random.Random(seed + 2)
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0
+    for seq in range(1000, 1000 + n_sequences):
+        lines = []
+        for i in range(per_seq):
+            eid = rng.randint(1, 500)
+            version = rng.randint(1, 4)
+            visible = rng.random() > 0.05
+            lon, lat = rng.uniform(-10, 10), rng.uniform(-10, 10)
+            tags = dict([rng.choice([("building", "yes"), ("highway", "residential"),
+                                     ("waterway", "river"), ("natural", "coastline")])])
+            feature = {
+                "sequence": seq,
+                "id": eid,
+                "type": "node",
+                "version": version,
+                "minorVersion": 0,
+                "visible": visible,
+                "tags": tags,
+                "prevTags": tags if version > 1 else None,
+                "changeset": rng.randint(1, 80),
+                "uid": rng.randint(2, 101),
+                "user": f"user_{rng.randint(2, 101)}",
+                "geom": [{"lon": lon, "lat": lat}],
+                "prevGeom": [{"lon": lon - 0.001, "lat": lat}] if version > 1 else None,
+            }
+            lines.append(json.dumps(feature))
+            total += 1
+        with open(os.path.join(out_dir, f"{seq}.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return total
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/osm_fixtures"
+    print(write_fixtures(out))
+    print(write_augdiff_dropdir(os.path.join(out, "augdiffs")))

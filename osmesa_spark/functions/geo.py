@@ -135,13 +135,14 @@ def lat_to_unit(lat: Column) -> Column:
 def zorder(col_idx: Column, row_idx: Column, bits: int = 16) -> Column:
     """Interleaved-bit Z-order id of (col, row) — the `__id` feature key
     (`Implicits.scala:228-238`). Bit-twiddle via shift/or Columns."""
+    one = F.lit(1).cast("bigint")
     z = F.lit(0).cast("bigint")
     c = col_idx.cast("bigint")
     r = row_idx.cast("bigint")
     for i in range(bits):
-        z = (
-            z
-            | (F.shiftleft(F.shiftrightunsigned(c, i) & 1, 2 * i))
-            | (F.shiftleft(F.shiftrightunsigned(r, i) & 1, 2 * i + 1))
+        cbit = F.shiftrightunsigned(c, i).bitwiseAND(one)
+        rbit = F.shiftrightunsigned(r, i).bitwiseAND(one)
+        z = z.bitwiseOR(F.shiftleft(cbit, 2 * i)).bitwiseOR(
+            F.shiftleft(rbit, 2 * i + 1)
         )
     return z

@@ -192,15 +192,19 @@ def simhash64(text: Column | str, token_hash_bits: int = 60) -> Column:
     fingerprint bit b = vote > 0. Implemented as a fold over bit positions."""
     toks = word_tokens(text)
     hashed = F.transform(toks, lambda t: _portable_hash(t, 0))
+    one = F.lit(1).cast("bigint")
+
     def bit_vote(b: int):
         return lambda acc, h: acc + F.when(
-            (F.shiftrightunsigned(h, b) & 1) == 1, 1
+            F.shiftrightunsigned(h, b).bitwiseAND(one) == 1, 1
         ).otherwise(-1)
 
     out = F.lit(0).cast("bigint")
     for b in range(token_hash_bits):
         vote = F.aggregate(hashed, F.lit(0), bit_vote(b))
-        out = out | F.shiftleft(F.when(vote > 0, 1).otherwise(0).cast("bigint"), b)
+        out = out.bitwiseOR(
+            F.shiftleft(F.when(vote > 0, 1).otherwise(0).cast("bigint"), b)
+        )
     return out
 
 

@@ -1,0 +1,154 @@
+"""Vector-grid tile pipeline: tile → rasterize → pyramid → vectorize.
+
+Parity target: the typed-Dataset chain in
+`src/analytics/src/main/scala/osmesa/analytics/vectorgrid/Implicits.scala`
+(G1 tile :57-140, G2 rasterize :351-408, G3 downsample :188-220,
+G4 merge :154-179, G5 pyramid :145-152, G6 vectorize :222-244) and its
+drivers `EditHistogram.scala` / `Footprints.scala`.
+
+Spark-first redesign — the reference keeps a `Map[Long,Int]` sparse tile per
+row and merges tiles in `mapGroups` lambdas (opting out of Catalyst,
+SURVEY §3.3). We instead keep the raster in **long format**: one row per
+non-zero cell `(zoom, tx, ty, cell_col, cell_row, value)`. Consequences:
+
+  * rasterize/merge/downsample collapse to `groupBy(...).sum(...)` — fully
+    codegen'd, partially aggregated map-side, no opaque lambdas;
+  * downsample is pure integer math on absolute cell coordinates
+    (`abs >> dz`), so a pyramid level is ONE hash-agg off the previous —
+    data volume shrinks ~4× per level, and the shuffle key
+    (zoom, tile, cell) is uniformly distributed by construction;
+  * the sparse map-per-tile shape only materializes at the MVT encode
+    boundary (`to_sparse_tiles`), mirroring `RasterTileWithKey`
+    (`vectorgrid/package.scala:70-84`) for the sink.
+
+Default geometry matches the reference: 128×128 cells, base zoom 10
+(`VectorGrid.scala:21-27`); footprints profile 512 cells / zoom 14
+(`Footprints.scala:24-25`).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osmesa_spark.functions import geo
+
+BASE_CELLS = 128
+BASE_ZOOM = 10
+
+
+def tile_points(
+    df: DataFrame,
+    zoom: int = BASE_ZOOM,
+    cells: int = BASE_CELLS,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """G1+G2 fast path for points: assign (zoom, tx, ty, ccol, crow) and sum
+    weights per cell — `x/y` are Web-Mercator unit coordinates so the cell is
+    `floor(unit * 2^zoom * cells) mod cells`."""
+    n_abs = float((1 << zoom) * cells)
+    ux = geo.lon_to_unit(F.col(lon_col))
+    uy = geo.lat_to_unit(F.col(lat_col))
+    abs_col = F.least(
+        F.greatest(F.floor(ux * n_abs), F.lit(0)), F.lit(n_abs - 1)
+    ).cast("bigint")
+    abs_row = F.least(
+        F.greatest(F.floor(uy * n_abs), F.lit(0)), F.lit(n_abs - 1)
+    ).cast("bigint")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    keyed = df.select(
+        F.lit(zoom).alias("zoom"),
+        abs_col.alias("abs_col"),
+        abs_row.alias("abs_row"),
+        w.cast("bigint").alias("value"),
+    )
+    return (
+        keyed.groupBy("zoom", "abs_col", "abs_row")
+        .agg(F.sum("value").alias("value"))
+    )
+
+
+def downsample(raster: DataFrame, dz: int = 1) -> DataFrame:
+    """G3: parent level(s) — absolute cell coords shift right by dz, values
+    sum (reference resamples with Sum, Implicits.scala:188-220)."""
+    return (
+        raster.select(
+            (F.col("zoom") - dz).alias("zoom"),
+            F.shiftrightunsigned("abs_col", dz).alias("abs_col"),
+            F.shiftrightunsigned("abs_row", dz).alias("abs_row"),
+            "value",
+        )
+        .groupBy("zoom", "abs_col", "abs_row")
+        .agg(F.sum("value").alias("value"))
+    )
+
+
+def pyramid(base: DataFrame, base_zoom: int = BASE_ZOOM) -> DataFrame:
+    """G5: all zoom levels base_zoom..0 as one DataFrame. Chained halving —
+    each level is one hash-agg over the (4× smaller) previous level."""
+    levels = [base]
+    current = base
+    for _z in range(base_zoom, 0, -1):
+        current = downsample(current, 1)
+        levels.append(current)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def with_tile_coords(raster: DataFrame, cells: int = BASE_CELLS) -> DataFrame:
+    """Split absolute cell coords into (tx, ty, ccol, crow). cells must be a
+    power of two; tiles coarser than one cell collapse to tile (0,0)."""
+    bits = int(math.log2(cells))
+    return raster.select(
+        "zoom",
+        F.shiftrightunsigned("abs_col", bits).alias("tx"),
+        F.shiftrightunsigned("abs_row", bits).alias("ty"),
+        (F.col("abs_col") % cells).alias("ccol"),
+        (F.col("abs_row") % cells).alias("crow"),
+        "value",
+    )
+
+
+def vectorize(raster: DataFrame, cells: int = BASE_CELLS) -> DataFrame:
+    """G6: non-zero cells → features with Z-order `__id` per tile
+    (Implicits.scala:222-244; z-index :228-238)."""
+    bits = int(math.log2(cells))
+    tiled = with_tile_coords(raster, cells)
+    return tiled.select(
+        "zoom",
+        "tx",
+        "ty",
+        geo.zorder(F.col("ccol"), F.col("crow"), bits=bits).alias("__id"),
+        "ccol",
+        "crow",
+        "value",
+    )
+
+
+def to_sparse_tiles(raster: DataFrame, cells: int = BASE_CELLS) -> DataFrame:
+    """Assemble the reference's RasterTileWithKey shape for the MVT sink:
+    one row per (zoom, tx, ty) with cells as map<bigint,bigint> keyed by
+    row-major index (vectorgrid/package.scala:70-84)."""
+    tiled = with_tile_coords(raster, cells)
+    return (
+        tiled.select(
+            "zoom",
+            "tx",
+            "ty",
+            (F.col("crow") * cells + F.col("ccol")).alias("idx"),
+            "value",
+        )
+        .groupBy("zoom", "tx", "ty")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("idx", "value")))
+            ).alias("cells"),
+            F.sum("value").alias("total"),
+        )
+    )

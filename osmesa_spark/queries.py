@@ -1031,5 +1031,11 @@ def q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# OSM-domain parity queries over deterministic generated fixtures
+from osmesa_spark.queries_osm import register_osm_queries  # noqa: E402
+
+register_osm_queries(register)
+
+
 def registry() -> dict[str, QuerySpec]:
     return dict(REGISTRY)
