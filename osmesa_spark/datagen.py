@@ -283,11 +283,17 @@ def write_fixtures(out_dir: str, n_elements: int = 1000, seed: int = 42) -> dict
 
 
 def write_augdiff_dropdir(
-    out_dir: str, n_sequences: int = 5, per_seq: int = 40, seed: int = 42
+    out_dir: str,
+    n_sequences: int = 5,
+    per_seq: int = 40,
+    seed: int = 42,
+    corrupt_every: int | None = None,
 ) -> int:
     """Emulate the augmented-diff replication drop-dir: <dir>/<sequence>.jsonl,
     one JSON object per line with {old, new} feature pairs
-    (updater/package.scala:69-128 wire model, simplified to our columns)."""
+    (updater/package.scala:69-128 wire model, flattened to our columns).
+    `corrupt_every`: inject an unparseable line every N features (exercises
+    the S6 dead-letter ErrorHandler path)."""
     rng = random.Random(seed + 2)
     os.makedirs(out_dir, exist_ok=True)
     total = 0
@@ -298,24 +304,114 @@ def write_augdiff_dropdir(
             version = rng.randint(1, 4)
             visible = rng.random() > 0.05
             lon, lat = rng.uniform(-10, 10), rng.uniform(-10, 10)
+            is_way = rng.random() < 0.3
             tags = dict([rng.choice([("building", "yes"), ("highway", "residential"),
                                      ("waterway", "river"), ("natural", "coastline")])])
+            if is_way:
+                geom = [
+                    {"lon": lon + 0.001 * k, "lat": lat + 0.0005 * k}
+                    for k in range(rng.randint(2, 6))
+                ]
+                prev_geom = (
+                    [{"lon": p["lon"] - 0.002, "lat": p["lat"]} for p in geom]
+                    if version > 1
+                    else None
+                )
+                gtype = "LineString"
+            else:
+                geom = [{"lon": lon, "lat": lat}]
+                prev_geom = (
+                    [{"lon": lon - 0.001, "lat": lat}] if version > 1 else None
+                )
+                gtype = "Point"
             feature = {
                 "sequence": seq,
                 "id": eid,
-                "type": "node",
+                "type": "way" if is_way else "node",
                 "version": version,
                 "minorVersion": 0,
+                "updated": (T0 + timedelta(minutes=seq)).isoformat(),
                 "visible": visible,
                 "tags": tags,
                 "prevTags": tags if version > 1 else None,
                 "changeset": rng.randint(1, 80),
                 "uid": rng.randint(2, 101),
                 "user": f"user_{rng.randint(2, 101)}",
-                "geom": [{"lon": lon, "lat": lat}],
-                "prevGeom": [{"lon": lon - 0.001, "lat": lat}] if version > 1 else None,
+                "geomType": gtype,
+                "geom": geom,
+                "prevGeom": prev_geom,
             }
             lines.append(json.dumps(feature))
+            total += 1
+            if corrupt_every and total % corrupt_every == 0:
+                lines.append('{"sequence": %d, "id": BROKEN' % seq)
+        with open(os.path.join(out_dir, f"{seq}.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return total
+
+
+def write_changes_osc_dropdir(
+    out_dir: str, n_sequences: int = 3, per_seq: int = 20, seed: int = 42
+) -> int:
+    """Minutely osmChange XML drop-dir (<dir>/<sequence>.osc) — the
+    Source.Changes wire format (SAX-parsed in the reference, SAXBench)."""
+    rng = random.Random(seed + 3)
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0
+    for seq in range(2000, 2000 + n_sequences):
+        parts = ['<osmChange version="0.6">']
+        for action, weight in (("create", 6), ("modify", 3), ("delete", 1)):
+            parts.append(f"<{action}>")
+            for _ in range(per_seq * weight // 10):
+                eid = rng.randint(1, 900)
+                lon, lat = rng.uniform(-10, 10), rng.uniform(-10, 10)
+                ts = (T0 + timedelta(minutes=seq)).strftime("%Y-%m-%dT%H:%M:%SZ")
+                parts.append(
+                    f'<node id="{eid}" version="{rng.randint(1, 3)}" '
+                    f'timestamp="{ts}" uid="{rng.randint(2, 101)}" '
+                    f'user="user_x" lat="{lat:.7f}" lon="{lon:.7f}">'
+                    '<tag k="building" v="yes"/></node>'
+                )
+                total += 1
+            parts.append(f"</{action}>")
+        parts.append("</osmChange>")
+        with open(os.path.join(out_dir, f"{seq}.osc"), "w") as f:
+            f.write("".join(parts))
+    return total
+
+
+def write_changeset_meta_dropdir(
+    out_dir: str, n_sequences: int = 5, per_seq: int = 10, seed: int = 42
+) -> int:
+    """Changeset-metadata drop-dir (<dir>/<sequence>.jsonl) — Source.Changesets
+    equivalent; rows in CHANGESETS shape with ISO timestamps."""
+    rng = random.Random(seed + 4)
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0
+    for seq in range(1000, 1000 + n_sequences):
+        lines = []
+        for _ in range(per_seq):
+            cs_id = rng.randint(1, 80)
+            created = T0 + timedelta(minutes=seq - rng.uniform(0, 60))
+            lines.append(
+                json.dumps(
+                    {
+                        "id": cs_id,
+                        "tags": {
+                            "created_by": rng.choice(EDITORS),
+                            "comment": f"work #{rng.choice(HASHTAG_WORDS)}",
+                        },
+                        "createdAt": created.isoformat(),
+                        "open": False,
+                        "closedAt": (created + timedelta(minutes=30)).isoformat(),
+                        "commentsCount": 0,
+                        "numChanges": rng.randint(1, 20),
+                        "uid": rng.randint(2, 101),
+                        "user": f"user_{rng.randint(2, 101)}",
+                        "sequence": seq,
+                    }
+                )
+            )
             total += 1
         with open(os.path.join(out_dir, f"{seq}.jsonl"), "w") as f:
             f.write("\n".join(lines) + "\n")

@@ -1,0 +1,145 @@
+"""Streaming changeset stats — parity with
+`osmesa.apps.streaming.StreamingChangesetStatsUpdater`
+(`src/apps/src/main/scala/osmesa/apps/streaming/StreamingChangesetStatsUpdater.scala:80-142`).
+
+Chain (§3.2): augdiff stream → tagged filter → geocode → event time from
+sequence (T1) → watermark 0s (T2: sequences arrive atomically and ordered;
+the agg for sequence N finalizes when N+1 arrives) → stateful
+groupBy(timestamp, sequence, changeset, uid, user) map-sum agg (T4/A2) →
+foreachBatch idempotent upsert (T6) + checkpoint bookkeeping (T7).
+
+Also provides the watermarked stream-stream join (J9/T5):
+augdiffs ⋈ changeset metadata on `changeset`, watermarks 0s / 25h
+(MergedChangesetStreamProcessor.scala:149-172 — changesets stay open ≤24h,
+so the metadata side keeps 25h of state, bounding state size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osmesa_spark.functions.maps import sum_map_values
+from osmesa_spark.functions.tags import is_tagged
+from osmesa_spark.functions.timeseq import sequence_to_timestamp
+from osmesa_spark.operators.geocode import BBoxCountries, geocode
+from osmesa_spark.operators.stats import default_counts, default_measurements
+from osmesa_spark.sinks.upsert import CheckpointTable, ParquetUpsertTable
+
+
+def augdiff_feature_stats(
+    diffs: DataFrame, countries: BBoxCountries | None = None
+) -> DataFrame:
+    """Per-feature counts/measurements on an (augmented-diff) element stream.
+    Works identically on bounded and unbounded inputs (T8)."""
+    feats = diffs.where(is_tagged("tags")).withColumn(
+        "event_time", sequence_to_timestamp("sequence")
+    )
+    if countries is not None:
+        feats = geocode(feats, countries)
+    else:
+        feats = feats.withColumn("countries", F.array().cast("array<string>"))
+    # deltas on the stream come from geom/prevGeom pairs carried by the diff
+    from osmesa_spark.functions import geo
+
+    line_len = F.when(
+        F.col("geomType") == "LineString", geo.line_length_m(F.col("geom"))
+    ).otherwise(F.lit(0.0))
+    prev_len = F.when(
+        F.col("geomType") == "LineString", geo.line_length_m(F.col("prevGeom"))
+    ).otherwise(F.lit(0.0))
+    feats = feats.withColumn(
+        "linearDelta", F.abs(F.coalesce(line_len, F.lit(0.0)) - F.coalesce(prev_len, F.lit(0.0)))
+    ).withColumn("areaDelta", F.lit(0.0))
+    return feats.select(
+        "event_time",
+        "sequence",
+        "changeset",
+        "uid",
+        "user",
+        default_counts().alias("counts"),
+        default_measurements().alias("measurements"),
+    )
+
+
+def streaming_changeset_stats(
+    diffs: DataFrame, countries: BBoxCountries | None = None
+) -> DataFrame:
+    """The watermarked stateful rollup (T2/T4). On a streaming input this is
+    an append-mode aggregation whose groups finalize as the watermark (next
+    sequence) passes; on a bounded input it degenerates to the batch rollup —
+    same code path, T8."""
+    per_row = augdiff_feature_stats(diffs, countries)
+    if per_row.isStreaming:
+        per_row = per_row.withWatermark("event_time", "0 seconds")
+    # HOF fold here (not explode/reassemble): streaming aggs need a single
+    # agg stage; groups are (changeset, sequence)-bounded so lists stay small.
+    return per_row.groupBy(
+        "event_time", "sequence", "changeset", "uid", "user"
+    ).agg(
+        sum_map_values(F.collect_list("counts"), "int").alias("counts"),
+        sum_map_values(F.collect_list("measurements"), "double").alias(
+            "measurements"
+        ),
+        F.count(F.lit(1)).alias("total_edits"),
+    )
+
+
+def run_streaming_stats_to_upsert(
+    diffs_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    proc_name: str = "augmented-diff-stats",
+    countries: BBoxCountries | None = None,
+):
+    """writeStream.foreachBatch → idempotent upsert + checkpoint row —
+    the full streaming sink chain (S7 + S10 semantics). Returns the query."""
+    rolled = streaming_changeset_stats(diffs_stream, countries)
+    table = ParquetUpsertTable(table_path)
+    checkpoints = CheckpointTable(f"{table_path}/_checkpoints")
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        prepared = batch.select(
+            F.col("changeset").alias("id"),
+            F.col("counts").cast("map<string,bigint>").alias("counts"),
+            "measurements",
+            F.col("total_edits").cast("bigint"),
+            F.array(F.col("sequence")).cast("array<int>").alias("augmented_diffs"),
+        )
+        table.upsert_stats(prepared)
+        max_seq = batch.agg(F.max("sequence")).first()[0]
+        if max_seq is not None:
+            checkpoints.save(proc_name, int(max_seq))
+
+    return (
+        rolled.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
+def merged_changeset_stream(
+    diffs: DataFrame, changeset_meta: DataFrame
+) -> DataFrame:
+    """Watermarked stream-stream inner join (J9/T5):
+    element stream (watermark 0s on sequence time) ⋈ changeset metadata
+    (watermark 25h on createdAt) on `changeset`."""
+    left = diffs.withColumn(
+        "event_time", sequence_to_timestamp("sequence")
+    )
+    if left.isStreaming:
+        left = left.withWatermark("event_time", "0 seconds")
+    right = changeset_meta.select(
+        F.col("id").alias("changeset_id"),
+        F.col("createdAt"),
+        F.col("tags").getItem("created_by").alias("editor"),
+        F.col("uid").alias("cs_uid"),
+    )
+    if right.isStreaming:
+        right = right.withWatermark("createdAt", "25 hours")
+    return left.join(
+        right, left.changeset == right.changeset_id, "inner"
+    ).drop("changeset_id")

@@ -1,0 +1,153 @@
+"""Streaming semantics tests (SURVEY §2.10): dual-mode sources, dead-letter
+split, XML changes parse, watermarked stateful rollup, idempotent upsert
+(re-delivery is a no-op), stream-stream join, checkpoint bookkeeping."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmesa_spark.datagen import (
+    COUNTRIES,
+    write_augdiff_dropdir,
+    write_changes_osc_dropdir,
+    write_changeset_meta_dropdir,
+)
+from osmesa_spark.sinks.upsert import CheckpointTable, ParquetUpsertTable
+from osmesa_spark.sources import replication as R
+from osmesa_spark.streaming import stats_stream as S
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream_fx")
+    write_augdiff_dropdir(str(base / "augdiffs"), n_sequences=4, per_seq=30, corrupt_every=17)
+    write_changes_osc_dropdir(str(base / "changes"), n_sequences=3, per_seq=20)
+    write_changeset_meta_dropdir(str(base / "csmeta"), n_sequences=4, per_seq=10)
+    return base
+
+
+def test_augdiff_batch_read_and_dead_letter(spark, dirs):
+    df = R.read_augmented_diffs(spark, str(dirs / "augdiffs"))
+    good, errors = R.split_errors(df)
+    assert good.count() == 120  # 4 × 30 valid features
+    assert errors.count() == 7  # corrupt_every=17 over 120 rows
+    assert set(good.select("sequence").distinct().toPandas()["sequence"]) == {
+        1000,
+        1001,
+        1002,
+        1003,
+    }
+
+
+def test_sequence_bounds(spark, dirs):
+    df = R.read_augmented_diffs(
+        spark, str(dirs / "augdiffs"), start_sequence=1001, end_sequence=1002
+    )
+    good, _ = R.split_errors(df)
+    seqs = set(good.select("sequence").distinct().toPandas()["sequence"])
+    assert seqs == {1001, 1002}
+
+
+def test_changes_xml_parse(spark, dirs):
+    changes = R.read_changes_xml(spark, str(dirs / "changes"))
+    rows = changes.collect()
+    assert len(rows) == 60  # 3 seq × (12 create + 6 modify + 2 delete)
+    assert {r["sequence"] for r in rows} == {2000, 2001, 2002}
+    deleted = [r for r in rows if not r["visible"]]
+    assert len(deleted) == 6
+    assert all(r["tags"]["building"] == "yes" for r in rows)
+
+
+def test_bounded_rollup_matches_manual(spark, dirs):
+    good, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"))
+    )
+    rolled = S.streaming_changeset_stats(good, COUNTRIES)
+    total = rolled.agg(F.sum("total_edits")).first()[0]
+    assert total == good.count()  # all fixture features are tagged
+
+
+def test_streaming_upsert_idempotent(spark, dirs, tmp_path):
+    good_stream, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"), streaming=True)
+    )
+    table_path = str(tmp_path / "stats_table")
+    q = S.run_streaming_stats_to_upsert(
+        good_stream,
+        table_path,
+        str(tmp_path / "ckpt"),
+        countries=COUNTRIES,
+    )
+    # wait until all 4 files are processed
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
+            time.sleep(1)
+            if not q.status["isDataAvailable"]:
+                break
+    q.stop()
+    table = ParquetUpsertTable(table_path)
+    first = table.read(spark).orderBy("id").collect()
+    assert len(first) > 0
+    total_after_stream = sum(r["total_edits"] for r in first)
+    good, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"))
+    )
+    assert total_after_stream == good.count()
+
+    # RE-DELIVER the same batch — the sequence guard must make it a no-op
+    batch = S.streaming_changeset_stats(good, COUNTRIES).select(
+        F.col("changeset").alias("id"),
+        F.col("counts").cast("map<string,bigint>"),
+        "measurements",
+        F.col("total_edits").cast("bigint"),
+        F.array(F.col("sequence")).cast("array<int>").alias("augmented_diffs"),
+    )
+    table.upsert_stats(batch)
+    second = table.read(spark).orderBy("id").collect()
+    assert sum(r["total_edits"] for r in second) == total_after_stream
+    assert [r["id"] for r in second] == [r["id"] for r in first]
+
+    # checkpoint bookkeeping recorded the last sequence
+    ck = CheckpointTable(f"{table_path}/_checkpoints")
+    assert ck.load("augmented-diff-stats") == 1003
+
+
+def test_stream_stream_join_bounded(spark, dirs):
+    # bounded run of the same join code path (T8)
+    diffs, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"))
+    )
+    meta = R.read_changeset_metadata(spark, str(dirs / "csmeta"))
+    joined = S.merged_changeset_stream(diffs, meta)
+    assert joined.count() > 0
+    assert "editor" in joined.columns
+
+
+def test_stream_stream_join_streaming(spark, dirs, tmp_path):
+    diffs, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"), streaming=True)
+    )
+    meta = R.read_changeset_metadata(
+        spark, str(dirs / "csmeta"), streaming=True
+    )
+    joined = S.merged_changeset_stream(diffs, meta)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .start()
+    )
+    deadline = time.time() + 120
+    rows = 0
+    while time.time() < deadline:
+        rows = spark.sql("SELECT COUNT(*) FROM ss_join").first()[0]
+        if rows > 0 and not q.status["isDataAvailable"]:
+            break
+        time.sleep(2)
+    q.stop()
+    assert rows > 0
