@@ -105,7 +105,9 @@ def reconstruct_way_geometries(ways: DataFrame, nodes: DataFrame) -> DataFrame:
             F.array_sort(
                 F.collect_list(
                     F.when(
-                        F.col("n_lon").isNotNull() & F.col("n_visible"),
+                        F.col("n_lon").isNotNull()
+                        & F.col("n_lat").isNotNull()
+                        & F.col("n_visible"),
                         F.struct(
                             F.col("pos"),
                             F.col("n_lon").alias("lon"),

@@ -77,12 +77,13 @@ _WAYVERT_CTE = f"""
                ANY_VALUE(wtags) AS wtags, ANY_VALUE(wcs) AS wcs,
                ANY_VALUE(wvisible) AS wvisible,
                COUNT(*) AS nverts,
+               SUM(nv.lon) AS clon, SUM(nv.lat) AS clat,
                ARG_MIN(nv.lon, pos) AS flon, ARG_MIN(nv.lat, pos) AS flat,
                ARG_MAX(nv.lon, pos) AS llon, ARG_MAX(nv.lat, pos) AS llat
         FROM wx JOIN nv ON wx.ref = nv.id
              AND nv.timestamp <= wx.wts
              AND wx.wts < COALESCE(nv.valid_until, TIMESTAMP '9999-01-01')
-        WHERE nv.lon IS NOT NULL AND nv.visible
+        WHERE nv.lon IS NOT NULL AND nv.lat IS NOT NULL AND nv.visible
         GROUP BY way_id, way_version
         HAVING COUNT(*) >= 2)
 """
@@ -158,8 +159,9 @@ def osm_changeset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-OSM_CHANGESET_STATS_SQL = f"""
-    WITH {_NV_CTE}, {_WAYVERT_CTE},
+# per-changeset stats CTE chain, reused by the rollup-view oracles
+_STATS_PROLOGUE = f"""
+    {_NV_CTE}, {_WAYVERT_CTE},
     node_feats AS (
         SELECT h.changeset, h.tags, h.version, h.visible
         FROM read_parquet('{_HISTORY}') h
@@ -202,20 +204,32 @@ OSM_CHANGESET_STATS_SQL = f"""
                  list_filter(list_transform(
                     string_split(COALESCE((c.tags['hashtags'])[1], ''), ';'),
                     x -> lower(trim(x))), x -> x <> ''))), []) AS hs
-        FROM read_parquet('{_CHANGESETS}') c)
-    SELECT c.id,
-           COALESCE(a.total_edits, 0)::BIGINT AS total_edits,
-           COALESCE(a.buildings_added, 0)::BIGINT AS buildings_added,
-           COALESCE(a.buildings_deleted, 0)::BIGINT AS buildings_deleted,
-           COALESCE(a.roads_added, 0)::BIGINT AS roads_added,
-           COALESCE(a.waterways_added, 0)::BIGINT AS waterways_added,
-           COALESCE(a.coastlines_added, 0)::BIGINT AS coastlines_added,
-           COALESCE(a.railway_features_added, 0)::BIGINT AS railway_features_added,
-           COALESCE((c.tags['created_by'])[1], '') AS editor,
-           len(t.hs)::INT AS n_hashtags
-    FROM read_parquet('{_CHANGESETS}') c
-    LEFT JOIN agg a ON a.changeset = c.id
-    LEFT JOIN tags_h t ON t.id = c.id
+        FROM read_parquet('{_CHANGESETS}') c),
+    cs_stats AS (
+        SELECT c.id,
+               COALESCE(a.total_edits, 0)::BIGINT AS total_edits,
+               COALESCE(a.buildings_added, 0)::BIGINT AS buildings_added,
+               COALESCE(a.buildings_deleted, 0)::BIGINT AS buildings_deleted,
+               COALESCE(a.roads_added, 0)::BIGINT AS roads_added,
+               COALESCE(a.waterways_added, 0)::BIGINT AS waterways_added,
+               COALESCE(a.coastlines_added, 0)::BIGINT AS coastlines_added,
+               COALESCE(a.railway_features_added, 0)::BIGINT AS railway_features_added,
+               COALESCE((c.tags['created_by'])[1], '') AS editor,
+               t.hs AS hs,
+               c.uid AS user_id,
+               c.createdAt AS created_at,
+               c.closedAt AS closed_at
+        FROM read_parquet('{_CHANGESETS}') c
+        LEFT JOIN agg a ON a.changeset = c.id
+        LEFT JOIN tags_h t ON t.id = c.id)
+"""
+
+OSM_CHANGESET_STATS_SQL = f"""
+    WITH {_STATS_PROLOGUE}
+    SELECT id, total_edits, buildings_added, buildings_deleted, roads_added,
+           waterways_added, coastlines_added, railway_features_added, editor,
+           len(hs)::INT AS n_hashtags
+    FROM cs_stats
 """
 
 
@@ -336,6 +350,110 @@ OSM_TILE_PYRAMID_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Rollup materialized views (A15/W3) over the changeset-stats output
+# ---------------------------------------------------------------------------
+
+def _stats_df(spark: SparkSession) -> DataFrame:
+    return changeset_stats(
+        _history(spark), _changesets(spark), countries=datagen.COUNTRIES
+    )
+
+
+def osm_user_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.rollups import user_statistics
+
+    us = user_statistics(_stats_df(spark))
+    return us.select(
+        "user_id",
+        F.col("changeset_count").cast("bigint").alias("changeset_count"),
+        F.col("edit_count").cast("bigint").alias("edit_count"),
+        F.floor(F.unix_timestamp("last_edit")).cast("bigint").alias("last_edit_s"),
+        F.coalesce(
+            F.try_element_at("counts", F.lit("buildings_added")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("buildings_added"),
+    )
+
+
+OSM_USER_STATISTICS_SQL = f"""
+    WITH {_STATS_PROLOGUE}
+    SELECT user_id,
+           COUNT(*)::BIGINT AS changeset_count,
+           SUM(total_edits)::BIGINT AS edit_count,
+           FLOOR(epoch(MAX(COALESCE(closed_at, created_at))))::BIGINT AS last_edit_s,
+           SUM(buildings_added)::BIGINT AS buildings_added
+    FROM cs_stats GROUP BY user_id
+"""
+
+
+def osm_hashtag_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.rollups import hashtag_statistics
+
+    hs = hashtag_statistics(_stats_df(spark))
+    return hs.select(
+        "hashtag",
+        F.col("changeset_count").cast("bigint").alias("changeset_count"),
+        F.col("edit_count").cast("bigint").alias("edit_count"),
+    )
+
+
+OSM_HASHTAG_STATISTICS_SQL = f"""
+    WITH {_STATS_PROLOGUE},
+    expl AS (SELECT unnest(hs) AS hashtag, total_edits FROM cs_stats)
+    SELECT hashtag,
+           COUNT(*)::BIGINT AS changeset_count,
+           SUM(total_edits)::BIGINT AS edit_count
+    FROM expl GROUP BY hashtag
+"""
+
+
+def osm_country_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.rollups import country_statistics
+
+    cs = country_statistics(_stats_df(spark))
+    return cs.select(
+        "code",
+        F.col("changeset_count").cast("bigint").alias("changeset_count"),
+        F.col("edit_count").cast("bigint").alias("edit_count"),
+    )
+
+
+# country edit counts per changeset = geocoded feature counts; re-derive in
+# SQL from node + way features using the same centroid-bbox rule
+def _geocode_pts_union_sql() -> str:
+    parts = []
+    for code, (x0, y0, x1, y1) in sorted(datagen.COUNTRIES.items()):
+        parts.append(
+            f"SELECT changeset, '{code}' AS code FROM pts "
+            f"WHERE cx >= {x0} AND cx <= {x1} AND cy >= {y0} AND cy <= {y1}"
+        )
+    return "\n        UNION ALL\n        ".join(parts)
+
+
+OSM_COUNTRY_STATISTICS_SQL = f"""
+    WITH {_NV_CTE}, {_WAYVERT_CTE},
+    node_pts AS (
+        SELECT h.changeset, h.lon AS cx, h.lat AS cy
+        FROM read_parquet('{_HISTORY}') h
+        WHERE h.type = 'node' AND h.lat IS NOT NULL AND h.lon IS NOT NULL
+          AND cardinality(h.tags) > 0),
+    way_pts AS (
+        SELECT wcs AS changeset, clon / nverts AS cx, clat / nverts AS cy
+        FROM wv WHERE cardinality(wtags) > 0),
+    pts AS (SELECT * FROM node_pts UNION ALL SELECT * FROM way_pts),
+    coded AS ({_geocode_pts_union_sql()}),
+    per_cs AS (
+        SELECT changeset, code, COUNT(*)::BIGINT AS edits
+        FROM coded GROUP BY changeset, code)
+    SELECT code,
+           COUNT(*)::BIGINT AS changeset_count,
+           SUM(edits)::BIGINT AS edit_count
+    FROM per_cs GROUP BY code
+"""
+
+
 def register_osm_queries(register) -> None:
     register(
         "osm_node_validity",
@@ -369,3 +487,18 @@ def register_osm_queries(register) -> None:
         OSM_TILE_PYRAMID_SQL,
         doc="vector-grid tile + pyramid (G1-G5): per-zoom Web-Mercator densities",
     )(osm_tile_pyramid)
+    register(
+        "osm_user_statistics",
+        OSM_USER_STATISTICS_SQL,
+        doc="user_statistics materialized view (A15) over the stats pipeline",
+    )(osm_user_statistics)
+    register(
+        "osm_hashtag_statistics",
+        OSM_HASHTAG_STATISTICS_SQL,
+        doc="hashtag_statistics materialized view (A15): explode hashtags + rollup",
+    )(osm_hashtag_statistics)
+    register(
+        "osm_country_statistics",
+        OSM_COUNTRY_STATISTICS_SQL,
+        doc="country_statistics materialized view (A15/J10): geocoded rollup",
+    )(osm_country_statistics)

@@ -91,7 +91,7 @@ def test_way_reconstruction_vertex_counts(spark, history, fx_duck):
         FROM wx JOIN nv ON wx.ref = nv.id
              AND nv.timestamp <= wx.wts
              AND wx.wts < COALESCE(nv.valid_until, TIMESTAMP '9999-01-01')
-        WHERE nv.lon IS NOT NULL AND nv.visible
+        WHERE nv.lon IS NOT NULL AND nv.lat IS NOT NULL AND nv.visible
         GROUP BY way_id, way_version
         HAVING COUNT(*) >= 2
         """
