@@ -99,3 +99,25 @@ def shingles(text: Column | str, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints(
+    shingle_hashes: Column, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al. '03, MOSS): keep the
+    minimum rolling-hash value of every `window` consecutive shingle hashes,
+    deduplicated. Robust to local edits — shared text regions produce shared
+    fingerprints. Pure Column HOFs: slice + array_min per window position, so
+    it stays JVM-side in whole-stage codegen.
+
+    `shingle_hashes`: array<bigint> of per-shingle rolling hashes
+    (see operators.dedup.base_shingle_hash)."""
+    n = F.size(shingle_hashes)
+    full = F.transform(
+        F.sequence(F.lit(0), n - window),
+        lambda i: F.array_min(F.slice(shingle_hashes, i + 1, window)),
+    )
+    short = F.array(F.array_min(shingle_hashes))
+    return F.when(n >= window, F.array_distinct(full)).otherwise(
+        F.when(n > 0, short).otherwise(F.array().cast("array<bigint>"))
+    )

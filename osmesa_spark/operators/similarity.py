@@ -115,6 +115,39 @@ def knn_ivf(
     )
 
 
+def neardup_cosine(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: self-join blocked on a coarse
+    bucket (cluster label / LSH bucket), keep pairs with cosine >= threshold.
+    The bucket equi-key means Spark co-partitions both sides — the O(n²)
+    surface is per-bucket, the same bound a FAISS IVF dedup pass has.
+    Output: (id_a, id_b, cos), id_a < id_b, cos rounded 6dp."""
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col(bucket_col).alias("bucket"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit b = sign(dot(vec, plane_b)).
     `planes` is a small driver-side list (deterministic, seeded)."""

@@ -1031,6 +1031,192 @@ def q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash near-dup pairs: 32-bit fingerprints, 12-bit prefix blocks,
+# Hamming <= 6 within a block. The oracle replays the identical bit votes.
+_SIMHASH_BITS, _SIMHASH_PREFIX, _SIMHASH_HD = 32, 12, 6
+
+
+@register(
+    "simhash_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS t
+        FROM documents),
+    hv AS (
+        SELECT doc_id,
+               list_transform(t,
+                   tk -> ('0x' || substr(md5('0:' || tk), 1, 15))::BIGINT) AS hs
+        FROM toks WHERE len(t) > 0),
+    sigs AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, {_SIMHASH_BITS}), b ->
+                 CASE WHEN list_sum(list_transform(hs,
+                        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                      THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+        FROM hv),
+    blocked AS (
+        SELECT doc_id, sh, sh >> {_SIMHASH_BITS - _SIMHASH_PREFIX} AS block
+        FROM sigs)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh))::INT AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {_SIMHASH_HD}
+    """,
+    doc="SimHash near-dup pairs: bit-vote fingerprint, prefix blocking, "
+    "Hamming verify (dedup extension, Charikar '02 / Manku '07)",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.functions.text import word_tokens
+
+    d = _t(spark, sf_dir, "documents").where(F.size(word_tokens("text")) > 0)
+    return dd.simhash_dedup(
+        d,
+        prefix_bits=_SIMHASH_PREFIX,
+        max_hamming=_SIMHASH_HD,
+        bits=_SIMHASH_BITS,
+    ).select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.col("hamming").cast("int"),
+    )
+
+
+@register(
+    "doc_winnow_fingerprints",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                 list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END AS shs
+        FROM toks),
+    hv AS (
+        SELECT doc_id,
+               list_transform(shs,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hvs
+        FROM sh WHERE len(shs) > 0),
+    fps AS (
+        SELECT doc_id,
+               CASE WHEN len(hvs) >= 4 THEN
+                 list_distinct(list_transform(range(1, len(hvs) - 2),
+                                              i -> list_min(hvs[i:i+3])))
+               ELSE [list_min(hvs)] END AS fp_list
+        FROM hv)
+    SELECT doc_id, unnest(fp_list)::BIGINT AS fp FROM fps
+    """,
+    doc="winnowing rolling-hash fingerprints (Schleimer '03/MOSS): window-min "
+    "of shingle hashes, exploded (text-analysis extension)",
+)
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.functions.text import shingles, winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    hashes = F.transform(shingles("text", 3), dd.base_shingle_hash)
+    return (
+        d.select(
+            "doc_id", winnow_fingerprints(hashes, window=4).alias("fp_list")
+        )
+        .where(F.size("fp_list") > 0)
+        .select("doc_id", F.explode("fp_list").alias("fp"))
+    )
+
+
+@register(
+    "neardup_cosine",
+    """
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / GREATEST(sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v)), 1e-12), 6) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / GREATEST(sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v)), 1e-12), 6) >= 0.3
+    """,
+    doc="embedding-cosine near-dup pairs, bucket-blocked self-join "
+    "(dedup/similarity extension); JVM-side zip_with dot products",
+)
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.neardup_cosine(e, threshold=0.3)
+
+
+# ===========================================================================
+# Multimodal columns (binary payload + typed metadata; mapInPandas kernels)
+# ===========================================================================
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           (['image','audio','video'])[(doc_id % 3)::INT + 1] AS kind,
+           (16 + doc_id % 64)::INT AS width,
+           (16 + (doc_id * 7) % 64)::INT AS height,
+           (length(text) + 9)::INT AS n_bytes,
+           length(regexp_replace(text, '[^`a-o]', '', 'g'))::BIGINT AS bin6_count
+    FROM documents
+    """,
+    doc="multimodal extension: synthesize binary media, Arrow-batched "
+    "mapInPandas feature extraction; oracle re-derives metadata + the "
+    "byte-histogram bin arithmetically (payload body = utf8 text)",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media(d)
+    feats = mm.extract_features(media)
+    meta = media.select("media_id", F.col("meta.n_bytes").alias("n_bytes"))
+    # features are L1-normalized float32; multiply back by body length to
+    # recover the exact integer bin count (error << 0.5 at these sizes)
+    return feats.join(meta, "media_id").select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(
+            F.element_at("features", 7).cast("double")
+            * (F.col("n_bytes") - F.lit(9))
+        )
+        .cast("bigint")
+        .alias("bin6_count"),
+    )
+
+
+@register(
+    "multimodal_frames",
+    """
+    WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+    fr AS (SELECT doc_id, text,
+                  unnest(range(0, least(length(text), 512), 64)) AS off
+           FROM v)
+    SELECT doc_id AS media_id,
+           (off // 64)::INT AS frame_no,
+           COALESCE(list_sum(list_transform(
+               regexp_extract_all(substr(text, (off + 1)::INT, 64), '(.)', 1, 's'),
+               c -> unicode(c))), 0)::BIGINT AS checksum
+    FROM fr
+    """,
+    doc="multimodal extension: video frame sampling (explode-shaped "
+    "mapInPandas); oracle chunks the utf8 body with substr + char-code sums",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media(d)
+    return mm.frame_sample(media, every_n_bytes=64, max_frames=8)
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import register_osm_queries  # noqa: E402
 

@@ -420,6 +420,28 @@ def osm_country_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def osm_hashtag_user_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.rollups import hashtag_user_statistics
+
+    hu = hashtag_user_statistics(_stats_df(spark))
+    return hu.select(
+        "hashtag",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("changeset_count").cast("bigint").alias("changeset_count"),
+        F.col("edit_count").cast("bigint").alias("edit_count"),
+    )
+
+
+OSM_HASHTAG_USER_STATISTICS_SQL = f"""
+    WITH {_STATS_PROLOGUE},
+    expl AS (SELECT unnest(hs) AS hashtag, user_id, total_edits FROM cs_stats)
+    SELECT hashtag, user_id::BIGINT AS user_id,
+           COUNT(*)::BIGINT AS changeset_count,
+           SUM(total_edits)::BIGINT AS edit_count
+    FROM expl GROUP BY hashtag, user_id
+"""
+
+
 # country edit counts per changeset = geocoded feature counts; re-derive in
 # SQL from node + way features using the same centroid-bbox rule
 def _geocode_pts_union_sql() -> str:
@@ -502,3 +524,8 @@ def register_osm_queries(register) -> None:
         OSM_COUNTRY_STATISTICS_SQL,
         doc="country_statistics materialized view (A15/J10): geocoded rollup",
     )(osm_country_statistics)
+    register(
+        "osm_hashtag_user_statistics",
+        OSM_HASHTAG_USER_STATISTICS_SQL,
+        doc="hashtag_user_statistics materialized view (A15): per (hashtag, user) rollup",
+    )(osm_hashtag_user_statistics)

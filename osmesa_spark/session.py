@@ -60,6 +60,46 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make `osmesa_spark` importable on executor Python workers.
+
+    Operators backed by mapInPandas/pandas UDFs close over objects in this
+    package; cloudpickle serializes those by module reference, so every
+    worker must be able to `import osmesa_spark`. On a real cluster that's
+    `spark-submit --py-files osmesa_spark.zip`; for library use we self-ship:
+    zip the installed package once and `addPyFile` it (idempotent per
+    SparkContext — addPyFile dedupes by filename). Cheap no-op when the
+    worker could already import it (same-machine local mode with cwd on
+    path), and required when the driver only patched its own sys.path."""
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_osmesa_spark_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "osmesa_spark_pkg.zip"
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    ):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "osmesa_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._osmesa_spark_shipped = True
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register every parquet table under ``sf_dir`` as a temp view and return
     {name: DataFrame}. Mirrors the driver's DuckDB view registration."""

@@ -151,6 +151,9 @@ def read_changes_xml(
     raw = raw.select(
         F.input_file_name().alias("path"), F.col("value").alias("content")
     )
+    from osmesa_spark.session import ship_package
+
+    ship_package(spark)
     return raw.mapInPandas(_parse_osc_batch, schema=schemas.CHANGES)
 
 

@@ -1,0 +1,63 @@
+"""Multimodal column pipeline: synthetic codec round-trip, full 16-bin
+feature parity vs a local numpy reference, frame-sampling shape.
+
+The registry queries (multimodal_features / multimodal_frames) check the
+metadata + one bin against DuckDB; this file checks the full feature vector
+and batch plumbing the SQL oracle can't express.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmesa_spark.operators import multimodal as mm
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    return mm.synthesize_media(docs).cache()
+
+
+def test_codec_round_trip(media):
+    rows = media.collect()
+    assert len(rows) == 50
+    for r in rows:
+        blob = bytes(r.payload)
+        assert blob[:4] == b"OSMM"
+        kind, w, h, body = mm._decode_payload(blob)
+        assert (w, h) == (r.meta.width, r.meta.height)
+        assert r.meta.n_bytes == len(blob) == 9 + len(body)
+        assert mm._KINDS[kind] == r.kind
+
+
+def test_feature_vectors_match_numpy(spark, media):
+    feats = {r.media_id: r for r in mm.extract_features(media).collect()}
+    for r in media.collect():
+        _, _, _, body = mm._decode_payload(bytes(r.payload))
+        hist, _ = np.histogram(body, bins=16, range=(0, 256))
+        expected = (hist / max(hist.sum(), 1)).astype(np.float32)
+        got = np.array(feats[r.media_id].features, dtype=np.float32)
+        assert got.shape == (16,)
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+        assert abs(got.sum() - 1.0) < 1e-5
+
+
+def test_frame_sample_shape(spark, media):
+    frames = mm.frame_sample(media, every_n_bytes=64, max_frames=8)
+    pdf = frames.toPandas()
+    videos = media.where(F.col("kind") == "video").collect()
+    assert set(pdf["media_id"]) == {r.media_id for r in videos}
+    for r in videos:
+        _, _, _, body = mm._decode_payload(bytes(r.payload))
+        n_expected = min((len(body) + 63) // 64, 8) if len(body) else 0
+        sub = pdf[pdf.media_id == r.media_id]
+        assert len(sub) == n_expected
+        # checksum of frame 0 = sum of first 64 body bytes
+        if n_expected:
+            first = int(sub[sub.frame_no == 0].checksum.iloc[0])
+            assert first == int(body[:64].sum())
