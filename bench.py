@@ -35,13 +35,18 @@ HEADLINE = [
     "exact_dedup_docs",
     "minhash_lsh_pairs",
     "neardup_jaccard",
+    "simhash_pairs",
+    "doc_winnow_fingerprints",
+    "neardup_cosine",
     "knn_bruteforce",
     "knn_ivf",
     "doc_quality",
     "lang_id",
+    "multimodal_features",
     "osm_changeset_stats",
     "osm_way_reconstruction",
     "osm_tile_pyramid",
+    "osm_user_statistics",
 ]
 
 

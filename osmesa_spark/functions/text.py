@@ -111,13 +111,22 @@ def winnow_fingerprints(
     it stays JVM-side in whole-stage codegen.
 
     `shingle_hashes`: array<bigint> of per-shingle rolling hashes
-    (see operators.dedup.base_shingle_hash)."""
-    n = F.size(shingle_hashes)
-    full = F.transform(
-        F.sequence(F.lit(0), n - window),
-        lambda i: F.array_min(F.slice(shingle_hashes, i + 1, window)),
-    )
-    short = F.array(F.array_min(shingle_hashes))
-    return F.when(n >= window, F.array_distinct(full)).otherwise(
-        F.when(n > 0, short).otherwise(F.array().cast("array<bigint>"))
-    )
+    (see operators.dedup.base_shingle_hash).
+
+    The hash array is bound ONCE as a lambda variable (via a one-element
+    array wrapper): referencing the input expression directly inside the
+    per-window lambda would re-evaluate the whole upstream hash pipeline at
+    every window position — O(n²) hashing."""
+
+    def body(hs):
+        n = F.size(hs)
+        full = F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.array_min(F.slice(hs, i + 1, window)),
+        )
+        short = F.array(F.array_min(hs))
+        return F.when(n >= window, F.array_distinct(full)).otherwise(
+            F.when(n > 0, short).otherwise(F.array().cast("array<bigint>"))
+        )
+
+    return F.element_at(F.transform(F.array(shingle_hashes), body), 1)

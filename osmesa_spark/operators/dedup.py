@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from osmesa_spark.functions.text import doc_fingerprint, shingles, word_tokens
+from osmesa_spark.util import ensure_parallelism
 
 
 def _portable_hash(col: Column, seed: int) -> Column:
@@ -89,20 +90,38 @@ def minhash_signatures(
     rehashes of ONE portable base hash per shingle; explode-free via
     transform+array_min, all in whole-stage codegen."""
     coeffs = _minhash_coeffs(num_hashes)
+    # Row-pruning filter uses a CHEAP expression: any filter here is pushed
+    # below the repartition exchange by Catalyst, so an expensive one would
+    # serialize the whole hash pipeline into the (possibly single-split)
+    # scan stage. size(tokens) >= n  ⟺  size(shingles) > 0.
+    kept = df.select(id_col, text_col).where(
+        F.size(word_tokens(text_col)) >= shingle_n
+    )
+    # per-shingle md5 is the CPU hot spot: spread small scans across cores
+    kept = ensure_parallelism(kept, id_col)
     base = F.transform(shingles(text_col, shingle_n), base_shingle_hash)
-    sigged = df.select(F.col(id_col).alias("id"), base.alias("hv")).where(
-        F.size("hv") > 0
+    # Single fold over the shingle hashes with a K-slot accumulator.
+    # K separate array_min(transform(hv, ...)) calls would re-inline the
+    # md5 base hash K times (Catalyst collapses the projects and
+    # subexpression elimination skips lambda-bearing exprs) — this shape
+    # references the hashed array exactly once, so each shingle is hashed
+    # once, after the exchange, at full parallelism.
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), num_hashes)
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.least(
+                F.element_at(acc, i + 1),
+                (F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1))
+                % MINHASH_PRIME,
+            ),
+        ),
     )
-    def affine(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("hv"), affine(a, b)))
-            for a, b in coeffs
-        ]
-    )
-    return sigged.select("id", sig.alias("sig"))
+    return kept.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -161,7 +180,7 @@ def jaccard_verify(
     """Exact n-gram Jaccard on candidate pairs: (id_a, id_b, jaccard) with
     jaccard ≥ threshold. Shingle sets are joined in (two broadcast-or-shuffle
     hash joins keyed on id), then compared with array set ops in-column."""
-    sh = df.select(
+    sh = ensure_parallelism(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
     )
@@ -192,20 +211,32 @@ def simhash64(text: Column | str, token_hash_bits: int = 60) -> Column:
     fingerprint bit b = vote > 0. Implemented as a fold over bit positions."""
     toks = word_tokens(text)
     hashed = F.transform(toks, lambda t: _portable_hash(t, 0))
-    one = F.lit(1).cast("bigint")
-
-    def bit_vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftrightunsigned(h, b).bitwiseAND(one) == 1, 1
-        ).otherwise(-1)
-
-    out = F.lit(0).cast("bigint")
-    for b in range(token_hash_bits):
-        vote = F.aggregate(hashed, F.lit(0), bit_vote(b))
-        out = out.bitwiseOR(
-            F.shiftleft(F.when(vote > 0, 1).otherwise(0).cast("bigint"), b)
-        )
-    return out
+    pow2 = F.array(
+        *[F.lit(1 << b).cast("bigint") for b in range(token_hash_bits)]
+    )
+    # One fold with a bits-wide vote accumulator — per-bit aggregates would
+    # re-inline the token-hash transform `token_hash_bits` times (Catalyst
+    # subexpression elimination skips lambda-bearing exprs). Bit b of h is
+    # tested as h & 2^b != 0 against the literal powers array.
+    votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0), token_hash_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    # set bits have disjoint power-of-two values, so sum == bitwise-or
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            pow2,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_dedup(
@@ -219,7 +250,7 @@ def simhash_dedup(
     """Near-dup pairs by SimHash: block on the top `prefix_bits` of the
     fingerprint (Manku-style single-table probe), then exact Hamming ≤
     max_hamming within a block via bit_count(xor)."""
-    sh = df.select(
+    sh = ensure_parallelism(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"), simhash64(text_col, bits).alias("sh")
     )
     blocked = sh.withColumn(

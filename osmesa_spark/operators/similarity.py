@@ -126,10 +126,14 @@ def neardup_cosine(
     bucket (cluster label / LSH bucket), keep pairs with cosine >= threshold.
     The bucket equi-key means Spark co-partitions both sides — the O(n²)
     surface is per-bucket, the same bound a FAISS IVF dedup pass has.
+    The L2 norm is computed once per ROW and carried through the join as a
+    scalar, so each pair costs one dot product + one multiply instead of
+    dot + two array norms (bit-identical result, same op order).
     Output: (id_a, id_b, cos), id_a < id_b, cos rounded 6dp."""
     side = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
         F.col(bucket_col).alias("bucket"),
     )
     a, b = side.alias("a"), side.alias("b")
@@ -142,7 +146,13 @@ def neardup_cosine(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+            F.round(
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / F.greatest(
+                    F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12)
+                ),
+                6,
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

@@ -1114,8 +1114,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmesa_spark.functions.text import shingles, winnow_fingerprints
+    from osmesa_spark.util import ensure_parallelism
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     hashes = F.transform(shingles("text", 3), dd.base_shingle_hash)
     return (
         d.select(
@@ -1174,10 +1177,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     media = mm.synthesize_media(d)
     feats = mm.extract_features(media)
-    meta = media.select("media_id", F.col("meta.n_bytes").alias("n_bytes"))
     # features are L1-normalized float32; multiply back by body length to
     # recover the exact integer bin count (error << 0.5 at these sizes)
-    return feats.join(meta, "media_id").select(
+    return feats.select(
         "media_id",
         "kind",
         "width",

@@ -355,9 +355,14 @@ OSM_TILE_PYRAMID_SQL = (
 # ---------------------------------------------------------------------------
 
 def _stats_df(spark: SparkSession) -> DataFrame:
+    # The rollup views fan the stats table into many aggregation branches;
+    # localCheckpoint materializes it once (executor-local, self-cleaning via
+    # ContextCleaner) instead of recomputing the whole geometry+geocode
+    # pipeline per branch — the Spark analog of the reference's PG-table
+    # boundary between ChangesetStatsCreator and the materialized views.
     return changeset_stats(
         _history(spark), _changesets(spark), countries=datagen.COUNTRIES
-    )
+    ).localCheckpoint()
 
 
 def osm_user_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
