@@ -1,0 +1,429 @@
+"""Mapbox Vector Tile (MVT) codec + idempotent tile-pyramid sink.
+
+Parity targets in the reference:
+  * MVT encode/write  — `src/analytics/src/main/scala/osmesa/analytics/
+    updater/package.scala:130-180` (gzip bytes, content-encoding) (S13, G8)
+  * MVT read          — `updater/package.scala:37-67`, `VectorGrid.scala:62-81` (S12)
+  * tile upsert       — `EditHistogram.scala:219-305` / `Footprints.scala:174-255`:
+    read existing tile, skip already-committed sequences, merge features by
+    `__id` summing densities, write back (G9)
+  * committed-sequence bookkeeping — `VectorGrid.scala:35-60`
+    (`__sequences__` layer, last 1000 kept)
+  * concurrent tile IO — ForkJoinPool(8) in `Footprints.scala:42-53` (G10)
+
+The reference links geotrellis' vectortile codec; we implement the
+vector-tile **spec 2.1 protobuf wire format** directly (~150 LoC, no
+dependency): varint/zigzag primitives, Tile>Layer>Feature/Value messages,
+point geometries as MoveTo command sequences. Only what the pipelines emit
+is supported (point features, int/string/bool/float values).
+
+Scale notes: the sink consumes the already-aggregated per-tile rows (one
+row per tile after `collect_list` of its cells), so executor memory is
+bounded by cells-per-tile (≤128²). Writes are executor-side
+(`foreachPartition`) with a small thread pool per task for IO overlap —
+the driver never sees tile bytes.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEQUENCES_LAYER = "__sequences__"
+MAX_COMMITTED_SEQUENCES = 1000  # VectorGrid.scala:48-49
+DEFAULT_EXTENT = 4096
+_GEOM_POINT = 1
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives
+# ---------------------------------------------------------------------------
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _key(field_no: int, wire_type: int) -> bytes:
+    return _varint((field_no << 3) | wire_type)
+
+
+def _len_field(field_no: int, payload: bytes) -> bytes:
+    return _key(field_no, 2) + _varint(len(payload)) + payload
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = result = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _fields(buf: bytes):
+    """Yield (field_no, wire_type, value) over a protobuf message body."""
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field_no, wire = tag >> 3, tag & 0x7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:
+            val = buf[pos : pos + 4]
+            pos += 4
+        elif wire == 1:
+            val = buf[pos : pos + 8]
+            pos += 8
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field_no, wire, val
+
+
+# ---------------------------------------------------------------------------
+# tile model
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MvtFeature:
+    fid: int | None
+    geom_type: int  # 1=point
+    points: list[tuple[int, int]]  # extent-local integer coords
+    tags: dict[str, object] = field(default_factory=dict)
+
+
+def _encode_value(v: object) -> bytes:
+    if isinstance(v, bool):
+        return _key(7, 0) + _varint(1 if v else 0)
+    if isinstance(v, int):
+        if v >= 0:
+            return _key(4, 0) + _varint(v)
+        return _key(6, 0) + _varint(_zigzag(v))
+    if isinstance(v, float):
+        return _key(3, 1) + struct.pack("<d", v)
+    return _len_field(1, str(v).encode("utf-8"))
+
+
+def _decode_value(buf: bytes) -> object:
+    for field_no, _wire, val in _fields(buf):
+        if field_no == 1:
+            return val.decode("utf-8")
+        if field_no == 2:
+            return struct.unpack("<f", val)[0]
+        if field_no == 3:
+            return struct.unpack("<d", val)[0]
+        if field_no in (4, 5):
+            return val
+        if field_no == 6:
+            return _unzigzag(val)
+        if field_no == 7:
+            return bool(val)
+    return None
+
+
+def _encode_point_geometry(points: list[tuple[int, int]]) -> bytes:
+    cmds = [(1 | (len(points) << 3))]  # MoveTo × n
+    cx = cy = 0
+    for x, y in points:
+        cmds.append(_zigzag(x - cx))
+        cmds.append(_zigzag(y - cy))
+        cx, cy = x, y
+    return b"".join(_varint(c) for c in cmds)
+
+
+def _decode_point_geometry(raw: list[int]) -> list[tuple[int, int]]:
+    points: list[tuple[int, int]] = []
+    cx = cy = 0
+    i = 0
+    while i < len(raw):
+        cmd = raw[i]
+        cmd_id, count = cmd & 0x7, cmd >> 3
+        i += 1
+        if cmd_id == 1:  # MoveTo
+            for _ in range(count):
+                cx += _unzigzag(raw[i])
+                cy += _unzigzag(raw[i + 1])
+                i += 2
+                points.append((cx, cy))
+        else:  # pragma: no cover - only point layers are produced
+            raise ValueError(f"unsupported geometry command {cmd_id}")
+    return points
+
+
+def encode_tile(
+    layers: dict[str, list[MvtFeature]], extent: int = DEFAULT_EXTENT
+) -> bytes:
+    """Encode {layer_name: [features]} into MVT protobuf bytes."""
+    out = bytearray()
+    for name, feats in layers.items():
+        keys: list[str] = []
+        values: list[bytes] = []
+        val_index: dict[bytes, int] = {}
+        key_index: dict[str, int] = {}
+        feat_bufs: list[bytes] = []
+        for f in feats:
+            tag_ints: list[int] = []
+            for k, v in f.tags.items():
+                if k not in key_index:
+                    key_index[k] = len(keys)
+                    keys.append(k)
+                ev = _encode_value(v)
+                if ev not in val_index:
+                    val_index[ev] = len(values)
+                    values.append(ev)
+                tag_ints.extend((key_index[k], val_index[ev]))
+            body = bytearray()
+            if f.fid is not None:
+                body += _key(1, 0) + _varint(f.fid)
+            if tag_ints:
+                packed = b"".join(_varint(t) for t in tag_ints)
+                body += _len_field(2, packed)
+            body += _key(3, 0) + _varint(f.geom_type)
+            body += _len_field(4, _encode_point_geometry(f.points))
+            feat_bufs.append(bytes(body))
+        layer = bytearray()
+        layer += _key(15, 0) + _varint(2)  # version
+        layer += _len_field(1, name.encode("utf-8"))
+        for fb in feat_bufs:
+            layer += _len_field(2, fb)
+        for k in keys:
+            layer += _len_field(3, k.encode("utf-8"))
+        for v in values:
+            layer += _len_field(4, v)
+        layer += _key(5, 0) + _varint(extent)
+        out += _len_field(3, bytes(layer))
+    return bytes(out)
+
+
+def decode_tile(buf: bytes) -> dict[str, list[MvtFeature]]:
+    """Decode MVT protobuf bytes back into {layer_name: [features]}."""
+    layers: dict[str, list[MvtFeature]] = {}
+    for field_no, _wire, val in _fields(buf):
+        if field_no != 3:
+            continue
+        name = ""
+        keys: list[str] = []
+        values: list[object] = []
+        feat_bufs: list[bytes] = []
+        for lf, _lw, lv in _fields(val):
+            if lf == 1:
+                name = lv.decode("utf-8")
+            elif lf == 2:
+                feat_bufs.append(lv)
+            elif lf == 3:
+                keys.append(lv.decode("utf-8"))
+            elif lf == 4:
+                values.append(_decode_value(lv))
+        feats: list[MvtFeature] = []
+        for fb in feat_bufs:
+            fid = None
+            geom_type = 0
+            tag_ints: list[int] = []
+            raw_geom: list[int] = []
+            for ff, fw, fv in _fields(fb):
+                if ff == 1:
+                    fid = fv
+                elif ff == 2:
+                    pos = 0
+                    while pos < len(fv):
+                        t, pos = _read_varint(fv, pos)
+                        tag_ints.append(t)
+                elif ff == 3:
+                    geom_type = fv
+                elif ff == 4:
+                    pos = 0
+                    while pos < len(fv):
+                        g, pos = _read_varint(fv, pos)
+                        raw_geom.append(g)
+            tags = {
+                keys[tag_ints[i]]: values[tag_ints[i + 1]]
+                for i in range(0, len(tag_ints), 2)
+            }
+            feats.append(
+                MvtFeature(
+                    fid=fid,
+                    geom_type=geom_type,
+                    points=_decode_point_geometry(raw_geom),
+                    tags=tags,
+                )
+            )
+        layers[name] = feats
+    return layers
+
+
+# ---------------------------------------------------------------------------
+# tile store (read / upsert)
+# ---------------------------------------------------------------------------
+
+def tile_path(root: str, zoom: int, tx: int, ty: int) -> str:
+    return os.path.join(root, str(zoom), str(tx), f"{ty}.mvt.gz")
+
+
+def read_tile(root: str, zoom: int, tx: int, ty: int):
+    """S12: read + gunzip + decode an existing tile, or None."""
+    p = tile_path(root, zoom, tx, ty)
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as fh:
+        return decode_tile(gzip.decompress(fh.read()))
+
+
+def committed_sequences(layers: dict[str, list[MvtFeature]]) -> list[int]:
+    """VectorGrid.scala:35-43 — sequence list stored as one feature per
+    sequence in a bookkeeping layer."""
+    return sorted(
+        int(f.tags["sequence"]) for f in layers.get(SEQUENCES_LAYER, [])
+    )
+
+
+def _sequence_layer(seqs: list[int]) -> list[MvtFeature]:
+    kept = sorted(set(seqs))[-MAX_COMMITTED_SEQUENCES:]  # takeRight(1000)
+    return [
+        MvtFeature(fid=None, geom_type=_GEOM_POINT, points=[(0, 0)],
+                   tags={"sequence": s})
+        for s in kept
+    ]
+
+
+def upsert_tile(
+    root: str,
+    zoom: int,
+    tx: int,
+    ty: int,
+    features: list[MvtFeature],
+    layer_name: str,
+    sequence: int | None = None,
+    extent: int = DEFAULT_EXTENT,
+) -> str:
+    """G8/G9: create or merge one tile.
+
+    Merge semantics (EditHistogram.scala:181-212 `aggregateValues`): features
+    keyed by `__id`; numeric tag values (the densities) sum; new ids append.
+    Idempotence: if `sequence` is already committed in the tile, skip
+    (returns "skipped"); afterwards the sequence joins the committed list.
+    """
+    existing = read_tile(root, zoom, tx, ty)
+    if existing is not None and sequence is not None:
+        if sequence in committed_sequences(existing):
+            return "skipped"
+    merged: dict[int, MvtFeature] = {}
+    if existing is not None:
+        for f in existing.get(layer_name, []):
+            merged[int(f.tags["__id"])] = f
+    for f in features:
+        fid = int(f.tags["__id"])
+        if fid in merged:
+            old = merged[fid]
+            tags = dict(old.tags)
+            for k, v in f.tags.items():
+                if k != "__id" and isinstance(v, int):
+                    tags[k] = int(tags.get(k, 0)) + v
+                elif k != "__id":
+                    tags[k] = v
+            merged[fid] = MvtFeature(
+                fid=old.fid, geom_type=old.geom_type, points=old.points,
+                tags=tags,
+            )
+        else:
+            merged[fid] = f
+    seqs = committed_sequences(existing) if existing else []
+    if sequence is not None:
+        seqs.append(sequence)
+    layers = {layer_name: [merged[k] for k in sorted(merged)]}
+    if sequence is not None:
+        layers[SEQUENCES_LAYER] = _sequence_layer(seqs)
+    payload = gzip.compress(encode_tile(layers, extent))
+    p = tile_path(root, zoom, tx, ty)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+    os.replace(tmp, p)
+    return "written" if existing is None else "updated"
+
+
+def write_tile_pyramid(
+    vectorized: DataFrame,
+    root: str,
+    layer_name: str = "density",
+    cells: int = 128,
+    value_col: str = "value",
+    sequence: int | None = None,
+    extent: int = DEFAULT_EXTENT,
+    io_threads: int = 8,
+) -> int:
+    """Sink the `vectorize` output (zoom, tx, ty, __id, ccol, crow, value)
+    as an MVT pyramid under `root`. Executor-side writes, one row per tile
+    after the per-tile collect, `io_threads` concurrent file writes per task
+    (G10 parity: Footprints.scala:42-53). Returns number of tiles touched."""
+    from osmesa_spark.session import ship_package
+
+    ship_package(vectorized.sparkSession)
+    scale = extent // cells
+    tiles = (
+        vectorized.select(
+            "zoom",
+            "tx",
+            "ty",
+            F.struct("__id", "ccol", "crow", F.col(value_col).alias("value"))
+            .alias("cell"),
+        )
+        .groupBy("zoom", "tx", "ty")
+        .agg(F.collect_list("cell").alias("cells"))
+    )
+
+    def write_partition(rows):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(row):
+            feats = [
+                MvtFeature(
+                    fid=int(c["__id"]),
+                    geom_type=_GEOM_POINT,
+                    points=[
+                        (
+                            int(c["ccol"]) * scale + scale // 2,
+                            int(c["crow"]) * scale + scale // 2,
+                        )
+                    ],
+                    tags={"density": int(c["value"]), "__id": int(c["__id"])},
+                )
+                for c in row["cells"]
+            ]
+            upsert_tile(
+                root, row["zoom"], row["tx"], row["ty"], feats,
+                layer_name, sequence=sequence, extent=extent,
+            )
+
+        with ThreadPoolExecutor(max_workers=io_threads) as pool:
+            list(pool.map(one, rows))
+
+    tiles.foreachPartition(write_partition)
+    # count touched tiles (cheap second agg over the same lineage)
+    return tiles.count()
