@@ -43,6 +43,7 @@ HEADLINE = [
     "doc_quality",
     "lang_id",
     "multimodal_features",
+    "building_match_volume",
     "osm_changeset_stats",
     "osm_way_reconstruction",
     "osm_tile_pyramid",

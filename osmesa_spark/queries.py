@@ -1219,6 +1219,146 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(media, every_n_bytes=64, max_frames=8)
 
 
+# ===========================================================================
+# Building matching (§2.12) on synthetic rectangles derived from events
+# ===========================================================================
+
+# dataset A: one axis-aligned rect per event; dataset B: even ids slightly
+# shifted (matches), odd ids displaced far away (distractors)
+_BM_A_SQL = """
+        SELECT event_id AS id,
+               (event_id % 90000) * 0.002                 AS x0,
+               ((event_id * 13) % 45000) * 0.002           AS y0,
+               ((event_id % 13) + 7) * 0.00037           AS w,
+               ((event_id % 11) + 5) * 0.00041           AS h
+        FROM events
+"""
+_BM_B_SQL = """
+        SELECT event_id AS id,
+               (event_id % 90000) * 0.002
+                 + CASE WHEN event_id % 2 = 0
+                        THEN ((event_id % 7) - 3) * 0.000411 ELSE 50.0 END AS x0,
+               ((event_id * 13) % 45000) * 0.002
+                 + CASE WHEN event_id % 2 = 0
+                        THEN ((event_id % 5) - 2) * 0.000307 ELSE 20.0 END AS y0,
+               ((event_id % 13) + 7) * 0.00037           AS w,
+               ((event_id % 11) + 5) * 0.00041           AS h
+        FROM events
+"""
+
+
+def _bm_rects(spark: SparkSession, sf_dir: str, side: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    x0 = (F.col("event_id") % 90000) * 0.002
+    y0 = ((F.col("event_id") * 13) % 45000) * 0.002
+    if side == "b":
+        match = F.col("event_id") % 2 == 0
+        # shift multipliers carry prime factors (411=3*137, 307 prime) that
+        # w/h denominators (37, 41) never cancel, so overlap ratios cannot
+        # terminate at the rounding depth -> no round-half ties vs the oracle
+        x0 = x0 + F.when(match, ((F.col("event_id") % 7) - 3) * 0.000411).otherwise(50.0)
+        y0 = y0 + F.when(match, ((F.col("event_id") % 5) - 2) * 0.000307).otherwise(20.0)
+    w = ((F.col("event_id") % 13) + 7) * 0.00037
+    h = ((F.col("event_id") % 11) + 5) * 0.00041
+
+    def pt(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.array(
+            pt(x0, y0), pt(x0 + w, y0), pt(x0 + w, y0 + h), pt(x0, y0 + h)
+        ).alias("vertices"),
+    )
+
+
+# DuckDB mirror of candidate generation (4-corner cell dedupe at zoom 14,
+# centroid gate) + analytic axis-aligned rect intersection ratios.
+_BM_CAND_SQL = f"""
+    ra AS ({_BM_A_SQL}),
+    rb AS ({_BM_B_SQL}),
+    ca AS (
+        SELECT id, x0, y0, w, h, x0 + w/2 AS cx, y0 + h/2 AS cy,
+               unnest(list_distinct([
+                 floor((x0 + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + 90.0) / 180.0 * 16384)::BIGINT,
+                 floor((x0 + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + h + 90.0) / 180.0 * 16384)::BIGINT,
+                 floor((x0 + w + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + 90.0) / 180.0 * 16384)::BIGINT,
+                 floor((x0 + w + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + h + 90.0) / 180.0 * 16384)::BIGINT])) AS cell
+        FROM ra),
+    cb AS (
+        SELECT id, x0, y0, w, h, x0 + w/2 AS cx, y0 + h/2 AS cy,
+               unnest(list_distinct([
+                 floor((x0 + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + 90.0) / 180.0 * 16384)::BIGINT,
+                 floor((x0 + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + h + 90.0) / 180.0 * 16384)::BIGINT,
+                 floor((x0 + w + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + 90.0) / 180.0 * 16384)::BIGINT,
+                 floor((x0 + w + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + h + 90.0) / 180.0 * 16384)::BIGINT])) AS cell
+        FROM rb),
+    cand AS (
+        SELECT DISTINCT ca.id AS id_a, cb.id AS id_b,
+               ca.x0 AS ax0, ca.y0 AS ay0, ca.w AS aw, ca.h AS ah,
+               cb.x0 AS bx0, cb.y0 AS by0, cb.w AS bw, cb.h AS bh
+        FROM ca JOIN cb ON ca.cell = cb.cell
+        WHERE (ca.cx - cb.cx) * (ca.cx - cb.cx)
+              + (ca.cy - cb.cy) * (ca.cy - cb.cy) < 0.0001)
+"""
+
+
+@register(
+    "building_match_volume",
+    f"""
+    WITH {_BM_CAND_SQL}
+    SELECT id_a, id_b,
+           ROUND(GREATEST(LEAST(ax0 + aw, bx0 + bw) - GREATEST(ax0, bx0), 0)
+                 * GREATEST(LEAST(ay0 + ah, by0 + bh) - GREATEST(ay0, by0), 0)
+                 * 1e12)::BIGINT AS inter_e12,
+           ROUND(aw * ah * 1e12)::BIGINT AS area_a_e12,
+           ROUND(bw * bh * 1e12)::BIGINT AS area_b_e12
+    FROM cand
+    """,
+    doc="building-match candidates + intersection areas (§2.12, "
+    "bm/VolumeMatching.scala:9-24): grid-cell equi-join + numpy "
+    "Sutherland-Hodgman clip; the oracle replays candidates and the rect "
+    "intersection analytically. Areas ship as exact 1e12-scaled integers — "
+    "all synthetic coords are multiples of 1e-6, so the comparison has no "
+    "float-rounding ties (ratios would hit exact m/2^k half-way points).",
+)
+def q_building_match_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators import buildings as bm
+
+    a = _bm_rects(spark, sf_dir, "a")
+    b = _bm_rects(spark, sf_dir, "b")
+    pairs = bm.candidate_pairs(a, b)
+    return bm.score_pairs(pairs).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("inter_area") * 1e12).cast("bigint").alias("inter_e12"),
+        F.round(F.col("area_a") * 1e12).cast("bigint").alias("area_a_e12"),
+        F.round(F.col("area_b") * 1e12).cast("bigint").alias("area_b_e12"),
+    )
+
+
+@register(
+    "building_match",
+    None,  # homography SVD is not SQL-expressible — rows-only driver check
+    doc="full building match incl. DLT-homography vertex score "
+    "(§2.12, bm/VertexMatching.scala:10-93, bm/Homography.scala:28-42)",
+)
+def q_building_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators import buildings as bm
+
+    a = _bm_rects(spark, sf_dir, "a")
+    b = _bm_rects(spark, sf_dir, "b")
+    return bm.building_match(a, b, threshold=0.5)
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import register_osm_queries  # noqa: E402
 
