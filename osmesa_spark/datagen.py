@@ -130,27 +130,40 @@ def generate_history(n_elements: int = 1000, seed: int = 42) -> list[dict]:
             )
 
     n_rels = n_elements - n_nodes - n_ways
+    way_ids = list(range(10_000_001, 10_000_001 + n_ways))
     for rid in range(20_000_001, 20_000_001 + max(n_rels, 1)):
-        rows.append(
+        k = rng.randint(2, min(5, len(way_ids)))
+        mids = rng.sample(way_ids, k)
+        members = [
             {
-                "id": rid,
-                "type": "relation",
-                "tags": {"type": "multipolygon", "landuse": "forest"},
-                "lat": None,
-                "lon": None,
-                "nds": None,
-                "members": [
-                    {"type": "way", "ref": 10_000_001, "role": "outer"},
-                    {"type": "way", "ref": 10_000_002, "role": "inner"},
-                ],
-                "changeset": rng.randint(1, n_changesets),
-                "timestamp": _ts(rng.uniform(0, 200_000)),
-                "uid": rng.randint(2, 101),
-                "user": "rel_user",
-                "version": 1,
-                "visible": True,
+                "type": "way",
+                "ref": m,
+                "role": "outer" if j == 0 or rng.random() < 0.6 else "inner",
             }
-        )
+            for j, m in enumerate(mids)
+        ]
+        n_rv = rng.randint(1, 2)
+        # bias late so member way versions usually exist at the rel time
+        base_minute = rng.uniform(50_000, 400_000)
+        uid = rng.randint(2, 101)
+        for v in range(1, n_rv + 1):
+            rows.append(
+                {
+                    "id": rid,
+                    "type": "relation",
+                    "tags": {"type": "multipolygon", "landuse": "forest"},
+                    "lat": None,
+                    "lon": None,
+                    "nds": None,
+                    "members": members,
+                    "changeset": rng.randint(1, n_changesets),
+                    "timestamp": _ts(base_minute + v * 900),
+                    "uid": uid,
+                    "user": f"user_{uid}",
+                    "version": v,
+                    "visible": not (v == n_rv and rng.random() < 0.05),
+                }
+            )
     return rows
 
 

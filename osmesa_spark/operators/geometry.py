@@ -147,6 +147,212 @@ def reconstruct_way_geometries(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def relation_members_resolved(
+    relations: DataFrame, way_geoms: DataFrame
+) -> DataFrame:
+    """Multipolygon relation members temporally joined to reconstructed way
+    versions — the J6 shape on the member ref: the way version whose
+    [updated, validUntil) window contains the relation's timestamp.
+
+    Simplification vs the reference (documented): member geometry is the
+    way version's own reconstruction (nodes as of the WAY timestamp), not
+    re-resolved at the relation timestamp.
+
+    Output: one row per (relation version, member): relId, updated, pos,
+    role, way ref, member geom/closed flag, plus relation metadata."""
+    rels = (
+        relations.where(
+            (F.col("type") == "relation")
+            & F.col("visible")
+            & (F.col("tags").getItem("type") == "multipolygon")
+        )
+        .select(
+            F.col("id").alias("relId"),
+            "tags",
+            "changeset",
+            F.col("timestamp").alias("updated"),
+            "uid",
+            "user",
+            "version",
+            F.posexplode("members").alias("pos", "m"),
+        )
+        .where(F.col("m.type") == "way")
+        .select(
+            "relId",
+            "tags",
+            "changeset",
+            "updated",
+            "uid",
+            "user",
+            "version",
+            "pos",
+            F.col("m.ref").alias("ref"),
+            F.col("m.role").alias("role"),
+        )
+    )
+    wg = way_geoms.where(F.col("visible")).select(
+        F.col("id").alias("ref"),
+        F.col("geom").alias("way_geom"),
+        F.col("updated").alias("w_updated"),
+        F.col("validUntil").alias("w_validUntil"),
+    )
+    joined = rels.join(
+        wg,
+        (rels.ref == wg.ref)
+        & (wg.w_updated <= rels.updated)
+        & (
+            rels.updated
+            < F.coalesce(wg.w_validUntil, F.lit("9999-01-01").cast("timestamp"))
+        ),
+        "inner",
+    ).drop(wg.ref)
+    closed = (F.size("way_geom") >= 4) & (
+        F.get(F.col("way_geom"), F.lit(0))
+        == F.get(F.col("way_geom"), F.size("way_geom") - 1)
+    )
+    return joined.withColumn("member_closed", closed)
+
+
+def _stitch_rings(segments: list[list[tuple]]) -> list[list[tuple]]:
+    """Assemble closed rings from way segments (executor-side): already
+    closed ways pass through; open ways chain greedily by shared endpoints
+    (either orientation); unclosable leftovers drop — the reference's
+    lenient multipolygon assembly."""
+    rings: list[list[tuple]] = []
+    open_segs: list[list[tuple]] = []
+    for s in segments:
+        if len(s) >= 4 and s[0] == s[-1]:
+            rings.append(s)
+        else:
+            open_segs.append(list(s))
+    while open_segs:
+        cur = open_segs.pop(0)
+        progressed = True
+        while progressed and not (len(cur) >= 4 and cur[0] == cur[-1]):
+            progressed = False
+            for i, s in enumerate(open_segs):
+                if cur[-1] == s[0]:
+                    cur = cur + s[1:]
+                elif cur[-1] == s[-1]:
+                    cur = cur + s[-2::-1]
+                elif cur[0] == s[-1]:
+                    cur = s + cur[1:]
+                elif cur[0] == s[0]:
+                    cur = s[::-1] + cur[1:]
+                else:
+                    continue
+                open_segs.pop(i)
+                progressed = True
+                break
+        if len(cur) >= 4 and cur[0] == cur[-1]:
+            rings.append(cur)
+    return rings
+
+
+def reconstruct_relation_geometries(
+    relations: DataFrame, way_geoms: DataFrame
+) -> DataFrame:
+    """Multipolygon assembly: member ways → stitched closed rings, grouped
+    by role. The per-relation stitch is inherently sequential (endpoint
+    chaining) so it runs in an Arrow-batched kernel over one row per
+    relation version; everything upstream is joins/aggs.
+
+    Output: id, type='relation', geomType='MultiPolygon',
+    rings: array<struct<role, ring: array<struct<lon,lat>>>>, metadata."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from osmesa_spark.session import ship_package
+
+    members = relation_members_resolved(relations, way_geoms)
+    grouped = members.groupBy("relId", "updated").agg(
+        F.first("tags").alias("tags"),
+        F.first("changeset").alias("changeset"),
+        F.first("uid").alias("uid"),
+        F.first("user").alias("user"),
+        F.first("version").alias("version"),
+        F.collect_list(F.struct("pos", "role", "way_geom")).alias("ms"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("geomType", T.StringType()),
+            T.StructField(
+                "rings",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("role", T.StringType()),
+                            T.StructField(
+                                "ring",
+                                T.ArrayType(
+                                    T.StructType(
+                                        [
+                                            T.StructField("lon", T.DoubleType()),
+                                            T.StructField("lat", T.DoubleType()),
+                                        ]
+                                    )
+                                ),
+                            ),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("changeset", T.LongType()),
+            T.StructField("updated", T.TimestampType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("user", T.StringType()),
+            T.StructField("version", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rel_id, updated, tags, cs, uid, user, version, ms in zip(
+                pdf["relId"], pdf["updated"], pdf["tags"], pdf["changeset"],
+                pdf["uid"], pdf["user"], pdf["version"], pdf["ms"],
+            ):
+                rings = []
+                for role in ("outer", "inner"):
+                    segs = [
+                        [(p["lon"], p["lat"]) for p in m["way_geom"]]
+                        for m in sorted(ms, key=lambda m: m["pos"])
+                        if m["role"] == role
+                    ]
+                    for ring in _stitch_rings(segs):
+                        rings.append(
+                            {
+                                "role": role,
+                                "ring": [
+                                    {"lon": x, "lat": y} for x, y in ring
+                                ],
+                            }
+                        )
+                out.append(
+                    {
+                        "id": int(rel_id),
+                        "geomType": "MultiPolygon",
+                        "rings": rings,
+                        "tags": tags,
+                        "changeset": int(cs),
+                        "updated": updated,
+                        "uid": int(uid),
+                        "user": user,
+                        "version": int(version),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in schema.fields]
+            )
+
+    ship_package(grouped.sparkSession)
+    return grouped.mapInPandas(kernel, schema=schema)
+
+
 def with_prev_geom(features: DataFrame) -> DataFrame:
     """prevGeom/prevGeomType lag per (type, id) ordered by updated —
     stats/package.scala:62-68."""

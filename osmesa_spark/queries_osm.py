@@ -27,7 +27,7 @@ from osmesa_spark.operators import vectorgrid as VG
 from osmesa_spark.operators.stats import changeset_stats
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FIXTURE_DIR = os.path.join(_REPO_ROOT, ".fixtures", "osm_v1")
+FIXTURE_DIR = os.path.join(_REPO_ROOT, ".fixtures", "osm_v2")
 _HISTORY = os.path.join(FIXTURE_DIR, "history.parquet")
 _CHANGESETS = os.path.join(FIXTURE_DIR, "changesets.parquet")
 _N_ELEMENTS = 2000
@@ -134,6 +134,68 @@ OSM_WAY_RECONSTRUCTION_SQL = f"""
                 THEN 'Polygon' ELSE 'LineString' END AS geom_type
     FROM wv
 """
+
+
+def osm_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _history(spark)
+    wg = G.reconstruct_way_geometries(P.preprocess_ways(h), P.preprocess_nodes(h))
+    m = G.relation_members_resolved(h, wg)
+    return m.select(
+        F.col("relId").alias("id"),
+        F.col("version").cast("int").alias("rel_version"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("ref").cast("bigint").alias("ref"),
+        "role",
+        F.size("way_geom").alias("nverts"),
+        F.col("member_closed").alias("closed"),
+    )
+
+
+# way-version validity windows come from ALL versions (preprocess), while
+# geometry joins only keep reconstructable ones — mirror both layers
+OSM_RELATION_MEMBERS_SQL = f"""
+    WITH {_NV_CTE}, {_WAYVERT_CTE},
+    wval AS (
+        SELECT id AS way_id, version AS way_version, timestamp AS wts,
+               visible AS wvis,
+               LEAD(timestamp) OVER (PARTITION BY id ORDER BY version)
+                 AS w_valid_until
+        FROM read_parquet('{_HISTORY}') WHERE type = 'way'),
+    rel_m AS (
+        SELECT r.id, r.version AS rel_version, r.timestamp AS rts,
+               (u.pos - 1)::INT AS pos, u.m.ref AS ref, u.m.role AS role
+        FROM read_parquet('{_HISTORY}') r,
+             LATERAL (SELECT unnest(r.members) AS m,
+                             generate_subscripts(r.members, 1) AS pos) u
+        WHERE r.type = 'relation' AND r.visible
+          AND (r.tags['type'])[1] = 'multipolygon' AND u.m.type = 'way')
+    SELECT rel_m.id, rel_m.rel_version::INT AS rel_version, rel_m.pos,
+           rel_m.ref::BIGINT AS ref, rel_m.role,
+           wv.nverts::INT AS nverts,
+           (wv.nverts >= 4 AND wv.flon = wv.llon AND wv.flat = wv.llat)
+             AS closed
+    FROM rel_m
+    JOIN wval ON rel_m.ref = wval.way_id AND wval.wvis
+         AND wval.wts <= rel_m.rts
+         AND rel_m.rts < COALESCE(wval.w_valid_until, TIMESTAMP '9999-01-01')
+    JOIN wv ON wv.way_id = wval.way_id AND wv.way_version = wval.way_version
+"""
+
+
+def osm_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _history(spark)
+    wg = G.reconstruct_way_geometries(P.preprocess_ways(h), P.preprocess_nodes(h))
+    rels = G.reconstruct_relation_geometries(h, wg)
+    return rels.select(
+        "id",
+        "geomType",
+        F.size("rings").alias("n_rings"),
+        F.aggregate(
+            F.transform(F.col("rings"), lambda r: F.size(r["ring"])),
+            F.lit(0),
+            lambda acc, n: acc + n,
+        ).alias("total_ring_verts"),
+    )
 
 
 def osm_changeset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,3 +596,15 @@ def register_osm_queries(register) -> None:
         OSM_HASHTAG_USER_STATISTICS_SQL,
         doc="hashtag_user_statistics materialized view (A15): per (hashtag, user) rollup",
     )(osm_hashtag_user_statistics)
+    register(
+        "osm_relation_members",
+        OSM_RELATION_MEMBERS_SQL,
+        doc="multipolygon member resolution: temporal join of relation "
+        "members to reconstructed way versions (J6 on member ref)",
+    )(osm_relation_members)
+    register(
+        "osm_relation_assembly",
+        None,  # ring stitching is sequential chaining — not SQL-expressible
+        doc="multipolygon assembly: stitched closed rings per relation "
+        "(rows-only check; stitcher covered by unit tests)",
+    )(osm_relation_assembly)

@@ -179,3 +179,45 @@ def test_editor_and_user_join(spark, history, changesets):
         row["editor"].startswith(e.split("/")[0].split(" ")[0])
         for e in ["iD", "JOSM", "Potlatch", "StreetComplete"]
     )
+
+
+# ---------------------------------------------------------------------------
+# relation (multipolygon) assembly
+# ---------------------------------------------------------------------------
+
+def test_stitch_rings_variants():
+    from osmesa_spark.operators.geometry import _stitch_rings
+
+    sq = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+    # closed ring passes through
+    assert _stitch_rings([sq]) == [sq]
+    # two open halves chain into one closed ring
+    h1 = [(0, 0), (1, 0), (1, 1)]
+    h2 = [(1, 1), (0, 1), (0, 0)]
+    out = _stitch_rings([h1, h2])
+    assert len(out) == 1 and out[0][0] == out[0][-1] and len(out[0]) == 5
+    # reversed second half still chains
+    out = _stitch_rings([h1, h2[::-1]])
+    assert len(out) == 1 and out[0][0] == out[0][-1]
+    # unclosable segment drops
+    assert _stitch_rings([[(0, 0), (5, 5)]]) == []
+    # mixed: one closed + two halves -> two rings
+    out = _stitch_rings([sq, h1, h2])
+    assert len(out) == 2
+
+
+def test_relation_assembly_rings_closed(spark, history):
+    from osmesa_spark.operators import geometry as G
+    from osmesa_spark.operators import preprocess as P
+
+    wg = G.reconstruct_way_geometries(
+        P.preprocess_ways(history), P.preprocess_nodes(history)
+    )
+    rels = G.reconstruct_relation_geometries(history, wg).collect()
+    assert len(rels) > 0
+    for r in rels:
+        assert r.geomType == "MultiPolygon"
+        for ring in r.rings:
+            pts = [(p.lon, p.lat) for p in ring.ring]
+            assert pts[0] == pts[-1] and len(pts) >= 4
+            assert ring.role in ("outer", "inner")
