@@ -1219,6 +1219,95 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(media, every_n_bytes=64, max_frames=8)
 
 
+@register(
+    "kv_map_assembly",
+    f"""
+    WITH {EVENTS_MICRO_CTE},
+    per AS (
+        SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+        FROM ev GROUP BY user_id, event_type)
+    SELECT user_id, event_type, n FROM per
+    """,
+    doc="collect_list k/v pairs zipped into a map, then exploded back — "
+    "ChangesetMetadataCreator.scala:127-133,200-208 (A4); the round-trip "
+    "through MapType is the Spark-side op under test",
+)
+def q_kv_map_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    zipped = per.groupBy("user_id").agg(
+        F.map_from_arrays(
+            F.collect_list("event_type"), F.collect_list("n")
+        ).alias("m")
+    )
+    return zipped.select(
+        "user_id", F.explode("m").alias("event_type", "n")
+    )
+
+
+@register(
+    "comments_assembly",
+    f"""
+    WITH {EVENTS_MICRO_CTE}
+    SELECT user_id,
+           COUNT(*)::BIGINT AS n_comments,
+           ARG_MIN(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                               || '|' || lpad(event_id::VARCHAR, 12, '0'))
+             AS first_type,
+           ARG_MAX(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                               || '|' || lpad(event_id::VARCHAR, 12, '0'))
+             AS last_type
+    FROM ev GROUP BY user_id
+    """,
+    doc="collect_list(struct(...)) assembly + ordered access — comments "
+    "ChangesetMetadataCreator.scala:146-153,216-231 (A5); array_sort over "
+    "struct rows is the op under test",
+)
+def q_comments_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    assembled = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("comments")
+    )
+    first = F.get(F.col("comments"), F.lit(0))
+    last = F.get(F.col("comments"), F.size("comments") - 1)
+    return assembled.select(
+        "user_id",
+        F.size("comments").cast("bigint").alias("n_comments"),
+        first["event_type"].alias("first_type"),
+        last["event_type"].alias("last_type"),
+    )
+
+
+@register(
+    "right_outer_parts",
+    """
+    SELECT p.p_brand,
+           COUNT(l.l_orderkey)::BIGINT AS n_lines,
+           SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_unreferenced
+    FROM lineitem l RIGHT OUTER JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="right-outer join keeping all right-side rows — "
+    "FacetedEditHistogramTileCreator.scala:97-108 (J7)",
+)
+def q_right_outer_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right_outer")
+        .groupBy("p_brand")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.sum(F.col("l_orderkey").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_unreferenced"),
+        )
+    )
+
+
 # ===========================================================================
 # Building matching (§2.12) on synthetic rectangles derived from events
 # ===========================================================================
