@@ -1220,6 +1220,37 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "supplier_region_rollup",
+    """
+    SELECT r.r_name,
+           COUNT(*)::BIGINT AS n_suppliers,
+           ROUND(SUM(s.s_acctbal), 2) AS acctbal_sum,
+           ROUND(MAX(s.s_acctbal), 2) AS acctbal_max
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="two-hop broadcast dim chain (supplier→nation→region) + rollup "
+    "(§2.3 J4 left-chain family; completes driver-table coverage)",
+)
+def q_supplier_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("acctbal_sum"),
+            F.round(F.max("s_acctbal"), 2).alias("acctbal_max"),
+        )
+    )
+
+
+@register(
     "kv_map_assembly",
     f"""
     WITH {EVENTS_MICRO_CTE},
