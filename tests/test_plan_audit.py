@@ -1,0 +1,72 @@
+"""Plan-level scale invariants for the headline queries: no cartesian
+products, pruned scans, pushdown where expected, Python only where the
+operator is defined by it. A failure here is a planning regression that
+would surface as a cluster incident at real scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from osmesa_spark import queries as Q
+from osmesa_spark.plans import assert_scaleable, audit_plan
+from tests.conftest import SF_CORRECT
+
+# queries whose operators are DEFINED by an Arrow-batched Python kernel
+PYTHON_OK = {
+    "multimodal_features",
+    "multimodal_frames",
+    "building_match",
+    "building_match_volume",
+    "osm_relation_assembly",
+}
+
+RELATIONAL = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "range_temporal_join",
+    "semi_join_active",
+    "anti_join_inactive",
+    "topk_per_group",
+    "full_outer_stats_merge",
+    "supplier_region_rollup",
+    "right_outer_parts",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_relational_plans_have_no_scale_killers(spark, name):
+    df = Q.registry()[name].spark(spark, SF_CORRECT)
+    assert_scaleable(df, allow_python=False)
+
+
+def test_scan_pruning_pricing_summary(spark):
+    df = Q.registry()["pricing_summary"].spark(spark, SF_CORRECT)
+    a = assert_scaleable(df, max_scan_cols=5, allow_python=False)
+    cols = a.scans[0].get("schema", [])
+    assert set(cols) <= {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus",
+    }
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = Q.registry()["top_revenue_orders"].spark(spark, SF_CORRECT)
+    a = assert_scaleable(df, allow_python=False, require_pushdown=True)
+    assert any("o_orderstatus" in s["pushed"] for s in a.scans)
+    assert a.broadcast_joins >= 1  # customer dim broadcast
+
+
+def test_dedup_pipeline_stays_jvm_side(spark):
+    for name in ("minhash_lsh_pairs", "simhash_pairs", "doc_winnow_fingerprints",
+                 "neardup_cosine", "exact_dedup_docs"):
+        df = Q.registry()[name].spark(spark, SF_CORRECT)
+        a = assert_scaleable(df, allow_python=False)
+        assert a.cartesian_products == 0, name
+
+
+def test_python_only_where_defined(spark):
+    for name in sorted(PYTHON_OK):
+        df = Q.registry()[name].spark(spark, SF_CORRECT)
+        a = audit_plan(df)
+        assert a.python_stages >= 1, f"{name} should run its Python kernel"
+        assert a.cartesian_products == 0, name
