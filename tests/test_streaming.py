@@ -151,3 +151,44 @@ def test_stream_stream_join_streaming(spark, dirs, tmp_path):
         time.sleep(2)
     q.stop()
     assert rows > 0
+
+
+def test_streaming_tile_updater_idempotent(spark, dirs, tmp_path):
+    """T8 twin of the tile pipeline: stream changes -> per-sequence MVT
+    upsert; replay from a fresh checkpoint must not double-count."""
+    import glob
+    import gzip
+
+    from osmesa_spark.sinks import mvt
+    from osmesa_spark.streaming.tiles_stream import (
+        edit_tiles_for_batch,
+        run_streaming_tile_updater,
+    )
+
+    root = str(tmp_path / "tiles")
+
+    def z0_total():
+        tot = 0
+        for p in glob.glob(f"{root}/0/*/*.mvt.gz"):
+            layers = mvt.decode_tile(gzip.decompress(open(p, "rb").read()))
+            tot += sum(f.tags["density"] for f in layers["density"])
+        return tot
+
+    changes = R.read_changes_xml(spark, str(dirs / "changes"), streaming=True)
+    q = run_streaming_tile_updater(
+        changes, root, str(tmp_path / "ckpt1"), zoom=6, cells=16
+    )
+    q.awaitTermination(120)
+    bounded = R.read_changes_xml(spark, str(dirs / "changes"))
+    expected = edit_tiles_for_batch(bounded, 6, 16).where(
+        F.col("zoom") == 6
+    ).agg(F.sum("value")).first()[0]
+    assert z0_total() == expected > 0
+    # replay the whole stream with a FRESH checkpoint -> sequences already
+    # committed in the tiles -> totals unchanged
+    q2 = run_streaming_tile_updater(
+        R.read_changes_xml(spark, str(dirs / "changes"), streaming=True),
+        root, str(tmp_path / "ckpt2"), zoom=6, cells=16,
+    )
+    q2.awaitTermination(120)
+    assert z0_total() == expected
