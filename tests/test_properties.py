@@ -1,0 +1,186 @@
+"""Property-based tests (hypothesis) for codec and kernel invariants, plus
+batch-checked Spark-vs-python-reference properties for column functions."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osmesa_spark.sinks import mvt
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives
+# ---------------------------------------------------------------------------
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_varint_round_trip(n):
+    buf = mvt._varint(n)
+    out, pos = mvt._read_varint(buf, 0)
+    assert out == n and pos == len(buf)
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_zigzag_round_trip(n):
+    assert mvt._unzigzag(mvt._zigzag(n)) == n
+
+
+# ---------------------------------------------------------------------------
+# MVT codec
+# ---------------------------------------------------------------------------
+
+_tag_values = st.one_of(
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.booleans(),
+    st.text(max_size=20),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+
+_features = st.lists(
+    st.builds(
+        lambda fid, pts, tags: mvt.MvtFeature(
+            fid=fid, geom_type=1, points=pts, tags=tags
+        ),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=4095),
+                st.integers(min_value=0, max_value=4095),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        st.dictionaries(
+            st.text(min_size=1, max_size=10), _tag_values, max_size=4
+        ),
+    ),
+    max_size=5,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.dictionaries(st.text(min_size=1, max_size=8), _features, min_size=1, max_size=3))
+def test_mvt_codec_round_trip(layers):
+    out = mvt.decode_tile(mvt.encode_tile(layers))
+    assert set(out) == set(layers)
+    for name, feats in layers.items():
+        got = out[name]
+        assert len(got) == len(feats)
+        for a, b in zip(feats, got):
+            assert a.fid == b.fid
+            assert a.points == b.points
+            assert set(a.tags) == set(b.tags)
+            for k, v in a.tags.items():
+                if isinstance(v, float):
+                    assert abs(b.tags[k] - v) < 1e-12 or b.tags[k] == v
+                else:
+                    assert b.tags[k] == v
+
+
+# ---------------------------------------------------------------------------
+# ring stitching
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=4, max_value=12),
+    st.integers(min_value=1, max_value=4),
+    st.randoms(use_true_random=False),
+)
+def test_stitch_reassembles_split_ring(n_verts, n_cuts, rng):
+    from osmesa_spark.operators.geometry import _stitch_rings
+
+    # build a closed ring of n unique vertices
+    ring = [(float(i), float(i * i % 7)) for i in range(n_verts)]
+    ring.append(ring[0])
+    # cut into k contiguous segments (each ≥2 points, overlapping endpoints)
+    cuts = sorted(rng.sample(range(1, n_verts), min(n_cuts, n_verts - 1)))
+    bounds = [0] + cuts + [n_verts]
+    segments = [ring[a : b + 1] for a, b in zip(bounds, bounds[1:])]
+    rng.shuffle(segments)
+    segments = [s[::-1] if rng.random() < 0.5 else s for s in segments]
+    out = _stitch_rings(segments)
+    assert len(out) == 1
+    got = out[0]
+    assert got[0] == got[-1]
+    assert set(got) == set(ring)
+    assert len(got) == len(ring)
+
+
+# ---------------------------------------------------------------------------
+# Spark column functions vs python references (one batch, many cases)
+# ---------------------------------------------------------------------------
+
+def _py_winnow(hashes: list[int], w: int = 4) -> list[int]:
+    if not hashes:
+        return []
+    if len(hashes) < w:
+        return [min(hashes)]
+    seen, out = set(), []
+    for i in range(len(hashes) - w + 1):
+        m = min(hashes[i : i + w])
+        if m not in seen:
+            seen.add(m)
+            out.append(m)
+    return out
+
+
+def test_winnow_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.functions.text import shingles, winnow_fingerprints
+    from osmesa_spark.operators.dedup import MINHASH_PRIME, base_shingle_hash
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 30)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    hashes = F.transform(shingles("t", 3), base_shingle_hash)
+    got = {
+        r.i: list(r.fp)
+        for r in df.select("i", winnow_fingerprints(hashes, 4).alias("fp")).collect()
+    }
+
+    import hashlib
+
+    def py_hashes(text):
+        toks = []
+        cur = ""
+        for ch in text.lower():
+            if ch.isalnum():
+                cur += ch
+            elif cur:
+                toks.append(cur)
+                cur = ""
+        if cur:
+            toks.append(cur)
+        sh = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)] if len(toks) >= 3 else []
+        return [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_PRIME
+            for s in sh
+        ]
+
+    for i, t in enumerate(texts):
+        expected = sorted(set(_py_winnow(py_hashes(t), 4)))
+        assert sorted(set(got[i])) == expected, f"case {i}: {t!r}"
+
+
+def test_zorder_bijective(spark):
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.functions import geo
+
+    bits = 7
+    n = 1 << bits
+    df = spark.range(n * n).select(
+        (F.col("id") % n).alias("c"), (F.col("id") / n).cast("long").alias("r")
+    )
+    z = df.select(geo.zorder(F.col("c"), F.col("r"), bits=bits).alias("z"))
+    assert z.distinct().count() == n * n  # injective on the full domain
+    mn, mx = z.agg(F.min("z"), F.max("z")).first()
+    assert mn == 0 and mx == n * n - 1  # and onto [0, 4^bits)
