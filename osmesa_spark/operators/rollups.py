@@ -79,24 +79,26 @@ def user_statistics(changesets: DataFrame) -> DataFrame:
         F.date_trunc("day", last).cast("date").cast("string").alias("day"),
     )
     days_m = _topk_map(days.where(F.col("day").isNotNull()), "user_id", "day", 10000, "day")
+    # one explode + one groupBy chain produces BOTH country maps (the naive
+    # shape — one _agg_map per map — pays two identical shuffles)
     cc = changesets.select(
-        "user_id", "total_edits", F.explode_outer("countries").alias("code", "cedits")
-    )
-    country_changesets = _agg_map(
-        cc.where(F.col("code").isNotNull()).select(
-            "user_id", F.create_map("code", F.lit(1)).alias("m")
-        ),
-        "user_id",
-        "m",
-        "country_changesets",
-    )
-    country_edits = _agg_map(
-        cc.where(F.col("code").isNotNull()).select(
-            "user_id", F.create_map("code", F.col("cedits")).alias("m")
-        ),
-        "user_id",
-        "m",
-        "country_edits",
+        "user_id", F.explode_outer("countries").alias("code", "cedits")
+    ).where(F.col("code").isNotNull())
+    country_maps = (
+        cc.groupBy("user_id", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_cs"),
+            F.sum("cedits").alias("n_edits"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("code", "n_cs")))
+            ).alias("country_changesets"),
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("code", "n_edits")))
+            ).alias("country_edits"),
+        )
     )
     measurements = _agg_map(changesets, "user_id", "measurements", "measurements")
     counts = _agg_map(changesets, "user_id", "counts", "counts")
@@ -106,8 +108,7 @@ def user_statistics(changesets: DataFrame) -> DataFrame:
         counts,
         editors,
         days_m,
-        country_changesets,
-        country_edits,
+        country_maps,
         hashtags_m,
     ):
         out = out.join(piece, "user_id", "left")
