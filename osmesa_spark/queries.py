@@ -1220,6 +1220,59 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_merge_simplify",
+    f"""
+    WITH {EVENTS_MICRO_CTE},
+    a AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+          FROM ev WHERE value > 100 GROUP BY user_id, event_type),
+    b AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+          FROM ev WHERE value <= 100 GROUP BY user_id, event_type),
+    merged AS (
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               COALESCE(a.event_type, b.event_type) AS event_type,
+               COALESCE(a.n, 0) + COALESCE(b.n, 0) AS n
+        FROM a FULL OUTER JOIN b
+          ON a.user_id = b.user_id AND a.event_type = b.event_type)
+    SELECT user_id, event_type, n FROM merged WHERE n > 0
+    """,
+    doc="map_zip_with coalesce-sum merge + map_filter zero-drop "
+    "(simplify_counts) — stats/functions/package.scala:12-36, "
+    "merge_counts/sum_counts semantics (§2.8 map family, A1 mechanics); "
+    "Spark side builds real MapType columns, merges, simplifies, explodes",
+)
+def q_map_merge_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def counts_map(side: DataFrame) -> DataFrame:
+        return (
+            side.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("user_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("event_type", "n"))
+                ).alias("m")
+            )
+        )
+
+    hi = counts_map(ev.where(F.col("value") > 100))
+    lo = counts_map(ev.where(F.col("value") <= 100))
+    merged = hi.withColumnRenamed("m", "ma").join(
+        lo.withColumnRenamed("m", "mb"), "user_id", "full_outer"
+    )
+    empty = F.create_map().cast("map<string,bigint>")
+    zipped = F.map_zip_with(
+        F.coalesce("ma", empty),
+        F.coalesce("mb", empty),
+        lambda k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    )
+    simplified = F.map_filter(zipped, lambda k, v: v > 0)
+    return merged.select(
+        "user_id", F.explode(simplified).alias("event_type", "n")
+    )
+
+
+@register(
     "supplier_region_rollup",
     """
     SELECT r.r_name,
