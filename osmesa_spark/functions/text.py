@@ -51,9 +51,35 @@ def token_count(text: Column | str) -> Column:
 
 
 def word_tokens(text: Column | str) -> Column:
-    """Lowercased word tokens (BPE-ish regex: runs of letters/digits)."""
+    """Lowercased word tokens (runs of letters/digits) — the shingling and
+    language-ID normalization basis."""
     text = F.col(text) if isinstance(text, str) else text
     return F.regexp_extract_all(F.lower(text), F.lit("([a-z0-9]+)"), 1)
+
+
+# GPT-2-style pretokenizer pattern, restricted to RE2-compatible syntax (no
+# lookahead) so the DuckDB oracle can run the identical regex: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs, and
+# residual whitespace. Token counts under this pattern approximate BPE
+# pretoken counts the way LLM data pipelines use them.
+BPE_PRETOKEN_RE = "('(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+)"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish pretokens (GPT-2 pattern family), whitespace-only matches
+    removed. array<string>."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.regexp_extract_all(
+            F.coalesce(text, F.lit("")), F.lit(BPE_PRETOKEN_RE), 1
+        ),
+        lambda t: F.trim(t) != "",
+    )
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Number of BPE-ish pretokens in `text`."""
+    return F.size(bpe_tokens(text))
 
 
 def quality_score(text: Column | str) -> Column:

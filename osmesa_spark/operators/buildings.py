@@ -86,7 +86,7 @@ def _with_cells(df: DataFrame, zoom: int) -> DataFrame:
             _cell(F.col("maxx"), F.col("maxy"), zoom),
         )
     )
-    return df.withColumn("cell", F.explode(cells))
+    return df.withColumn("cells", cells).withColumn("cell", F.explode("cells"))
 
 
 def candidate_pairs(
@@ -97,11 +97,20 @@ def candidate_pairs(
 ) -> DataFrame:
     """Same-cell (id_a, id_b) pairs with centroid distance < max_dist;
     vertex arrays of both sides carried through for scoring."""
+    from osmesa_spark.util import ensure_parallelism
+
+    # The downstream Python scoring kernel inherits THIS join's output
+    # partitioning (broadcast joins preserve the probe side's splits) — a
+    # small input scanned as 1-2 splits would serialize it. Spread the
+    # probe side before the join: cheaper than re-shuffling the (larger)
+    # pair output afterwards.
+    a = ensure_parallelism(a, "id")
     aa = _with_cells(with_bbox(a), zoom).select(
         F.col("id").alias("id_a"),
         F.col("vertices").alias("va"),
         F.col("cx").alias("cxa"),
         F.col("cy").alias("cya"),
+        F.col("cells").alias("cells_a"),
         "cell",
     )
     bb = _with_cells(with_bbox(b), zoom).select(
@@ -109,14 +118,23 @@ def candidate_pairs(
         F.col("vertices").alias("vb"),
         F.col("cx").alias("cxb"),
         F.col("cy").alias("cyb"),
+        F.col("cells").alias("cells_b"),
         "cell",
     )
     dist2 = (F.col("cxa") - F.col("cxb")) ** 2 + (F.col("cya") - F.col("cyb")) ** 2
+    # A pair sharing >1 cell would match once per shared cell. Instead of a
+    # dropDuplicates (a second full shuffle of the vertex payloads), each
+    # side carries its tiny (≤4) cell array and the pair is kept only in
+    # its canonical cell — the smallest shared one. Same distinct-pair set,
+    # one shuffle.
+    canonical = F.col("cell") == F.array_min(
+        F.array_intersect("cells_a", "cells_b")
+    )
     return (
         aa.join(bb, "cell")
         .where(dist2 < max_dist * max_dist)
+        .where(canonical)
         .select("id_a", "id_b", "va", "vb")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -253,8 +271,12 @@ _SCORE_SCHEMA = T.StructType(
 )
 
 
-def score_pairs(pairs: DataFrame) -> DataFrame:
-    """Arrow-batched scoring of candidate pairs (va/vb vertex arrays)."""
+def score_pairs(pairs: DataFrame, with_vertex: bool = True) -> DataFrame:
+    """Arrow-batched scoring of candidate pairs (va/vb vertex arrays).
+
+    `with_vertex=False` skips the DLT-homography vertex score (a per-pair
+    8×9 SVD — the kernel's dominant cost) for consumers that only need the
+    volume ratios; `p` is then max of the volume ratios alone."""
     from osmesa_spark.session import ship_package
 
     ship_package(pairs.sparkSession)
@@ -270,7 +292,9 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
                 ia, aa_, ab = volume_areas(pa_, pb)
                 ra = ia / aa_ if aa_ > 0 else 0.0
                 rb = ia / ab if ab > 0 else 0.0
-                pv = vertex_score(pa_, pb, scale=1.0)
+                pv = (
+                    vertex_score(pa_, pb, scale=1.0) if with_vertex else 0.0
+                )
                 out.append(
                     {
                         "id_a": int(ida),

@@ -416,15 +416,24 @@ OSM_TILE_PYRAMID_SQL = (
 # Rollup materialized views (A15/W3) over the changeset-stats output
 # ---------------------------------------------------------------------------
 
+_STATS_CACHE: dict[int, DataFrame] = {}
+
+
 def _stats_df(spark: SparkSession) -> DataFrame:
     # The rollup views fan the stats table into many aggregation branches;
     # localCheckpoint materializes it once (executor-local, self-cleaning via
     # ContextCleaner) instead of recomputing the whole geometry+geocode
     # pipeline per branch — the Spark analog of the reference's PG-table
     # boundary between ChangesetStatsCreator and the materialized views.
-    return changeset_stats(
-        _history(spark), _changesets(spark), countries=datagen.COUNTRIES
-    ).localCheckpoint()
+    # Memoized per session: all four rollup views share one materialization,
+    # exactly as they share one PG table in the reference.
+    key = id(spark)
+    if key not in _STATS_CACHE:
+        _STATS_CACHE.clear()  # at most one live session in tests/bench
+        _STATS_CACHE[key] = changeset_stats(
+            _history(spark), _changesets(spark), countries=datagen.COUNTRIES
+        ).localCheckpoint()
+    return _STATS_CACHE[key]
 
 
 def osm_user_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
