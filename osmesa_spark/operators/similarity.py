@@ -51,10 +51,14 @@ def knn_bruteforce(
     """Exact top-k cosine neighbors for each query vector.
     Output: (query_id, neighbor_id, rank) — rank 1..k, self excluded.
     `queries` is broadcast; ties broken by neighbor id for determinism."""
+    from osmesa_spark.util import ensure_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
+    # broadcast joins preserve the probe side's partitioning — a 1-split
+    # corpus scan would evaluate every dot product on one core
+    c = ensure_parallelism(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -86,12 +90,14 @@ def knn_ivf(
     """IVF-style ANN: probe only the query's coarse bucket (`bucket_col` —
     a precomputed centroid/cluster id). Same output shape as brute force.
     At scale, bucket both sides and the join co-partitions by bucket."""
+    from osmesa_spark.util import ensure_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.col(bucket_col).alias("bucket"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         F.col(bucket_col).alias("bucket"),
@@ -130,7 +136,11 @@ def neardup_cosine(
     scalar, so each pair costs one dot product + one multiply instead of
     dot + two array norms (bit-identical result, same op order).
     Output: (id_a, id_b, cos), id_a < id_b, cos rounded 6dp."""
-    side = df.select(
+    from osmesa_spark.util import ensure_parallelism
+
+    # the probe side of the (broadcast) self-join keeps its scan splits —
+    # spread it so the per-pair dot products use every core
+    side = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),

@@ -192,3 +192,117 @@ def test_streaming_tile_updater_idempotent(spark, dirs, tmp_path):
     )
     q2.awaitTermination(120)
     assert z0_total() == expected
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps only first-seen content on an
+    unbounded stream; the bounded twin returns the same distinct set."""
+    import json
+    import os
+
+    from osmesa_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    drop = tmp_path / "docs"
+    os.makedirs(drop)
+    batches = [
+        [("a", "the quick brown fox"), ("b", "jumped over"), ("c", "the quick brown fox")],
+        [("d", "the   quick  brown fox"), ("e", "entirely new text"), ("f", "jumped over")],
+    ]
+    for i, rows in enumerate(batches):
+        path = drop / f"{i}.json"
+        with open(path, "w") as f:
+            for j, (doc, text) in enumerate(rows):
+                f.write(json.dumps({
+                    "doc_id": doc,
+                    "text": text,
+                    "event_time": f"2024-01-01 00:{i:02d}:{j:02d}",
+                }) + "\n")
+        # the file source orders micro-batches by modification time —
+        # pin them so batch 0 really arrives first
+        os.utime(path, (1700000000 + i, 1700000000 + i))
+    schema = "doc_id string, text string, event_time timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drop))
+    )
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT doc_id FROM dedup_docs").toPandas()["doc_id"]
+    # 'c' duplicates 'a' in-batch; 'd' (same text modulo whitespace) and
+    # 'f' duplicate across batches within the watermark horizon
+    assert sorted(got) == ["a", "b", "e"]
+
+    bounded = spark.read.schema(schema).json(str(drop))
+    assert streaming_exact_dedup(bounded).count() == 3
+
+
+def test_open_changeset_tracker(spark, dirs, tmp_path):
+    """applyInPandasWithState: every changeset emits exactly one summary row
+    once the event-time watermark passes its inactivity timeout, with the
+    bounded per-changeset edit count."""
+    import json
+    import shutil
+
+    from osmesa_spark.streaming.dedup_stream import (
+        changes_with_event_time,
+        open_changeset_tracker,
+    )
+
+    # copy the augdiff drop-dir and append two far-future "flush" sequences:
+    # the watermark lags one micro-batch, so two extra batches guarantee
+    # every original changeset's timeout fires before the stream drains.
+    drop = str(tmp_path / "augdiffs_flush")
+    shutil.copytree(str(dirs / "augdiffs"), drop)
+    for seq in (1010, 1011):
+        with open(f"{drop}/{seq}.jsonl", "w") as f:
+            f.write(json.dumps({
+                "sequence": seq, "id": 1, "type": "node", "version": 1,
+                "minorVersion": 0, "updated": "2020-01-01T00:00:00",
+                "visible": True, "tags": {"building": "yes"},
+                "prevTags": None, "changeset": 9999, "uid": 2,
+                "user": "flush", "geomType": "Point",
+                "geom": [{"lon": 0.0, "lat": 0.0}], "prevGeom": None,
+            }) + "\n")
+
+    stream, _ = R.split_errors(
+        R.read_augmented_diffs(spark, drop, streaming=True)
+    )
+    closed = open_changeset_tracker(
+        changes_with_event_time(stream), close_after_ms=60_000
+    )
+    q = (
+        closed.writeStream.format("memory")
+        .queryName("closed_cs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cs_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT changeset, edit_count FROM closed_cs"
+    ).toPandas()
+    # exactly-once per changeset
+    assert got["changeset"].is_unique
+    # every original (non-flush) changeset closed, with its bounded count
+    bounded, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"))
+    )
+    expected = {
+        r["changeset"]: r["n"]
+        for r in bounded.groupBy("changeset").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    emitted = dict(zip(got["changeset"], got["edit_count"]))
+    emitted.pop(9999, None)
+    assert emitted == expected
