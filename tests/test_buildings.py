@@ -89,3 +89,34 @@ def test_matcher_recovers_perturbed_rects(spark):
     true_rows = out[out.id_b - 1000 == out.id_a]
     assert (true_rows.p_vol_a > 0.7).all()
     assert (true_rows.p_vertex > 0.5).all()
+
+
+def test_batch_volume_matches_scalar():
+    """The vectorized padded-clip kernel must reproduce the scalar
+    Sutherland-Hodgman result on random convex quads (incl. disjoint and
+    contained cases, variable vertex counts)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    ax, ay, bx, by, expected = [], [], [], [], []
+    for i in range(300):
+        x0, y0 = rng.uniform(-5, 5, 2)
+        w1, h1, w2, h2 = rng.uniform(0.1, 2.0, 4)
+        dx, dy = rng.uniform(-1.5, 1.5, 2)
+        a = np.array([[x0, y0], [x0 + w1, y0], [x0 + w1, y0 + h1], [x0, y0 + h1]])
+        if i % 5 == 0:  # triangle vs quad: ragged vertex counts
+            b = np.array([[x0 + dx, y0 + dy], [x0 + dx + w2, y0 + dy],
+                          [x0 + dx + w2 / 2, y0 + dy + h2]])
+        else:
+            b = np.array([[x0 + dx, y0 + dy], [x0 + dx + w2, y0 + dy],
+                          [x0 + dx + w2, y0 + dy + h2], [x0 + dx, y0 + dy + h2]])
+        if i % 7 == 0:
+            b = b[::-1]  # CW winding
+        ax.append(a[:, 0]); ay.append(a[:, 1])
+        bx.append(b[:, 0]); by.append(b[:, 1])
+        expected.append(bm.volume_areas(a.copy(), b.copy()))
+    ia, aa, ab = bm.volume_areas_batch(ax, ay, bx, by)
+    exp = np.array(expected)
+    np.testing.assert_allclose(ia, exp[:, 0], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(aa, exp[:, 1], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(ab, exp[:, 2], rtol=1e-9, atol=1e-12)
