@@ -84,14 +84,20 @@ def main() -> None:
         _preload, schema="id long"
     ).count()
 
+    # best-of-2 per query: the second run measures steady-state plan
+    # execution; min() filters scheduler/JIT/page-cache noise that would
+    # otherwise dominate sub-second entries on a shared machine.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
+            df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

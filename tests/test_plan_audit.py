@@ -70,3 +70,18 @@ def test_python_only_where_defined(spark):
         a = audit_plan(df)
         assert a.python_stages >= 1, f"{name} should run its Python kernel"
         assert a.cartesian_products == 0, name
+
+
+def test_similarity_broadcasts_and_spreads(spark):
+    """knn broadcasts the (small) query side; the probe side must carry an
+    Exchange so per-pair dot products don't inherit a 1-split scan."""
+    for name in ("knn_bruteforce", "knn_ivf", "neardup_cosine"):
+        df = Q.registry()[name].spark(spark, SF_CORRECT)
+        a = assert_scaleable(df, allow_python=False)
+        assert a.broadcast_joins >= 1, f"{name}: query side not broadcast"
+        assert a.exchanges >= 1, f"{name}: probe side never repartitioned"
+
+
+def test_bpe_tokens_stay_jvm_side(spark):
+    df = Q.registry()["doc_bpe_tokens"].spark(spark, SF_CORRECT)
+    assert_scaleable(df, allow_python=False, max_scan_cols=3)
