@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osmesa_spark.functions import tags as tg
-from osmesa_spark.functions.maps import map_sum_agg, simplify_counts
+from osmesa_spark.functions.maps import simplify_counts
 from osmesa_spark.functions.text import hashtags, merge_sets
 from osmesa_spark.operators import geometry as G
 from osmesa_spark.operators import preprocess as P
@@ -139,37 +139,73 @@ def changeset_stats(
         F.col("changeset"),
         default_counts().alias("counts"),
         default_measurements().alias("measurements"),
-        F.col("countries"),
-    )
-
-    counts = map_sum_agg(
-        per_row, ["changeset"], "counts", value_type="bigint"
-    )
-    measurements = map_sum_agg(
-        per_row, ["changeset"], "measurements", value_type="double"
-    )
-    country_counts = map_sum_agg(
-        per_row.select(
-            "changeset",
-            F.map_from_entries(
-                F.transform(
-                    "countries", lambda c: F.struct(c, F.lit(1).cast("int"))
-                )
-            ).alias("country_map"),
+        F.coalesce("countries", F.array().cast("array<string>")).alias(
+            "countries"
         ),
-        ["changeset"],
-        "country_map",
-        out_col="countries",
-        value_type="bigint",
-    )
-    edits = per_row.groupBy("changeset").agg(
-        F.count(F.lit(1)).alias("total_edits")
     )
 
-    stats = (
-        edits.join(counts, "changeset", "left")
-        .join(measurements, "changeset", "left")
-        .join(country_counts, "changeset", "left")
+    # Single-pass rollup: counts, measurements, country frequencies and
+    # total_edits all ride ONE prefixed (key, value) entry stream, so the
+    # feature lineage (way reconstruction — the heaviest stage) executes once
+    # and one shuffle with map-side combine carries (changeset, key, sum).
+    # The 4-branch alternative (one agg per map + 3 joins) recomputes that
+    # lineage four times: Catalyst does not dedupe shared subplans across
+    # self-joins.
+    def _prefixed(col: F.Column, prefix: str) -> F.Column:
+        return F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(
+                F.concat(F.lit(prefix), e["key"]).alias("k"),
+                e["value"].cast("double").alias("v"),
+            ),
+        )
+
+    entries = F.concat(
+        _prefixed(F.col("counts"), "c:"),
+        _prefixed(F.col("measurements"), "m:"),
+        F.transform(
+            "countries",
+            lambda c: F.struct(
+                F.concat(F.lit("n:"), c).alias("k"),
+                F.lit(1.0).alias("v"),
+            ),
+        ),
+        F.array(F.struct(F.lit("__total").alias("k"), F.lit(1.0).alias("v"))),
+    )
+    per_key = (
+        per_row.select("changeset", F.explode(entries).alias("e"))
+        .select("changeset", "e.k", "e.v")
+        .groupBy("changeset", "k")
+        .agg(F.sum("v").alias("v"))
+    )
+    assembled = per_key.groupBy("changeset").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("k", "v")))
+        ).alias("__m")
+    )
+
+    def _submap(prefix: str, value_type: str) -> F.Column:
+        ents = F.filter(
+            F.map_entries("__m"), lambda e: e["key"].startswith(prefix)
+        )
+        return F.map_from_entries(
+            F.transform(
+                ents,
+                lambda e: F.struct(
+                    e["key"]
+                    .substr(F.lit(len(prefix) + 1), F.length(e["key"]))
+                    .alias("k"),
+                    e["value"].cast(value_type).alias("v"),
+                ),
+            )
+        )
+
+    stats = assembled.select(
+        "changeset",
+        _submap("m:", "double").alias("measurements"),
+        _submap("c:", "bigint").alias("counts"),
+        _submap("n:", "bigint").alias("countries"),
+        F.element_at("__m", F.lit("__total")).cast("bigint").alias("total_edits"),
     )
 
     meta = changesets.select(
