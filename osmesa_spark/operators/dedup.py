@@ -124,15 +124,35 @@ def minhash_signatures(
     return kept.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
+def _pair_combinations(ids: Column) -> Column:
+    """All (id_a < id_b) pairs from a SORTED id array, in-column:
+    array<struct<id_a, id_b>> of size n·(n−1)/2."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature and self-join per (band, band-hash) bucket.
-    Returns candidate (id_a, id_b) pairs with id_a < id_b, distinct.
+    """Band the signature and emit candidate pairs per (band, band-hash)
+    bucket. Returns (id_a, id_b) pairs with id_a < id_b, distinct.
 
-    The join key (band index, hashed band slice) is high-cardinality, so the
-    self-join shuffles both sides by bucket and never materializes cross-bucket
-    pairs — the LSH guarantee that makes near-dup detection subquadratic."""
+    Shape: groupBy(band, bucket) → collect member ids → in-column pair
+    combinations — NOT a bucket self-join. A self-join executes the whole
+    minhash lineage twice (Catalyst does not dedupe a plan referenced on
+    both sides); the groupBy computes signatures once and shuffles one
+    narrow (band, bucket, id) row per membership. Cross-bucket pairs are
+    never materialized — the LSH guarantee that keeps near-dup detection
+    subquadratic. Bucket membership lists are small by design (near-dup
+    buckets); a pathological hot bucket is O(n²) in EITHER shape, and
+    the pair explosion happens after the exchange at full parallelism."""
     banded = sigs.select(
         "id",
         F.explode(
@@ -155,16 +175,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -184,14 +202,27 @@ def jaccard_verify(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
     )
+    # One join, not two: explode each pair into (id_a, id_b, id) rows, join
+    # the shingle sets once, re-pair with a groupBy on the pair key. Joining
+    # sh per side would execute the shingle-hash projection (the CPU hot
+    # spot) twice — Catalyst does not dedupe a subplan referenced twice.
+    sides = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
+    )
     joined = (
-        pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs.id_a == sh.id)
-        .drop("id")
-        .join(
-            sh.withColumnRenamed("sh", "sh_b").withColumnRenamed("id", "id2"),
-            F.col("id_b") == F.col("id2"),
+        sides.join(sh, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("id") == F.col("id_a"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("id") == F.col("id_b"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_b"),
         )
-        .drop("id2")
+        .where(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -256,17 +287,36 @@ def simhash_dedup(
     blocked = sh.withColumn(
         "block", F.shiftrightunsigned("sh", bits - prefix_bits)
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
+    # groupBy(block) + in-column pairing instead of a block self-join: the
+    # self-join would run the simhash fold (the CPU hot spot) on both sides;
+    # this computes each fingerprint once and shuffles one narrow row per
+    # doc. Members sort by (id, sh) struct so pairs come out id_a < id_b.
+    members = blocked.groupBy("block").agg(
+        F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms")
+    ).where(F.size("ms") >= 2)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ms"),
+                        i + 2,
+                        F.greatest(F.size("ms") - i - 1, F.lit(0)),
+                    ),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias(
+                            "hamming"
+                        ),
+                    ),
+                ),
+            )
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
-        )
+        members.select(pair.alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .where(F.col("hamming") <= max_hamming)
     )
