@@ -1,0 +1,127 @@
+"""Dataset-curation operators for the training-data pipeline: deterministic
+train/val/test split assignment, per-stratum hash sampling, and keep-best
+dedup representatives.
+
+These are the operations that turn a deduplicated document corpus into
+training inputs. All three are designed for 100 TB from the start:
+
+* `dataset_split` and `stratified_sample` are PURE PROJECTIONS — the split /
+  keep decision is a function of a portable content-stable hash of the row's
+  id, so no shuffle, no state, no sampling seed to coordinate across
+  executors, and re-running on a grown corpus never reassigns an existing id
+  (the property that keeps eval sets uncontaminated as data accretes).
+* `keep_best_dedup` is one hash-aggregate on the content fingerprint with
+  map-side combine: `max(struct(score, -id))` picks the highest-scoring
+  (then lowest-id) member per duplicate group without a window function —
+  a window would sort whole partitions; the agg carries one struct per group.
+
+Hashing is the md5-based portable hash shared with the dedup operators so
+the DuckDB oracle replays assignments bit-for-bit (swap for `F.xxhash64`
+when oracle parity is not required — same design, cheaper hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osmesa_spark.functions.text import doc_fingerprint, quality_score
+from osmesa_spark.operators.dedup import _portable_hash
+
+# buckets-per-unit for split/sample thresholds: fractions are expressed in
+# 1/10000ths so threshold comparison is exact integer math in both engines
+_BUCKETS = 10_000
+
+
+def split_bucket(id_col: Column | str, seed: int = 7) -> Column:
+    """Deterministic bucket in [0, 10000) from a row id — the basis of
+    split assignment and stratified sampling."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return _portable_hash(c.cast("string"), seed) % _BUCKETS
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    seed: int = 7,
+) -> DataFrame:
+    """Assign each row a split label by hashed-id bucket thresholds.
+
+    Weights are cumulative left-to-right; they should sum to 1.0 (the last
+    split absorbs rounding). Stateless and stable under corpus growth."""
+    bucket = split_bucket(id_col, seed)
+    cum = 0.0
+    expr = None
+    for name, w in weights[:-1]:
+        cum += w
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = weights[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows (strata not listed
+    in `fractions` are dropped). Hash-threshold, not `sample()`: exact
+    reproducibility, no RNG state, filter pushes into the scan."""
+    frac_map = F.create_map(
+        *[
+            c
+            for k, v in sorted(fractions.items())
+            for c in (F.lit(k), F.lit(int(round(v * _BUCKETS))))
+        ]
+    )
+    threshold = F.element_at(frac_map, F.col(strata_col))
+    return df.where(
+        threshold.isNotNull() & (split_bucket(id_col, seed) < threshold)
+    )
+
+
+def keep_best_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """One representative per exact-duplicate group: highest `score`
+    (default: quality_score of the text), ties to the lowest id.
+
+    Returns (fingerprint, keep_id, best_score, dup_count). Single shuffle:
+    groupBy(fingerprint) with an argmax encoded as max(struct(score, -id))
+    so partial aggregation applies — no window, no second pass."""
+    s = quality_score(text_col) if score is None else score
+    per_row = df.select(
+        doc_fingerprint(text_col).alias("fingerprint"),
+        F.col(id_col).alias("id"),
+        s.alias("score"),
+    )
+    return (
+        per_row.groupBy("fingerprint")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score").alias("score"),
+                    (-F.col("id")).alias("neg_id"),
+                )
+            ).alias("best"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(
+            "fingerprint",
+            (-F.col("best.neg_id")).cast("bigint").alias("keep_id"),
+            F.col("best.score").alias("best_score"),
+            "dup_count",
+        )
+    )

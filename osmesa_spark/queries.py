@@ -29,6 +29,7 @@ from osmesa_spark.functions.text import (
 from osmesa_spark.functions.timeseq import day_key, timestamp_to_sequence
 from osmesa_spark.functions import geo
 from osmesa_spark.functions import tags as tg
+from osmesa_spark.operators import curation as cur
 from osmesa_spark.operators import dedup as dd
 from osmesa_spark.operators import similarity as sim
 from osmesa_spark.operators import textops
@@ -855,6 +856,91 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dd.exact_dedup(d)
+
+
+@register(
+    "dataset_split",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 10000 AS b
+          FROM documents)
+    """,
+    doc="deterministic train/val/test assignment by hashed-id bucket "
+    "(curation extension): pure projection, stable under corpus growth",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return cur.dataset_split(d).select("doc_id", "split")
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('11:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 % 10000 AS b
+        FROM documents)
+    WHERE (lang = 'en' AND b < 5000)
+       OR (lang = 'es' AND b < 3000)
+       OR (lang = 'fr' AND b < 2000)
+    """,
+    doc="per-stratum deterministic hash sampling (curation extension): "
+    "exact reproducibility, no RNG state, filter pushes into the scan",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return cur.stratified_sample(
+        d, "lang", {"en": 0.5, "es": 0.3, "fr": 0.2}
+    ).select("doc_id", "lang")
+
+
+@register(
+    "dedup_keep_best",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               length(text) AS n_chars_c,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|in|a|is|for)\\b', 1)) AS stop_hits
+        FROM documents),
+    q AS (
+        SELECT doc_id,
+               ROUND(
+                 (alpha / GREATEST(n_chars_c, 1)) * 0.5
+                 + (CASE WHEN n_chars_c / GREATEST(n_tokens, 1) BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) * 0.25
+                 + LEAST((stop_hits / GREATEST(n_tokens, 1)) * 5.0, 1.0) * 0.25,
+               4) AS quality
+        FROM f),
+    d AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS fingerprint
+        FROM documents),
+    r AS (
+        SELECT d.fingerprint, d.doc_id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY d.fingerprint
+                                  ORDER BY q.quality DESC, d.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY d.fingerprint) AS cnt
+        FROM d JOIN q USING (doc_id))
+    SELECT fingerprint, doc_id::BIGINT AS keep_id, quality AS best_score,
+           cnt::BIGINT AS dup_count
+    FROM r WHERE rn = 1
+    """,
+    doc="keep-best dedup representative (curation extension): argmax as "
+    "max(struct(score,-id)) — one hash-agg with partial combine, no window",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return cur.keep_best_dedup(d)
 
 
 # shared SQL fragment: shingles + base hash + 16 affine minhashes, mirroring
