@@ -35,12 +35,14 @@ HEADLINE = [
     "exact_dedup_docs",
     "minhash_lsh_pairs",
     "neardup_jaccard",
+    "dedup_components",
     "simhash_pairs",
     "doc_winnow_fingerprints",
     "neardup_cosine",
     "knn_bruteforce",
     "knn_ivf",
     "doc_quality",
+    "doc_repetition_stats",
     "lang_id",
     "multimodal_features",
     "building_match_volume",

@@ -320,3 +320,79 @@ def simhash_dedup(
         .select("p.id_a", "p.id_b", "p.hamming")
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Group duplicate pairs into components: (node, component_id) where
+    component_id = min node id reachable through the pair graph.
+
+    The missing last stage of the web-scale dedup pipeline (exact / LSH /
+    simhash stages above emit *pairs*; curation needs *clusters* so one
+    representative per cluster can be kept — see `curation.keep_best_dedup`).
+
+    Algorithm: iterative min-label propagation — each round every node
+    adopts the smallest label among itself and its neighbors, a join +
+    groupBy(min) per round, converging in O(component diameter) rounds.
+    Near-dup graphs are dense small clusters (diameter 2-3 in practice,
+    Manku '07), so 3-4 rounds suffice at any data size; `localCheckpoint`
+    truncates the plan each round so the lineage doesn't grow with the
+    iteration count (the classic iterative-Spark failure mode). Convergence
+    is detected by the monotone decrease of sum(label) — one cheap agg per
+    round instead of a self-join diff. For adversarial long-chain graphs,
+    swap the propagation body for alternating large-star/small-star
+    (Kiveris '14 "Connected Components in MapReduce"), which converges in
+    O(log n) rounds with the same join+min primitive.
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).cast("bigint").alias("src"),
+            F.col(id_b).cast("bigint").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    # init: label(v) = min(v, min neighbor) — one propagation round for free
+    labels = edges.groupBy("src").agg(F.min("dst").alias("m")).select(
+        F.col("src").alias("node"),
+        F.least(F.col("src"), F.col("m")).alias("component_id"),
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("component_id")).first()[0]
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("component_id").alias("dlab"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlab").alias("nmin"))
+        )
+        labels = (
+            labels.join(
+                neigh.select(F.col("src").alias("node"), "nmin"), "node", "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nmin"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels

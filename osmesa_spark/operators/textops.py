@@ -52,3 +52,29 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         doc_fingerprint(text_col).alias("fingerprint"),
         lang_guess(text_col).alias("lang_guess"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae '21 §A1.1): per document,
+    the share of tokens taken by the single most frequent word and the share
+    of tokens belonging to any word that repeats. High values flag boilerplate
+    / machine-generated text for curation filters.
+
+    Two-stage aggregation keyed by (doc, word) then (doc): both stages get
+    map-side partial aggregation, and the second groupBy re-uses the first's
+    hash partitioning on doc_id (no extra shuffle — the (doc_id, word) exchange
+    already co-locates each doc's words). Stays entirely in codegen; no UDFs.
+    """
+    words = (
+        df.select(id_col, F.explode(F.split(F.lower(text_col), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    wc = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("c"))
+    return wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_word_share"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))) / F.sum("c"),
+            4,
+        ).alias("dup_word_share"),
+    )

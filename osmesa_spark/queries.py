@@ -808,6 +808,30 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_stats",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents),
+    wc AS (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM w WHERE word <> '' GROUP BY doc_id, word)
+    SELECT doc_id,
+           SUM(c)::BIGINT AS n_words,
+           ROUND(MAX(c) / SUM(c)::DOUBLE, 4) AS top_word_share,
+           ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c)::DOUBLE, 4)
+               AS dup_word_share
+    FROM wc GROUP BY doc_id
+    """,
+    doc="Gopher-style repetition signals: most-frequent-word share + repeated-"
+    "word share per doc (text-analysis / curation extension)",
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return textops.repetition_stats(d)
+
+
+@register(
     "lang_id",
     """
     WITH toks AS (
@@ -1031,6 +1055,36 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
     return dd.jaccard_verify(d, pairs, threshold=0.5).select(
         F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "jaccard"
+    )
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
+    banded AS ({_band_bucket_sql(4, 4)}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs),
+    reach(node, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node)
+    SELECT node, MIN(lab)::BIGINT AS component_id FROM reach GROUP BY node
+    """,
+    doc="duplicate-cluster assignment: LSH pairs → connected components by "
+    "min-label propagation (dedup extension; oracle = recursive closure)",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=16)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    return dd.connected_components(pairs).select(
+        F.col("node").cast("bigint"), "component_id"
     )
 
 

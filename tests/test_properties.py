@@ -184,3 +184,27 @@ def test_zorder_bijective(spark):
     assert z.distinct().count() == n * n  # injective on the full domain
     mn, mx = z.agg(F.min("z"), F.max("z")).first()
     assert mn == 0 and mx == n * n - 1  # and onto [0, 4^bits)
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation must close long chains (worst case for the
+    iteration count) and keep disjoint cliques separate."""
+    from osmesa_spark.operators.dedup import connected_components
+
+    # chain 0-1-2-...-9 (diameter 9), disjoint pair (100,101), triangle
+    pairs = (
+        [(i, i + 1) for i in range(9)]
+        + [(100, 101)]
+        + [(200, 201), (201, 202), (200, 202)]
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        (r["node"], r["component_id"])
+        for r in connected_components(df).collect()
+    }
+    expect = (
+        {(i, 0) for i in range(10)}
+        | {(100, 100), (101, 100)}
+        | {(i, 200) for i in (200, 201, 202)}
+    )
+    assert got == expect
