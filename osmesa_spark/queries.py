@@ -1345,8 +1345,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmesa_spark.operators import multimodal as mm
 
     d = _t(spark, sf_dir, "documents")
-    media = mm.synthesize_media(d)
-    feats = mm.extract_features(media)
+    # fused synth→decode→feature kernel: payload never crosses Arrow;
+    # un-fused composition (synthesize_media → extract_features) is the
+    # tested modular path, this is the production-shaped one
+    feats = mm.synthesize_and_extract(d)
     # features are L1-normalized float32; multiply back by body length to
     # recover the exact integer bin count (error << 0.5 at these sizes)
     return feats.select(
