@@ -125,3 +125,43 @@ def keep_best_dedup(
             "dup_count",
         )
     )
+
+
+def curation_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = ("lang",),
+    min_quality: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """End-to-end corpus curation — dedup → quality gate → split — in ONE
+    shuffle total.
+
+    The keep-best representative carries its payload columns (lang, source,
+    …) through the argmax struct, so there is no join back to the corpus
+    after the groupBy(fingerprint); the quality gate and split assignment
+    are pure projections on the aggregate's output. Plan: project →
+    hash-aggregate (map-side combine) → filter → project. At 100 TB that is
+    one exchange of (fingerprint, small-struct) rows — the minimum any
+    content-keyed dedup can do.
+
+    Output: (id, *payload_cols, quality, dup_count, split)."""
+    s = F.struct(
+        quality_score(text_col).alias("quality"),
+        (-F.col(id_col)).alias("neg_id"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    agg = (
+        df.select(doc_fingerprint(text_col).alias("fingerprint"), s.alias("s"))
+        .groupBy("fingerprint")
+        .agg(F.max("s").alias("best"), F.count(F.lit(1)).alias("dup_count"))
+    )
+    rep = agg.select(
+        (-F.col("best.neg_id")).alias(id_col),
+        *[F.col(f"best.{c}").alias(c) for c in payload_cols],
+        F.col("best.quality").alias("quality"),
+        "dup_count",
+    )
+    gated = rep.where(F.col("quality") >= min_quality)
+    return dataset_split(gated, id_col=id_col, seed=seed)

@@ -967,6 +967,78 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.keep_best_dedup(d)
 
 
+@register(
+    "curation_pipeline",
+    """
+    WITH f AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars_c,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|in|a|is|for)\\b', 1)) AS stop_hits,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS fingerprint
+        FROM documents),
+    q AS (
+        SELECT doc_id, lang, fingerprint,
+               ROUND(
+                 (alpha / GREATEST(n_chars_c, 1)) * 0.5
+                 + (CASE WHEN n_chars_c / GREATEST(n_tokens, 1) BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) * 0.25
+                 + LEAST((stop_hits / GREATEST(n_tokens, 1)) * 5.0, 1.0) * 0.25,
+               4) AS quality
+        FROM f),
+    r AS (
+        SELECT fingerprint, doc_id, lang, quality,
+               ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                  ORDER BY quality DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS cnt
+        FROM q),
+    kept AS (
+        SELECT doc_id, lang, quality, cnt,
+               ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 % 10000 AS b
+        FROM r WHERE rn = 1 AND quality >= 0.5)
+    SELECT doc_id::BIGINT AS doc_id, lang, quality,
+           cnt::BIGINT AS dup_count,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept
+    """,
+    doc="flagship curation pipeline: exact-dedup keep-best (argmax struct "
+    "carries payload columns — no join back) → quality gate → split "
+    "assignment; ONE shuffle end-to-end (curation extension)",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return cur.curation_pipeline(d, min_quality=0.5)
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 GREATEST(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                          1e-12) AS scale
+          FROM v)
+    SELECT vec_id AS id,
+           ROUND(scale, 9) AS scale,
+           list_transform(v, x -> floor(x / scale + 0.5)::INT) AS qvec
+    FROM s
+    """,
+    doc="symmetric per-vector int8 quantization — the 4x storage/bandwidth "
+    "cut for ANN at scale; floor(x/s+0.5) so the rounding rule is "
+    "engine-portable (similarity-search extension)",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.quantize_int8(e).withColumn("scale", F.round("scale", 9))
+
+
 # shared SQL fragment: shingles + base hash + 16 affine minhashes, mirroring
 # dedup.minhash_signatures exactly (same md5 base, same (a,b) coefficients)
 _MINHASH_CTE = """
