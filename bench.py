@@ -41,6 +41,7 @@ HEADLINE = [
     "neardup_cosine",
     "knn_bruteforce",
     "knn_ivf",
+    "knn_quantized",
     "curation_pipeline",
     "doc_quality",
     "doc_repetition_stats",

@@ -197,3 +197,58 @@ def quantize_int8(
     return df.select(
         F.col(id_col).alias("id"), scale.alias("scale"), qvec.alias("qvec")
     )
+
+
+def knn_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine over int8-quantized vectors — the production ANN probe
+    shape: integer dot products and integer norms (the per-vector scales
+    cancel inside the cosine ratio), so each comparison moves 4× fewer bytes
+    than float32 and the arithmetic is exact until one final double division.
+    Broadcast query side, same output shape as knn_bruteforce."""
+    from osmesa_spark.util import ensure_parallelism
+
+    def q8(df: DataFrame, prefix: str) -> DataFrame:
+        z = quantize_int8(df, vec_col=vec_col, id_col=id_col)
+        return z.select(
+            F.col("id").alias(f"{prefix}_id"),
+            F.transform("qvec", lambda x: x.cast("bigint")).alias(f"{prefix}_q"),
+        )
+
+    qs = q8(queries, "query")
+    cs = q8(ensure_parallelism(corpus, id_col), "neighbor")
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = cs.join(
+        F.broadcast(qs), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            idot(F.col("query_q"), F.col("neighbor_q")).cast("double")
+            / F.greatest(
+                F.sqrt(idot(F.col("query_q"), F.col("query_q")).cast("double"))
+                * F.sqrt(
+                    idot(F.col("neighbor_q"), F.col("neighbor_q")).cast("double")
+                ),
+                F.lit(1e-12),
+            ),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

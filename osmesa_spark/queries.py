@@ -1039,6 +1039,43 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.quantize_int8(e).withColumn("scale", F.round("scale", 9))
 
 
+@register(
+    "knn_quantized",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 GREATEST(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                          1e-12) AS scale
+          FROM v),
+    qz AS (SELECT vec_id,
+                  list_transform(v, x -> floor(x / scale + 0.5)::BIGINT) AS qv
+           FROM s),
+    q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, qv AS cv FROM qz),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, cv)::DOUBLE
+                     / GREATEST(sqrt(list_dot_product(qv, qv)::DOUBLE)
+                                * sqrt(list_dot_product(cv, cv)::DOUBLE),
+                                1e-12), 6) AS cos
+        FROM q JOIN c ON query_id <> neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id)::INT AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="top-k ANN over int8-quantized vectors: integer dots + integer norms "
+    "(scales cancel), 4x less bandwidth per probe; exact cross-engine "
+    "determinism until one final double division (similarity extension)",
+)
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.knn_quantized(e, e.where(F.col("vec_id") < 8), k=5)
+
+
 # shared SQL fragment: shingles + base hash + 16 affine minhashes, mirroring
 # dedup.minhash_signatures exactly (same md5 base, same (a,b) coefficients)
 _MINHASH_CTE = """

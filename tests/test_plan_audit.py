@@ -85,3 +85,17 @@ def test_similarity_broadcasts_and_spreads(spark):
 def test_bpe_tokens_stay_jvm_side(spark):
     df = Q.registry()["doc_bpe_tokens"].spark(spark, SF_CORRECT)
     assert_scaleable(df, allow_python=False, max_scan_cols=3)
+
+
+def test_curation_pipeline_single_shuffle(spark):
+    """The flagship claim: dedup → quality gate → split in ONE exchange."""
+    df = Q.registry()["curation_pipeline"].spark(spark, SF_CORRECT)
+    a = assert_scaleable(df, allow_python=False)
+    assert a.exchanges == 1, f"expected 1 exchange, plan has {a.exchanges}"
+
+
+def test_embedding_quantize_no_shuffle(spark):
+    """Quantization is a pure projection — zero exchanges, no Python."""
+    df = Q.registry()["embedding_quantize"].spark(spark, SF_CORRECT)
+    a = assert_scaleable(df, allow_python=False)
+    assert a.exchanges == 0, f"expected 0 exchanges, plan has {a.exchanges}"
