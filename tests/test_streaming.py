@@ -306,3 +306,32 @@ def test_open_changeset_tracker(spark, dirs, tmp_path):
     emitted = dict(zip(got["changeset"], got["edit_count"]))
     emitted.pop(9999, None)
     assert emitted == expected
+
+
+def test_minutely_keepup_sla(spark, tmp_path):
+    """BASELINE.md functional parity proxy for the reference's implied SLA
+    (deployment/monitor-checkpoints.sh:19-31): one synthetic minutely
+    replication sequence must go ingest → geocoded stats rollup → idempotent
+    upsert in well under 60 s — the keep-up bound for a
+    1-sequence-per-minute stream."""
+    drop = str(tmp_path / "minutely")
+    write_augdiff_dropdir(drop, n_sequences=1, per_seq=2000, corrupt_every=0)
+
+    t0 = time.perf_counter()
+    good, _ = R.split_errors(R.read_augmented_diffs(spark, drop))
+    stats = S.streaming_changeset_stats(good, COUNTRIES)
+    table = ParquetUpsertTable(str(tmp_path / "stats_table"))
+    table.upsert_stats(
+        stats.select(
+            F.col("changeset").alias("id"),
+            F.col("counts").cast("map<string,bigint>"),
+            "measurements",
+            F.col("total_edits").cast("bigint"),
+            F.array(F.col("sequence")).cast("array<int>").alias("augmented_diffs"),
+        )
+    )
+    wall = time.perf_counter() - t0
+
+    total = sum(r["total_edits"] for r in table.read(spark).collect())
+    assert total == 2000
+    assert wall < 60, f"minutely batch took {wall:.1f}s (SLA: < 60s)"
