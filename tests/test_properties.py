@@ -208,3 +208,46 @@ def test_connected_components_chain_and_cliques(spark):
         | {(i, 200) for i in (200, 201, 202)}
     )
     assert got == expect
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized reference check: components from the Spark operator must
+    equal a driver-side union-find on the same edges (3 seeded graphs of
+    different shapes, disjoint id ranges, one Spark job)."""
+    import random
+
+    from osmesa_spark.operators.dedup import connected_components
+
+    edges: list[tuple[int, int]] = []
+    for seed, (base, n, m) in enumerate(
+        [(0, 40, 25), (1000, 60, 90), (5000, 30, 15)]
+    ):
+        rng = random.Random(seed)
+        edges += [
+            (base + rng.randrange(n), base + rng.randrange(n))
+            for _ in range(m)
+        ]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            nodes |= {a, b}
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expect = {v: find(v) for v in nodes}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expect
