@@ -1,0 +1,90 @@
+"""Join co-location strategies for cluster scale.
+
+Two complements to AQE's runtime skew handling, both pure user-space (no
+custom Catalyst rules — SURVEY §4):
+
+* **Bucketed tables** — pay the shuffle ONCE at write time
+  (`bucketBy(n, key)` + `sortBy`), then every join / aggregation keyed on
+  the bucket column is exchange-free: Spark matches the two sides' bucket
+  specs and plans a SortMergeJoin with no Exchange on either side. This is
+  the right shape for the reference's repeatedly-joined big tables (history
+  ⋈ changesets on `changeset`, node⋈way membership on `ref`) where the same
+  key recurs across many queries — at 100 TB re-shuffling per query is the
+  dominant cost, bucketing amortizes it to zero.
+* **Salted joins** — when one side has pathological hot keys (a bot user's
+  million-edit changeset, an empty-text fingerprint) AND the other side is
+  too big to broadcast, split each hot key across `salts` tasks by salting
+  the skewed side and replicating the matching rows of the other side
+  `salts`×. Result-identical to the plain join; worst-task size drops by
+  the salt factor at the cost of (salts×|dim|) replicated rows — only worth
+  it when |dim| ≪ |skewed|, the same asymmetry a broadcast join needs, but
+  without the single-executor memory bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 64,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize `df` as a parquet table bucketed (and sorted) by `key`.
+    Returns the re-read table, whose bucket spec Catalyst uses to elide
+    exchanges in downstream key-aligned joins and aggregations."""
+    (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+    return df.sparkSession.table(table)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `skewed ⋈ other` on `key`, spreading each of `skewed`'s
+    keys across `salts` partitions. The salt is derived per-row (round-robin
+    within partitions), `other` is exploded `salts`×; joining on
+    (key, salt) makes every hot key land in `salts` separate tasks.
+    Output columns = plain `skewed.join(other, key, how)`."""
+    s = skewed.withColumn(
+        "__salt",
+        F.pmod(
+            F.monotonically_increasing_id() + F.spark_partition_id(),
+            F.lit(salts),
+        ).cast("int"),
+    )
+    o = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return s.join(o, [key, "__salt"], how).drop("__salt")
+
+
+def hot_keys(
+    df: DataFrame, key: str, threshold_fraction: float = 0.01, max_keys: int = 100
+) -> list:
+    """Find keys holding more than `threshold_fraction` of all rows — the
+    candidates worth salting (or isolating into a broadcast side). One
+    aggregation pass; intended for occasional planning, not per-query."""
+    total = df.count()
+    rows = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= int(total * threshold_fraction))
+        .orderBy(F.desc("c"))
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[key] for r in rows]

@@ -176,3 +176,65 @@ class CheckpointTable:
             return None
         with open(p) as f:
             return json.load(f)["sequence"]
+
+
+class UsersTable(ParquetUpsertTable):
+    """users(id, name) upsert with the reference's username-update rule:
+    a changeset batch may carry a NEW name for a known uid — last write
+    wins (`UpdateUsernamesQuery`, ChangesetStatsForeachWriter.scala:90-104).
+    """
+
+    def upsert_users(self, batch: DataFrame) -> None:
+        spark = batch.sparkSession
+        # one row per uid in the batch; deterministic latest = max(name)
+        # within a batch (the PG writer's row order is arbitrary too)
+        batch = batch.select("id", "name").groupBy("id").agg(
+            F.max("name").alias("name")
+        )
+        existing = self.read(spark)
+        if existing is None:
+            self._commit(batch)
+            return
+        e, b = existing.alias("e"), batch.alias("b")
+        merged = e.join(b, F.col("e.id") == F.col("b.id"), "full_outer").select(
+            F.coalesce(F.col("e.id"), F.col("b.id")).alias("id"),
+            # batch name wins when present — the UPDATE branch
+            F.coalesce(F.col("b.name"), F.col("e.name")).alias("name"),
+        )
+        self._commit(merged)
+
+
+class HashtagDictTable(ParquetUpsertTable):
+    """hashtags(id, hashtag) dictionary with stable serial ids — the
+    reference's `INSERT ... ON CONFLICT DO NOTHING RETURNING id` dance
+    (ChangesetMetadataForeachWriter.scala:16-110): existing hashtags keep
+    their id forever; new ones get ids above the current max. `lookup`
+    returns the full dictionary for joining changesets_hashtags rows."""
+
+    def upsert_hashtags(self, batch: DataFrame) -> DataFrame:
+        spark = batch.sparkSession
+        tags = batch.select(F.lower(F.col("hashtag")).alias("hashtag")).distinct()
+        existing = self.read(spark)
+        if existing is None:
+            from pyspark.sql import Window
+
+            fresh = tags.withColumn(
+                "id",
+                F.row_number().over(Window.orderBy("hashtag")).cast("bigint"),
+            ).select("id", "hashtag")
+            self._commit(fresh)
+            return self.read(spark)
+        new = tags.join(existing, "hashtag", "left_anti")
+        if new.isEmpty():
+            return existing
+        from pyspark.sql import Window
+
+        base = existing.agg(F.max("id")).first()[0] or 0
+        assigned = new.withColumn(
+            "id",
+            (F.row_number().over(Window.orderBy("hashtag")) + F.lit(base)).cast(
+                "bigint"
+            ),
+        ).select("id", "hashtag")
+        self._commit(existing.unionByName(assigned))
+        return self.read(spark)

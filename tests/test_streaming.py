@@ -335,3 +335,49 @@ def test_minutely_keepup_sla(spark, tmp_path):
     total = sum(r["total_edits"] for r in table.read(spark).collect())
     assert total == 2000
     assert wall < 60, f"minutely batch took {wall:.1f}s (SLA: < 60s)"
+
+
+def test_users_table_latest_name_wins(spark, tmp_path):
+    """S7/S8 username-update rule (UpdateUsernamesQuery parity)."""
+    from osmesa_spark.sinks.upsert import UsersTable
+
+    t = UsersTable(str(tmp_path / "users"))
+    t.upsert_users(
+        spark.createDataFrame([(1, "alice"), (2, "bob")], "id long, name string")
+    )
+    t.upsert_users(
+        spark.createDataFrame(
+            [(1, "alice_renamed"), (3, "carol")], "id long, name string"
+        )
+    )
+    rows = {r["id"]: r["name"] for r in t.read(spark).collect()}
+    assert rows == {1: "alice_renamed", 2: "bob", 3: "carol"}
+
+
+def test_hashtag_dictionary_stable_ids(spark, tmp_path):
+    """S8 insert-returning dictionary: ids never change once assigned,
+    new hashtags extend above the current max, lookups are lowercase."""
+    from osmesa_spark.sinks.upsert import HashtagDictTable
+
+    t = HashtagDictTable(str(tmp_path / "hashtags"))
+    first = t.upsert_hashtags(
+        spark.createDataFrame(
+            [("MapLesotho",), ("hotosm",)], "hashtag string"
+        )
+    )
+    ids1 = {r["hashtag"]: r["id"] for r in first.collect()}
+    assert set(ids1) == {"maplesotho", "hotosm"}
+    second = t.upsert_hashtags(
+        spark.createDataFrame(
+            [("hotosm",), ("missingmaps",)], "hashtag string"
+        )
+    )
+    ids2 = {r["hashtag"]: r["id"] for r in second.collect()}
+    assert ids2["maplesotho"] == ids1["maplesotho"]
+    assert ids2["hotosm"] == ids1["hotosm"]
+    assert ids2["missingmaps"] == max(ids1.values()) + 1
+    # re-delivery is a no-op
+    third = t.upsert_hashtags(
+        spark.createDataFrame([("HOTOSM",)], "hashtag string")
+    )
+    assert {r["hashtag"]: r["id"] for r in third.collect()} == ids2
