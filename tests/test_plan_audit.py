@@ -110,3 +110,28 @@ def test_every_registry_query_documented_in_coverage():
     text = open(os.path.join(root, "COVERAGE.md")).read()
     missing = sorted(n for n in Q.registry() if f"`{n}`" not in text)
     assert not missing, f"queries missing from COVERAGE.md: {missing}"
+
+
+# training-data extension queries that must stay JVM-side and cartesian-free
+EXTENSIONS_JVM_ONLY = [
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "neardup_cosine",
+    "knn_ivf",
+    "knn_quantized",
+    "embedding_label_stats",
+    "doc_quality",
+    "doc_repetition_stats",
+    "doc_token_stats",
+    "lang_id",
+    "dataset_split",
+    "stratified_sample",
+    "dedup_keep_best",
+    "curation_pipeline",
+]
+
+
+@pytest.mark.parametrize("name", EXTENSIONS_JVM_ONLY)
+def test_extension_plans_stay_jvm_side(spark, name):
+    df = Q.registry()[name].spark(spark, SF_CORRECT)
+    assert_scaleable(df, allow_python=False)
