@@ -30,6 +30,7 @@ HEADLINE = [
     "full_outer_stats_merge",
     "user_statistics",
     "day_key_histogram",
+    "event_sessions",
     "haversine_user_path",
     "tile_histogram",
     "exact_dedup_docs",

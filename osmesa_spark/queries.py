@@ -51,8 +51,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes)["ts"] == "bigint":
+            # integer `div`, NOT `/`: float division of epoch-nanos (~1.7e18)
+            # exceeds double's 53-bit exact range and lands ±1 µs off
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -243,6 +245,76 @@ def q_window_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.coalesce(F.col("value") - F.lag("value").over(w), F.lit(0.0)), 2
         ).alias("delta"),
+    )
+
+
+@register(
+    "event_tumbling_rollup",
+    f"""
+    WITH {EVENTS_MICRO_CTE}
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM ev GROUP BY window_start, event_type
+    """,
+    doc="tumbling event-time window rollup via F.window — the "
+    "streaming-native aggregation shape run as its bounded twin (T8 "
+    "pattern; the reference has no window() usage — survey §2.10 'not "
+    "present' — this is the Spark-idiomatic extension)",
+)
+def q_event_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "event_sessions",
+    f"""
+    WITH {EVENTS_MICRO_CTE},
+    x AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    g AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM x)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*)::BIGINT AS n_events
+    FROM g GROUP BY user_id, grp
+    """,
+    doc="gap-based sessionization via F.session_window (30 min inactivity "
+    "gap); oracle = gaps-and-islands lag+cumsum — streaming-capable "
+    "stateful shape run as its bounded twin",
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
     )
 
 
