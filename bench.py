@@ -91,18 +91,23 @@ def main() -> None:
 
     # best-of-2 per query: the second run measures steady-state plan
     # execution; min() filters scheduler/JIT/page-cache noise that would
-    # otherwise dominate sub-second entries on a shared machine.
+    # otherwise dominate sub-second entries on a shared machine. When the
+    # two runs disagree wildly (GC pause / external load hit both), one
+    # extra rep arbitrates so a transient spike isn't recorded as the
+    # query's cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
-        best = None
-        for _ in range(2):
+
+        def run_once() -> float:
             t0 = time.perf_counter()
-            df = spec.spark(spark, sf_dir)
-            df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            spec.spark(spark, sf_dir).count()
+            return time.perf_counter() - t0
+
+        reps = [run_once(), run_once()]
+        if max(reps) > 3 * min(reps) or (min(reps) > 2.0 and max(reps) > min(reps) + 2.0):
+            reps.append(run_once())
+        timings[name] = round(min(reps), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
