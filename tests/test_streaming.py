@@ -381,3 +381,66 @@ def test_hashtag_dictionary_stable_ids(spark, tmp_path):
         spark.createDataFrame([("HOTOSM",)], "hashtag string")
     )
     assert {r["hashtag"]: r["id"] for r in third.collect()} == ids2
+
+
+def test_windowed_agg_drops_late_data(spark, tmp_path):
+    """Watermark contract (T2 generalization): a row arriving later than
+    the watermark is excluded from its (already finalized) window; the
+    bounded twin of the same operator counts it."""
+    import json
+    import os
+
+    from osmesa_spark.streaming.windows_stream import windowed_event_counts
+
+    drop = tmp_path / "events"
+    os.makedirs(drop)
+    batches = [
+        # batch 0: two rows in [10:00,11:00) + one at 13:30 that moves the
+        # watermark to 11:30 (2h delay) at batch end
+        [("2024-01-01 10:00:00", "click"), ("2024-01-01 10:30:00", "click"),
+         ("2024-01-01 13:30:00", "click")],
+        # batch 1: any on-time row; at THIS batch's end the eviction
+        # watermark (11:30) finalizes window [10:00,11:00) with count 2
+        [("2024-01-01 13:45:00", "click")],
+        # batch 2: the late row — Spark 3.4+ filters late events against
+        # the PREVIOUS batch's watermark (SPARK-40925), so the drop only
+        # happens one batch after eviction; this row is discarded
+        [("2024-01-01 10:15:00", "click")],
+    ]
+    for i, rows in enumerate(batches):
+        p = drop / f"{i}.json"
+        with open(p, "w") as f:
+            for ts, et in rows:
+                f.write(json.dumps({"ts": ts, "event_type": et}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    schema = "ts timestamp, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drop))
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wc_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM win_counts ORDER BY window_start"
+        ).collect()
+    ]
+    # only the finalized window is emitted, WITHOUT the late 10:15 row
+    assert got == [("2024-01-01 10:00:00", 2)]
+
+    # bounded twin: same operator, no watermark semantics — late row counted
+    bounded = windowed_event_counts(spark.read.schema(schema).json(str(drop)))
+    by_window = {
+        str(r["window_start"]): r["n_events"] for r in bounded.collect()
+    }
+    assert by_window["2024-01-01 10:00:00"] == 3
