@@ -113,6 +113,43 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_pricing",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           GROUPING(l_returnflag)::INT AS g_flag,
+           GROUPING(l_linestatus)::INT AS g_status,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="hierarchical ROLLUP with GROUPING markers — subtotals + grand total "
+    "in one pass (survey §2.4 'not present' in the reference; free in "
+    "Spark, listed as available-if-wanted)",
+)
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+            "total_price",
+        )
+    )
+
+
+@register(
     "top_revenue_orders",
     """
     SELECT o.o_orderkey, c.c_mktsegment,
