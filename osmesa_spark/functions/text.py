@@ -156,3 +156,19 @@ def winnow_fingerprints(
         )
 
     return F.element_at(F.transform(F.array(shingle_hashes), body), 1)
+
+
+# RE2-safe patterns (no backrefs/lookarounds) so the DuckDB oracle runs the
+# IDENTICAL regex — emails and international-ish phone numbers
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails then phone-shaped substrings (order matters: an email's
+    digits must not be half-eaten by the phone pattern first). Pure
+    `regexp_replace` — stays in codegen, and the patterns are RE2-compatible
+    so an external engine can replay the scrub byte-for-byte."""
+    text = F.col(text) if isinstance(text, str) else text
+    scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")

@@ -165,3 +165,50 @@ def curation_pipeline(
     )
     gated = rep.where(F.col("quality") >= min_quality)
     return dataset_split(gated, id_col=id_col, seed=seed)
+
+
+def pack_assignment(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: Column | None = None,
+    partition_col: Column | None = None,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training pack:
+    contiguous greedy fill in deterministic (hashed) order — the standard
+    streaming sequence-packing rule (documents concatenated until the
+    budget would overflow, then a new pack starts... approximated here as
+    `pack = floor(cumulative_tokens_before / budget)`, the offset-bucket
+    variant that never needs per-pack state).
+
+    Output: (id, n_tokens, pack_id). One window pass: partitioned by a
+    hash-derived shard (so pack numbering is deterministic AND no single
+    ordering bottleneck exists — each shard packs independently, exactly
+    how a distributed packer works), cumulative-summed in hashed-id order.
+    At 100 TB each shard's window sorts only its own partition; pack ids
+    are (shard, local_pack) pairs encoded as shard * 2^32 + local."""
+    from pyspark.sql import Window
+
+    from osmesa_spark.functions.text import token_count
+
+    toks = token_count("text") if token_col is None else token_col
+    shard = split_bucket(id_col, seed=13) % 64
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.cast("bigint").alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "id",
+        "n_tokens",
+        (
+            F.col("shard").cast("bigint") * F.lit(2**32)
+            + F.floor(before / F.lit(budget))
+        ).alias("pack_id"),
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osmesa_spark.functions.maps import map_sum_agg
+from osmesa_spark.functions import text as text_fns
 from osmesa_spark.functions.text import (
     doc_fingerprint,
     quality_score,
@@ -1123,6 +1124,55 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return cur.curation_pipeline(d, min_quality=0.5)
+
+
+@register(
+    "doc_pack_assignment",
+    """
+    WITH b AS (
+        SELECT doc_id AS id,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+               (('0x' || substr(md5('13:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 % 10000) % 64 AS shard
+        FROM documents),
+    c AS (
+        SELECT id, n_tokens, shard,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS tokens_before
+        FROM b)
+    SELECT id, n_tokens,
+           (shard * 4294967296 + FLOOR(tokens_before / 512.0))::BIGINT AS pack_id
+    FROM c
+    """,
+    doc="sequence packing: assign docs to 512-token training packs by "
+    "windowed cumulative fill within hash shards — each shard packs "
+    "independently, no global ordering bottleneck (curation extension)",
+)
+def q_doc_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return cur.pack_assignment(d, budget=512)
+
+
+@register(
+    "pii_scrub",
+    f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '{text_fns.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{text_fns.PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM documents
+    """,
+    doc="PII scrubbing: email/phone redaction via RE2-safe regexp_replace — "
+    "codegen-only, oracle replays the identical patterns (curation "
+    "extension; redaction behavior unit-tested on crafted strings)",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.functions.text import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", scrub_pii("text").alias("scrubbed"))
 
 
 @register(

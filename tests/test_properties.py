@@ -251,3 +251,45 @@ def test_connected_components_matches_union_find(spark):
         for r in connected_components(df).collect()
     }
     assert got == expect
+
+
+def test_scrub_pii_redacts(spark):
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.functions.text import scrub_pii
+
+    rows = [
+        ("contact john.doe+spam@example.co.uk today", "contact <EMAIL> today"),
+        ("call +1 (555) 123-4567 now", "call <PHONE> now"),
+        ("mail a@b.io or ring 020 7946 09581", "mail <EMAIL> or ring <PHONE>"),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "text string, expect string")
+    got = df.select(scrub_pii("text").alias("got"), "expect").collect()
+    for r in got:
+        assert r["got"] == r["expect"]
+
+
+def test_pack_assignment_budget_invariant(spark):
+    """Within any pack, total tokens stay under budget + the largest single
+    document (the offset-bucket rule's worst case); packs are deterministic."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.curation import pack_assignment
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        # texts of 1..40 whitespace tokens
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 40 + 1).cast("int"))).alias("text"),
+    )
+    budget = 64
+    packed = pack_assignment(docs, budget=budget)
+    agg = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx")
+    )
+    bad = agg.where(F.col("tot") >= budget + F.col("mx")).count()
+    assert bad == 0
+    # deterministic across runs
+    a = sorted((r["id"], r["pack_id"]) for r in packed.collect())
+    b = sorted((r["id"], r["pack_id"]) for r in pack_assignment(docs, budget=budget).collect())
+    assert a == b
