@@ -42,6 +42,7 @@ HEADLINE = [
     "neardup_cosine",
     "knn_bruteforce",
     "knn_ivf",
+    "knn_lsh",
     "knn_quantized",
     "curation_pipeline",
     "doc_quality",

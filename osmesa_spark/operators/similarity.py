@@ -171,10 +171,11 @@ def neardup_cosine(
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit b = sign(dot(vec, plane_b)).
     `planes` is a small driver-side list (deterministic, seeded)."""
+    # disjoint bits, so integer + IS bitwise-or (Column `|` is boolean OR)
     bucket = F.lit(0)
     for i, p in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in p])
-        bucket = bucket | F.shiftleft(
+        bucket = bucket + F.shiftleft(
             F.when(_dot(vec, arr) > 0, 1).otherwise(0), i
         )
     return bucket
@@ -243,6 +244,64 @@ def knn_quantized(
             ),
             6,
         ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lsh_planes(dim: int, n_planes: int = 6, seed: int = 97) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH bucketing: a small
+    driver-side literal list, embedded in the plan (and replayable verbatim
+    by an external oracle)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN with sign-LSH bucketing: both sides bucket by the bit pattern of
+    sign(dot(vec, plane_b)) — 2^planes buckets, no precomputed cluster
+    labels required (the label-free counterpart of knn_ivf). The bucket id
+    is an equi-join key, so Spark co-partitions corpus and probes; per-probe
+    work drops from O(N) to O(N / 2^planes) at the usual LSH recall
+    trade-off. Same output shape as knn_bruteforce."""
+    from osmesa_spark.util import ensure_parallelism
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")

@@ -1414,6 +1414,49 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_ivf(e, e.where(F.col("vec_id") < 8), k=5)
 
 
+_LSH_PLANES = sim.lsh_planes(64, n_planes=6, seed=97)
+
+
+def _lsh_bucket_sql() -> str:
+    terms = []
+    for i, p in enumerate(_LSH_PLANES):
+        arr = "[" + ",".join(f"{x}::DOUBLE" for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "knn_lsh",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    bk AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM v),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bk WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM bk),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, cv)
+                     / GREATEST(sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv)), 1e-12), 6) AS cos
+        FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id)::INT AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="label-free ANN: sign-LSH hyperplane bucketing (2^6 buckets) + "
+    "same-bucket cosine top-k — the scale path when no coarse quantizer "
+    "labels exist (similarity extension)",
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.knn_lsh(e, e.where(F.col("vec_id") < 8), _LSH_PLANES, k=5)
+
+
 @register(
     "embedding_label_stats",
     """
