@@ -287,6 +287,36 @@ def q_window_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_click_attribution",
+    f"""
+    WITH {EVENTS_MICRO_CTE},
+    p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+          FROM ev WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="as-of (backward) join: each purchase attributed to the user's most "
+    "recent prior click — union-merge window implementation (one shuffle, "
+    "no range-join pair explosion); oracle = DuckDB's native ASOF JOIN",
+)
+def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", time_col="ts", value_cols=["click_id"]
+    ).select("event_id", "user_id", "asof_click_id")
+
+
+@register(
     "event_tumbling_rollup",
     f"""
     WITH {EVENTS_MICRO_CTE}

@@ -293,3 +293,30 @@ def test_pack_assignment_budget_invariant(spark):
     a = sorted((r["id"], r["pack_id"]) for r in packed.collect())
     b = sorted((r["id"], r["pack_id"]) for r in pack_assignment(docs, budget=budget).collect())
     assert a == b
+
+
+def test_asof_join_edge_semantics(spark):
+    """Equal-time right rows are visible (<=), ties break to max value,
+    probes with no prior right row get null, keys don't leak."""
+    from osmesa_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 50), (3, 20, 100), (4, 5, 100)],
+        "event_id long, t long, k long",
+    ).selectExpr("event_id", "k AS user_id", "t AS ts")
+    right = spark.createDataFrame(
+        [(100, 10, 7), (100, 10, 9), (100, 8, 5), (50, 11, 1)],
+        "k long, t long, v long",
+    ).selectExpr("k AS user_id", "t AS ts", "v AS click_id")
+    got = {
+        r["event_id"]: r["asof_click_id"]
+        for r in asof_join(
+            left, right, key="user_id", time_col="ts", value_cols=["click_id"]
+        ).collect()
+    }
+    assert got == {
+        1: 9,     # equal-time rows visible; tie at t=10 breaks to max (9)
+        2: None,  # right row at t=11 is in the future
+        3: 9,     # carried forward past the last right row
+        4: None,  # before any right row
+    }
