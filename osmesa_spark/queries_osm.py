@@ -559,6 +559,12 @@ def register_osm_queries(register) -> None:
         doc="preprocess validity windows (validUntil lead) — ProcessOSM parity (W-family)",
     )(osm_node_validity)
     register(
+        "osm_snapshot_asof",
+        OSM_SNAPSHOT_ASOF_SQL,
+        doc="element state as of T via validity-interval filter (snapshot "
+        "schema parity, updater/schemas/Snapshot.scala) — no join, no argmax",
+    )(osm_snapshot_asof)
+    register(
         "osm_way_reconstruction",
         OSM_WAY_RECONSTRUCTION_SQL,
         doc="way geometry reconstruction: posexplode nds + temporal join + area rule — "
@@ -617,3 +623,41 @@ def register_osm_queries(register) -> None:
         doc="multipolygon assembly: stitched closed rings per relation "
         "(rows-only check; stitcher covered by unit tests)",
     )(osm_relation_assembly)
+
+
+SNAPSHOT_T = "2023-03-15 00:00:00"
+
+
+def osm_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element state as of T — the snapshot semantics of the reference's
+    updater snapshot schema (src/analytics/.../updater/schemas/Snapshot.scala:
+    latest visible version wins). Validity windows turn the as-of into a
+    pure interval filter: no join, no argmax — preprocess assigns
+    validUntil once (one window pass) and every snapshot query afterwards
+    is a scan-filter that Catalyst can push down."""
+    nodes = P.preprocess_nodes(_history(spark))
+    t = F.to_timestamp(F.lit(SNAPSHOT_T))
+    return (
+        nodes.where(
+            (F.col("timestamp") <= t)
+            & (F.coalesce(F.col("validUntil") > t, F.lit(True)))
+            & F.col("visible")
+        )
+        .select(
+            "id",
+            F.col("version").cast("int").alias("version"),
+            F.round("lat", 7).alias("lat"),
+            F.round("lon", 7).alias("lon"),
+        )
+    )
+
+
+OSM_SNAPSHOT_ASOF_SQL = f"""
+    WITH {_NV_CTE}
+    SELECT id, version::INT AS version,
+           ROUND(lat, 7) AS lat, ROUND(lon, 7) AS lon
+    FROM nv
+    WHERE timestamp <= TIMESTAMP '{SNAPSHOT_T}'
+      AND COALESCE(valid_until > TIMESTAMP '{SNAPSHOT_T}', TRUE)
+      AND visible
+"""
