@@ -444,3 +444,53 @@ def test_windowed_agg_drops_late_data(spark, tmp_path):
         str(r["window_start"]): r["n_events"] for r in bounded.collect()
     }
     assert by_window["2024-01-01 10:00:00"] == 3
+
+
+def test_streaming_session_windows_finalize(spark, tmp_path):
+    """session_window on a stream: sessions merge events within the gap,
+    and finalize (append emit) once the watermark passes session end."""
+    import json
+    import os
+
+    from osmesa_spark.streaming.windows_stream import session_event_counts
+
+    drop = tmp_path / "sess"
+    os.makedirs(drop)
+    batches = [
+        # u1: one 2-event session; u2: singleton session
+        [("2024-01-01 10:00:00", 1), ("2024-01-01 10:10:00", 1),
+         ("2024-01-01 10:05:00", 2)],
+        # far-future event advances the watermark to 21:00 (2h delay),
+        # closing every session that ended before it
+        [("2024-01-01 23:00:00", 9)],
+    ]
+    for i, rows in enumerate(batches):
+        p = drop / f"{i}.json"
+        with open(p, "w") as f:
+            for ts, uid in rows:
+                f.write(json.dumps({"ts": ts, "user_id": uid}) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drop))
+    )
+    q = (
+        session_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "s_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # u9's session is still open (watermark never passes 23:30) — absent
+    assert got == {
+        (1, "2024-01-01 10:00:00", 2),
+        (2, "2024-01-01 10:05:00", 1),
+    }
