@@ -349,6 +349,37 @@ def q_event_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_sliding_rollup",
+    f"""
+    WITH {EVENTS_MICRO_CTE},
+    x AS (
+        SELECT event_type,
+               make_timestamp(
+                 ((FLOOR(epoch(ts) / 1800) * 1800 - u.j * 1800) * 1000000)::BIGINT
+               ) AS window_start
+        FROM ev, LATERAL (SELECT unnest([0, 1]) AS j) u)
+    SELECT window_start, event_type,
+           COUNT(*)::BIGINT AS n_events
+    FROM x GROUP BY window_start, event_type
+    """,
+    doc="sliding event-time windows (1h every 30min): each event lands in 2 "
+    "overlapping windows — F.window(slide) vs an explicit window-offset "
+    "unnest in the oracle (window-family completeness extension)",
+)
+def q_event_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+@register(
     "event_sessions",
     f"""
     WITH {EVENTS_MICRO_CTE},

@@ -111,3 +111,61 @@ def test_committed_sequence_cap():
     seqs = sorted(int(f.tags["sequence"]) for f in seq_layer)
     assert len(seqs) == mvt.MAX_COMMITTED_SEQUENCES
     assert seqs[0] == 500 and seqs[-1] == 1499
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: codec round-trip over arbitrary layers
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    _tag_values = st.one_of(
+        st.booleans(),
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=24),
+    )
+    _features = st.lists(
+        st.builds(
+            mvt.MvtFeature,
+            fid=st.one_of(st.none(), st.integers(min_value=0, max_value=2**53)),
+            geom_type=st.just(1),
+            points=st.lists(
+                st.tuples(
+                    st.integers(min_value=-8192, max_value=8191),
+                    st.integers(min_value=-8192, max_value=8191),
+                ),
+                min_size=1,
+                max_size=8,
+            ),
+            tags=st.dictionaries(st.text(min_size=1, max_size=12), _tag_values, max_size=4),
+        ),
+        max_size=6,
+    )
+    _layers = st.dictionaries(
+        st.text(min_size=1, max_size=16), _features, min_size=1, max_size=3
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(layers=_layers)
+    def test_codec_roundtrip_fuzz(layers):
+        """encode→decode is the identity on fid/geom/points/tags for any
+        point-layer tile (varint boundaries, negative ints via sint64,
+        doubles, unicode keys/values, shared value interning)."""
+        out = mvt.decode_tile(mvt.encode_tile(layers))
+        assert set(out) == set(layers)
+        for name, feats in layers.items():
+            got = out[name]
+            assert len(got) == len(feats)
+            for f, g in zip(feats, got):
+                assert g.fid == f.fid
+                assert g.geom_type == f.geom_type
+                assert g.points == f.points
+                assert g.tags == f.tags
