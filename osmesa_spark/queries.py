@@ -287,6 +287,22 @@ def q_window_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_cardinality_approx",
+    None,  # HLL++ estimates differ from exact COUNT(DISTINCT) by design —
+    # rows-only driver check; the ±5% accuracy bound is unit-tested
+    doc="approx_count_distinct (HLL++) per event_type — the sketch-based "
+    "cardinality path for 100 TB (constant memory vs exact distinct's "
+    "shuffle); survey §2.4 lists it as free-in-Spark, absent in reference",
+)
+def q_user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "asof_click_attribution",
     f"""
     WITH {EVENTS_MICRO_CTE},

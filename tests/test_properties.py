@@ -320,3 +320,28 @@ def test_asof_join_edge_semantics(spark):
         3: 9,     # carried forward past the last right row
         4: None,  # before any right row
     }
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """HLL++ estimate within the configured 2% rsd (loose 5% assert) of
+    exact distinct counts on the events table."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark import queries as Q
+    from tests.conftest import SF_CORRECT
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in Q.registry()["user_cardinality_approx"]
+        .spark(spark, SF_CORRECT)
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in Q._t(spark, SF_CORRECT, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)
