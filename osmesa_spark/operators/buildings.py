@@ -6,7 +6,8 @@ pairs — spatially co-partition (quadtree of the normalized extent,
 partition with (a) intersection-over-area ratios
 (`bm/VolumeMatching.scala:9-24`), (b) greedy CCW vertex pairing + DLT
 homography deviation-from-identity (`bm/VertexMatching.scala:10-93`,
-`bm/Homography.scala:28-42`), keep pairs with combined probability > 0.5
+`bm/Homography.scala:28-42`), (c) vertex-onto-boundary projection distances
+(`bm/VertexProjection.scala:41-90`), keep pairs with combined probability > 0.5
 and centroid distance < 0.01 (`bm/BuildingMatching.scala:160-332`).
 
 Spark-first redesign:
@@ -22,7 +23,7 @@ Spark-first redesign:
     vertex score. No per-row Python, no driver collect.
   * the reference's neighborhood "support" matrix (BuildingMatching.scala:
     200-260) needs cross-pair context; we keep the per-pair probability
-    p = max(vol_a, vol_b, vertex) and note the simplification.
+    p = max(vol_a, vol_b, vertex, projection) and note the simplification.
 
 Scale: candidate volume is bounded by cell occupancy (quadratic only within
 a cell); payload through the shuffle is the vertex arrays (small). At 100 TB
@@ -348,6 +349,34 @@ def vertex_score(pa_: np.ndarray, pb: np.ndarray, scale: float) -> float:
     return 1.0 / (1.0 + dev / max(scale, 1e-12))
 
 
+def _point_boundary_dists(points: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Min distance from each point to the polygon's boundary: vectorized
+    point-to-segment over all edges at once ((n points) × (m edges))."""
+    a = poly
+    b = np.roll(poly, -1, axis=0)
+    ab = b - a  # (m, 2)
+    ap = points[:, None, :] - a[None, :, :]  # (n, m, 2)
+    denom = (ab ** 2).sum(-1)  # (m,)
+    t = np.clip(
+        (ap * ab[None]).sum(-1) / np.where(denom > 0, denom, 1.0), 0.0, 1.0
+    )
+    proj = a[None] + t[..., None] * ab[None]
+    return np.linalg.norm(points[:, None, :] - proj, axis=-1).min(axis=1)
+
+
+def projection_score(pa_: np.ndarray, pb: np.ndarray, scale: float) -> float:
+    """VertexProjection variant (bm/VertexProjection.scala:41-90 model):
+    project every vertex of each polygon onto the other's boundary and take
+    the worse of the two mean perpendicular distances — identical outlines
+    score 1 regardless of vertex count/placement mismatch (the case greedy
+    vertex PAIRING penalizes), offset outlines decay with distance."""
+    if len(pa_) < 2 or len(pb) < 2:
+        return 0.0
+    da = float(_point_boundary_dists(pa_, pb).mean())
+    db = float(_point_boundary_dists(pb, pa_).mean())
+    return 1.0 / (1.0 + max(da, db) / max(scale, 1e-12))
+
+
 # ---------------------------------------------------------------------------
 # the matcher
 # ---------------------------------------------------------------------------
@@ -362,6 +391,7 @@ _SCORE_SCHEMA = T.StructType(
         T.StructField("p_vol_a", T.DoubleType()),
         T.StructField("p_vol_b", T.DoubleType()),
         T.StructField("p_vertex", T.DoubleType()),
+        T.StructField("p_proj", T.DoubleType()),
         T.StructField("p", T.DoubleType()),
     ]
 )
@@ -388,20 +418,21 @@ def score_pairs(pairs: DataFrame, with_vertex: bool = True) -> DataFrame:
             ra = np.where(aa_ > 0, ia / np.where(aa_ > 0, aa_, 1.0), 0.0)
             rb = np.where(ab > 0, ia / np.where(ab > 0, ab, 1.0), 0.0)
             if with_vertex:
+                polys = [
+                    (np.column_stack([x, y]), np.column_stack([u, v]))
+                    for x, y, u, v in zip(
+                        pdf["va_x"], pdf["va_y"], pdf["vb_x"], pdf["vb_y"]
+                    )
+                ]
                 pv = np.array(
-                    [
-                        vertex_score(
-                            np.column_stack([x, y]),
-                            np.column_stack([u, v]),
-                            scale=1.0,
-                        )
-                        for x, y, u, v in zip(
-                            pdf["va_x"], pdf["va_y"], pdf["vb_x"], pdf["vb_y"]
-                        )
-                    ]
+                    [vertex_score(pa_, pb, scale=1.0) for pa_, pb in polys]
+                )
+                pj = np.array(
+                    [projection_score(pa_, pb, scale=1.0) for pa_, pb in polys]
                 )
             else:
                 pv = np.zeros(len(pdf))
+                pj = np.zeros(len(pdf))
             yield pd.DataFrame(
                 {
                     "id_a": pdf["id_a"].astype("int64").values,
@@ -412,7 +443,8 @@ def score_pairs(pairs: DataFrame, with_vertex: bool = True) -> DataFrame:
                     "p_vol_a": ra,
                     "p_vol_b": rb,
                     "p_vertex": pv,
-                    "p": np.maximum(np.maximum(ra, rb), pv),
+                    "p_proj": pj,
+                    "p": np.maximum(np.maximum(np.maximum(ra, rb), pv), pj),
                 }
             )
 
