@@ -995,6 +995,55 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_tfidf_top_terms",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS word
+        FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               ROUND(tf.tf * ln(n.n_docs / df.df::DOUBLE), 4) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, word, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, word)::INT AS rank
+        FROM scored)
+    SELECT doc_id, word, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: tf groupBy + broadcast df join + "
+    "windowed top-k; ranking on the 4dp-rounded score so cross-engine "
+    "float ties resolve identically (text-analysis extension)",
+)
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.functions.text import word_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver-side scalar, broadcast into the plan
+    words = d.select(
+        "doc_id", F.explode(word_tokens("text")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "word", "tfidf", "rank")
+    )
+
+
+@register(
     "doc_repetition_stats",
     """
     WITH w AS (
