@@ -114,6 +114,28 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "price_quantiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact linear-interpolated percentiles per group (F.percentile ≡ "
+    "quantile_cont) — distribution profiling for curation thresholds; at "
+    "100 TB swap for approx_percentile (documented trade)",
+)
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
     "rollup_pricing",
     """
     SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
