@@ -2163,6 +2163,164 @@ def q_building_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm.building_match(a, b, threshold=0.5)
 
 
+@register(
+    "doc_bigram_topk",
+    """
+    WITH toks AS (
+        SELECT regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS w
+        FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM toks WHERE len(w) >= 2)
+    SELECT bigram, COUNT(*)::BIGINT AS freq
+    FROM bg GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 25
+    """,
+    doc="corpus bigram LM counts, top-k: shingle explode + hash agg + "
+    "ordered limit. The n-gram statistics primitive under corpus analysis "
+    "and KenLM-style filtering; partial aggregation bounds the shuffle by "
+    "distinct-bigram count, and TakeOrderedAndProject keeps top-k from "
+    "materializing the full sort at 100 TB (training-data extension)",
+)
+def q_doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(text_fns.shingles("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "bigram")
+        .limit(25)
+    )
+
+
+# Decontamination: 5-gram shingle split (eval = 5% of docs by portable
+# doc_id hash), train docs scored by distinct-shingle overlap with the eval
+# set. Both sides hash shingles the same way as dedup.base_shingle_hash.
+_DECON_GRAMS_SQL = """
+    grams AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('17:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 20 = 0 AS is_eval,
+               unnest(list_distinct(list_transform(range(1, len(w) - 3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4]))) AS g
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS w
+              FROM documents)
+        WHERE len(w) >= 5),
+    hashed AS (
+        SELECT doc_id, is_eval,
+               ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+        FROM grams)
+"""
+
+
+@register(
+    "decontaminate_overlap",
+    f"""
+    WITH {_DECON_GRAMS_SQL},
+    ev AS (SELECT DISTINCT gh FROM hashed WHERE is_eval),
+    tr AS (SELECT doc_id, gh FROM hashed WHERE NOT is_eval)
+    SELECT tr.doc_id AS doc_id,
+           COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_contaminated,
+           ROUND(SUM(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS contamination
+    FROM tr LEFT JOIN ev USING (gh)
+    GROUP BY tr.doc_id
+    HAVING SUM(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) > 0
+    ORDER BY contamination DESC, doc_id
+    """,
+    doc="eval-set decontamination (test-set overlap detection): distinct "
+    "5-gram shingle hashes per doc; the eval split's gram set is broadcast "
+    "(eval benchmarks are tiny relative to train at any scale) and each "
+    "train doc reports its contaminated-gram ratio. One shuffle (the "
+    "per-doc groupBy); the broadcast join replaces what would otherwise be "
+    "a shuffle join on gram hash (training-data extension)",
+)
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.dedup import _portable_hash, base_shingle_hash
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        (
+            F.pmod(
+                _portable_hash(F.col("doc_id").cast("string"), 17), F.lit(20)
+            )
+            == 0
+        ).alias("is_eval"),
+        F.explode(F.array_distinct(text_fns.shingles("text", 5))).alias("g"),
+    ).select("doc_id", "is_eval", base_shingle_hash(F.col("g")).alias("gh"))
+    ev = grams.where("is_eval").select("gh").distinct()
+    tr = grams.where(~F.col("is_eval"))
+    hit = F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+    return (
+        tr.join(F.broadcast(ev.withColumn("hit", F.lit(1))), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).cast("bigint").alias("n_contaminated"),
+            F.round(F.sum(hit) / F.count(F.lit(1)), 4).alias("contamination"),
+        )
+        .where(F.col("n_contaminated") > 0)
+        .orderBy(F.col("contamination").desc(), "doc_id")
+    )
+
+
+@register(
+    "source_mix_weights",
+    """
+    WITH per AS (
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+               SUM(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                   AS n_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens)::DOUBLE AS tot_tokens,
+                   COUNT(*)::DOUBLE AS n_sources FROM per)
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens / tot_tokens, 6) AS share,
+           ROUND(LEAST((tot_tokens / n_sources) / n_tokens, 4.0), 4)
+               AS sample_weight
+    FROM per, tot ORDER BY source
+    """,
+    doc="domain-mixture rebalancing: per-source token counts -> sampling "
+    "weight toward a uniform target mix, capped at 4.0 epochs (the "
+    "DoReMi/Pile-style static mixing primitive). One shuffle for the "
+    "per-source agg; the totals row joins back via broadcast cross join, "
+    "never a single-partition window (training-data extension)",
+)
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text_fns.token_count("text")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("share"),
+            F.round(
+                F.least(
+                    (F.col("tot_tokens") / F.col("n_sources"))
+                    / F.col("n_tokens"),
+                    F.lit(4.0),
+                ),
+                4,
+            ).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import register_osm_queries  # noqa: E402
 
