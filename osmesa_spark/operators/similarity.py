@@ -311,3 +311,85 @@ def knn_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 29,
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the IVF
+    coarse-quantizer trainer (`knn_ivf` consumes its `cluster` output) and
+    the clustering primitive under SemDeDup-style semantic dedup and
+    diversity-balanced sampling.
+
+    Determinism (so a SQL oracle can replay it): initial centroids are the
+    `k` rows with the smallest portable hash of the id (stable across
+    engines); each assignment uses squared-L2 **rounded to `round_to`
+    decimals** with cluster-id tie-break; updated centroid components are
+    means rounded the same way, which re-quantizes the float-sum ordering
+    noise between engines at every round.
+
+    Scale shape: per iteration, assignment is a narrow map over the corpus
+    (centroids enter the plan as literals — the classic broadcast), and the
+    update is ONE partial-aggregated shuffle of k*dim doubles. Only k rows
+    ever reach the driver. Unrolled per-dimension arithmetic keeps the whole
+    assignment inside whole-stage codegen (no HOF lambdas in the hot path).
+    Empty clusters drop out, matching the SQL replay.
+    """
+    from osmesa_spark.operators.dedup import _portable_hash
+
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    seeds = (
+        v.select(
+            "v", _portable_hash(F.col("vid").cast("string"), seed).alias("h"),
+            "vid",
+        )
+        .orderBy("h", "vid")
+        .limit(k)
+        .collect()
+    )
+    cents: dict[int, list[float]] = {i: list(r["v"]) for i, r in enumerate(seeds)}
+
+    assigned = None
+    for it in range(iters):
+        choices = []
+        for cid, c in sorted(cents.items()):
+            d = None
+            for j in range(dim):
+                term = (F.col("v")[j] - F.lit(c[j])) * (
+                    F.col("v")[j] - F.lit(c[j])
+                )
+                d = term if d is None else d + term
+            choices.append(
+                F.struct(
+                    F.round(d, round_to).alias("d"), F.lit(cid).alias("c")
+                )
+            )
+        assigned = v.withColumn(
+            "cluster", F.array_min(F.array(*choices))["c"]
+        )
+        if it < iters - 1:
+            rows = (
+                assigned.groupBy("cluster")
+                .agg(
+                    *[
+                        F.round(F.avg(F.col("v")[j]), round_to).alias(f"c{j}")
+                        for j in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            cents = {
+                r["cluster"]: [r[f"c{j}"] for j in range(dim)] for r in rows
+            }
+    return assigned.select(F.col("vid").alias(id_col), "cluster")

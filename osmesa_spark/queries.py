@@ -2321,6 +2321,57 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-means oracle: replays kmeans_lloyd (k=4, 2 rounds, seed 29) — hash-picked
+# seed rows, argmin on 6-decimal-rounded squared L2 with cid tie-break, and
+# 6-decimal-rounded mean centroids between rounds (re-quantizes float-sum
+# ordering noise so both engines see identical centroid literals in round 2).
+_KM_DIST = "round(list_sum(list_transform(range(1, 65), j -> ({a}[j]-{b}[j])*({a}[j]-{b}[j]))), 6)"
+
+
+@register(
+    "kmeans_clusters",
+    f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings),
+    s AS (
+        SELECT v, row_number() OVER (ORDER BY
+                   ('0x' || substr(md5('29:' || vec_id::VARCHAR), 1, 15))::BIGINT,
+                   vec_id) - 1 AS cid
+        FROM v QUALIFY cid <= 3),
+    a1 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT v.vec_id, v.v, s.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       {_KM_DIST.format(a="v.v", b="s.v")}, s.cid) AS rn
+            FROM v, s) t WHERE rn = 1),
+    c1 AS (
+        SELECT cid, list(rv ORDER BY pos) AS v FROM (
+            SELECT cid, pos, round(avg(val), 6) AS rv FROM (
+                SELECT cid, unnest(v) AS val,
+                       generate_subscripts(v, 1) AS pos FROM a1) u
+            GROUP BY cid, pos) g
+        GROUP BY cid),
+    a2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c1.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       {_KM_DIST.format(a="v.v", b="c1.v")}, c1.cid) AS rn
+            FROM v, c1) t WHERE rn = 1)
+    SELECT vec_id, cid::INT AS cluster FROM a2 ORDER BY vec_id
+    """,
+    doc="deterministic Lloyd's k-means (k=4, 2 rounds) over the embedding "
+    "column — trains the coarse quantizer knn_ivf probes, and is the "
+    "clustering step under SemDeDup-style semantic dedup / diversity "
+    "sampling. Per round: assignment is a narrow codegen-only map "
+    "(centroids are literals), update is one partial-agg shuffle of k*dim "
+    "doubles; only k rows touch the driver (training-data extension)",
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.kmeans_lloyd(e, k=4, iters=2, seed=29).orderBy("vec_id")
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import register_osm_queries  # noqa: E402
 

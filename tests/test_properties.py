@@ -345,3 +345,24 @@ def test_approx_count_distinct_accuracy(spark):
     }
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)
+
+
+def test_kmeans_separates_obvious_blobs(spark):
+    """Two well-separated blobs -> 2 effective clusters, every member of a
+    blob in the same cluster, and assignments are run-deterministic."""
+    from osmesa_spark.operators.similarity import kmeans_lloyd
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        center = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [center + rng.uniform(-0.5, 0.5) for _ in range(4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd(df, k=2, iters=3).collect()}
+    blob0 = {out[i] for i in range(0, 40, 2)}
+    blob1 = {out[i] for i in range(1, 40, 2)}
+    assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
+
+    again = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd(df, k=2, iters=3).collect()}
+    assert again == out
