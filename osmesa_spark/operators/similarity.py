@@ -393,3 +393,38 @@ def kmeans_lloyd(
                 r["cluster"]: [r[f"c{j}"] for j in range(dim)] for r in rows
             }
     return assigned.select(F.col("vid").alias(id_col), "cluster")
+
+
+def semdedup(
+    clustered: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. '23): semantic dedup by pruning, per coarse
+    cluster, the higher-id member of every pair with cosine >= threshold.
+    `clustered` = vectors + a cluster id (from `kmeans_lloyd` or any coarse
+    quantizer). Returns the DROPPED ids.
+
+    The cluster id blocks the self-join, so pair count is bounded by the
+    largest cluster, not the corpus — the whole point of clustering first;
+    the join co-partitions both sides on the cluster key (one shuffle each)
+    and cosine runs JVM-side on the joined pair."""
+    a = clustered.select(
+        F.col(cluster_col).alias("c"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = clustered.select(
+        F.col(cluster_col).alias("c"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = a.join(b, "c").where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.where(cos >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )

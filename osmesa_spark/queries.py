@@ -2328,9 +2328,7 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_DIST = "round(list_sum(list_transform(range(1, 65), j -> ({a}[j]-{b}[j])*({a}[j]-{b}[j]))), 6)"
 
 
-@register(
-    "kmeans_clusters",
-    f"""
+_KMEANS_SQL = f"""
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         FROM embeddings),
@@ -2359,7 +2357,12 @@ _KM_DIST = "round(list_sum(list_transform(range(1, 65), j -> ({a}[j]-{b}[j])*({a
                        {_KM_DIST.format(a="v.v", b="c1.v")}, c1.cid) AS rn
             FROM v, c1) t WHERE rn = 1)
     SELECT vec_id, cid::INT AS cluster FROM a2 ORDER BY vec_id
-    """,
+    """
+
+
+@register(
+    "kmeans_clusters",
+    _KMEANS_SQL,
     doc="deterministic Lloyd's k-means (k=4, 2 rounds) over the embedding "
     "column — trains the coarse quantizer knn_ivf probes, and is the "
     "clustering step under SemDeDup-style semantic dedup / diversity "
@@ -2370,6 +2373,40 @@ _KM_DIST = "round(list_sum(list_transform(range(1, 65), j -> ({a}[j]-{b}[j])*({a
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return sim.kmeans_lloyd(e, k=4, iters=2, seed=29).orderBy("vec_id")
+
+
+@register(
+    "semdedup_prune",
+    f"""
+    WITH km AS ({_KMEANS_SQL}),
+    ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+    e AS (SELECT km.vec_id, km.cluster, ev.v FROM km JOIN ev USING (vec_id))
+    SELECT DISTINCT b.vec_id AS vec_id
+    FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / GREATEST(sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v)), 1e-12), 6)
+          >= 0.3
+    ORDER BY vec_id
+    """,
+    doc="SemDeDup end-to-end: kmeans_lloyd coarse clusters block the "
+    "pairwise cosine self-join, higher-id member of each >=0.3 pair is "
+    "dropped. Pair count bounded by largest cluster, not corpus; the "
+    "composition IVF-train -> cluster-blocked prune is the published "
+    "SemDeDup shape (training-data extension)",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    # localCheckpoint: materialize assignments ONCE before the self-join —
+    # otherwise the unrolled k*dim assignment expression is inlined into
+    # BOTH join inputs, recomputing it and blowing the 64KB JVM codegen
+    # method limit (whole-stage falls back to interpreted). At scale this
+    # is a persisted cluster-assignment table between the two stages.
+    clustered = e.join(
+        sim.kmeans_lloyd(e, k=4, iters=2, seed=29), "vec_id"
+    ).localCheckpoint(eager=False)
+    return sim.semdedup(clustered, threshold=0.3).orderBy("vec_id")
 
 
 # OSM-domain parity queries over deterministic generated fixtures
