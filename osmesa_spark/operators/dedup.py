@@ -59,6 +59,15 @@ def base_shingle_hash(col: Column) -> Column:
     )
 
 
+def gram_hash60(col: Column) -> Column:
+    """Full-width (60-bit) portable gram hash for identity joins/counts.
+    Unlike `base_shingle_hash`, NOT reduced below 2^31 — that reduction is
+    a MinHash overflow guard and birthday-collides around ~46k distinct
+    grams, which corrupts exact gram-identity semantics. DuckDB mirror:
+    ('0x' || substr(md5(g), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

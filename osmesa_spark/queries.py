@@ -2195,7 +2195,7 @@ def q_doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Decontamination: 5-gram shingle split (eval = 5% of docs by portable
 # doc_id hash), train docs scored by distinct-shingle overlap with the eval
-# set. Both sides hash shingles the same way as dedup.base_shingle_hash.
+# set. Both sides hash grams with the full-width 60-bit dedup.gram_hash60.
 _DECON_GRAMS_SQL = """
     grams AS (
         SELECT doc_id,
@@ -2240,7 +2240,7 @@ _DECON_GRAMS_SQL = """
     "a shuffle join on gram hash (training-data extension)",
 )
 def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmesa_spark.operators.dedup import _portable_hash, base_shingle_hash
+    from osmesa_spark.operators.dedup import _portable_hash, gram_hash60
 
     d = _t(spark, sf_dir, "documents")
     grams = d.select(
@@ -2252,7 +2252,7 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("is_eval"),
         F.explode(F.array_distinct(text_fns.shingles("text", 5))).alias("g"),
-    ).select("doc_id", "is_eval", base_shingle_hash(F.col("g")).alias("gh"))
+    ).select("doc_id", "is_eval", gram_hash60(F.col("g")).alias("gh"))
     ev = grams.where("is_eval").select("gh").distinct()
     tr = grams.where(~F.col("is_eval"))
     hit = F.when(F.col("hit").isNotNull(), 1).otherwise(0)
@@ -2407,6 +2407,95 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.kmeans_lloyd(e, k=4, iters=2, seed=29), "vec_id"
     ).localCheckpoint(eager=False)
     return sim.semdedup(clustered, threshold=0.3).orderBy("vec_id")
+
+
+@register(
+    "doc_dup_ngram_fraction",
+    """
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(w) - 3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4]))) AS g
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS w
+              FROM documents)
+        WHERE len(w) >= 5),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+        FROM grams),
+    cnt AS (SELECT gh, COUNT(*)::BIGINT AS df FROM hashed GROUP BY gh)
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_grams,
+           ROUND(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*),
+                 4) AS dup_frac
+    FROM hashed JOIN cnt USING (gh)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="per-doc duplicated-5-gram fraction (RefinedWeb-family quality "
+    "signal): corpus gram document-frequency, joined back per doc. Two "
+    "shuffles, both keyed on the 60-bit gram hash (never the gram string), "
+    "so the heavy exchange moves fixed-width longs; partial aggregation "
+    "collapses the df count map-side (training-data extension)",
+)
+def q_doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.dedup import gram_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(text_fns.shingles("text", 5))).alias("g"),
+    ).select("doc_id", gram_hash60(F.col("g")).alias("gh"))
+    cnt = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    dup = F.when(F.col("df") > 1, 1).otherwise(0)
+    return (
+        grams.join(cnt, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(dup).cast("bigint").alias("dup_grams"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "tokenizer_fertility",
+    """
+    WITH toks AS (
+        SELECT lang,
+               len(list_filter(
+                 regexp_extract_all(COALESCE(text, ''),
+                   '(''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+)', 1),
+                 t -> trim(t) <> '')) AS bpe_cnt,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS ws_cnt
+        FROM documents)
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           ROUND(SUM(bpe_cnt)::DOUBLE / SUM(ws_cnt), 4) AS fertility
+    FROM toks GROUP BY lang ORDER BY lang
+    """,
+    doc="tokenizer fertility by language (BPE-ish pretokens per whitespace "
+    "word) — the per-language cost signal used to balance multilingual "
+    "token budgets; single partial-agg shuffle (training-data extension)",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            text_fns.bpe_token_count("text").alias("bpe_cnt"),
+            text_fns.token_count("text").alias("ws_cnt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("bpe_cnt") / F.sum("ws_cnt"), 4).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
 
 
 # OSM-domain parity queries over deterministic generated fixtures
