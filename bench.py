@@ -45,6 +45,10 @@ HEADLINE = [
     "knn_lsh",
     "knn_quantized",
     "curation_pipeline",
+    "decontaminate_overlap",
+    "doc_dup_ngram_fraction",
+    "kmeans_clusters",
+    "semdedup_prune",
     "doc_quality",
     "doc_repetition_stats",
     "lang_id",

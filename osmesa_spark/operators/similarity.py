@@ -330,17 +330,23 @@ def kmeans_lloyd(
     Determinism (so a SQL oracle can replay it): initial centroids are the
     `k` rows with the smallest portable hash of the id (stable across
     engines); each assignment uses squared-L2 **rounded to `round_to`
-    decimals** with cluster-id tie-break; updated centroid components are
-    means rounded the same way, which re-quantizes the float-sum ordering
-    noise between engines at every round.
+    decimals** with cluster-id tie-break (centroids sorted by id, argmin
+    takes the first); updated centroid components are means rounded the
+    same way, which re-quantizes the float-sum ordering noise between
+    engines at every round.
 
-    Scale shape: per iteration, assignment is a narrow map over the corpus
-    (centroids enter the plan as literals — the classic broadcast), and the
-    update is ONE partial-aggregated shuffle of k*dim doubles. Only k rows
-    ever reach the driver. Unrolled per-dimension arithmetic keeps the whole
-    assignment inside whole-stage codegen (no HOF lambdas in the hot path).
-    Empty clusters drop out, matching the SQL replay.
-    """
+    Scale shape: assignment and partial sums run in ONE Arrow-batched
+    numpy kernel per round (`mapInPandas`) — dense k*dim distance algebra
+    is exactly what vectorized kernels are for, and the plan stays
+    fixed-size. (The all-Column alternative unrolls k*dim*2 expression
+    nodes whose Catalyst+janino compile time dominates wall clock at ANY
+    data size; numpy executes the same arithmetic vectorized.) Per-batch
+    per-cluster (count, sum) rows — numPartitions*k of them, never the
+    data — are combined on the driver: hand-rolled map-side combine. The
+    update round shuffles nothing."""
+    import numpy as np
+    import pandas as pd
+
     from osmesa_spark.operators.dedup import _portable_hash
 
     first = df.select(vec_col).first()
@@ -358,41 +364,68 @@ def kmeans_lloyd(
         .limit(k)
         .collect()
     )
-    cents: dict[int, list[float]] = {i: list(r["v"]) for i, r in enumerate(seeds)}
+    cids = list(range(len(seeds)))
+    cents = np.array([list(r["v"]) for r in seeds], dtype=np.float64)
 
-    assigned = None
     for it in range(iters):
-        choices = []
-        for cid, c in sorted(cents.items()):
-            d = None
-            for j in range(dim):
-                term = (F.col("v")[j] - F.lit(c[j])) * (
-                    F.col("v")[j] - F.lit(c[j])
-                )
-                d = term if d is None else d + term
-            choices.append(
-                F.struct(
-                    F.round(d, round_to).alias("d"), F.lit(cid).alias("c")
-                )
-            )
-        assigned = v.withColumn(
-            "cluster", F.array_min(F.array(*choices))["c"]
-        )
+        cid_arr = np.array(cids, dtype=np.int64)
+        C = cents
+
         if it < iters - 1:
-            rows = (
-                assigned.groupBy("cluster")
-                .agg(
-                    *[
-                        F.round(F.avg(F.col("v")[j]), round_to).alias(f"c{j}")
-                        for j in range(dim)
-                    ]
-                )
-                .collect()
+
+            def partial(batches, C=C, cid_arr=cid_arr):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.array(pdf["v"].tolist(), dtype=np.float64)
+                    D = np.round(
+                        ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1),
+                        round_to,
+                    )
+                    a = D.argmin(1)
+                    rows = {"cluster": [], "n": [], "s": []}
+                    for i, cid in enumerate(cid_arr):
+                        m = a == i
+                        if m.any():
+                            rows["cluster"].append(int(cid))
+                            rows["n"].append(int(m.sum()))
+                            rows["s"].append(X[m].sum(0).tolist())
+                    yield pd.DataFrame(rows)
+
+            parts = v.mapInPandas(
+                partial, schema="cluster int, n long, s array<double>"
+            ).collect()
+            sums: dict[int, object] = {}
+            ns: dict[int, int] = {}
+            for r in parts:
+                c = r["cluster"]
+                sums[c] = sums.get(c, np.zeros(dim)) + np.array(r["s"])
+                ns[c] = ns.get(c, 0) + r["n"]
+            cids = sorted(ns)
+            cents = np.array(
+                [np.round(sums[c] / ns[c], round_to) for c in cids]
             )
-            cents = {
-                r["cluster"]: [r[f"c{j}"] for j in range(dim)] for r in rows
-            }
-    return assigned.select(F.col("vid").alias(id_col), "cluster")
+        else:
+
+            def assign(batches, C=C, cid_arr=cid_arr):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.array(pdf["v"].tolist(), dtype=np.float64)
+                    D = np.round(
+                        ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1),
+                        round_to,
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "vid": pdf["vid"],
+                            "cluster": cid_arr[D.argmin(1)].astype("int32"),
+                        }
+                    )
+
+            return v.mapInPandas(
+                assign, schema="vid long, cluster int"
+            ).withColumnRenamed("vid", id_col)
 
 
 def semdedup(

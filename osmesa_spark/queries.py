@@ -2233,11 +2233,12 @@ _DECON_GRAMS_SQL = """
     ORDER BY contamination DESC, doc_id
     """,
     doc="eval-set decontamination (test-set overlap detection): distinct "
-    "5-gram shingle hashes per doc; the eval split's gram set is broadcast "
-    "(eval benchmarks are tiny relative to train at any scale) and each "
-    "train doc reports its contaminated-gram ratio. One shuffle (the "
-    "per-doc groupBy); the broadcast join replaces what would otherwise be "
-    "a shuffle join on gram hash (training-data extension)",
+    "5-gram shingle hashes per doc; per gram hash ONE partial-agg shuffle "
+    "computes (any-eval-holds-it, train holders), then a doc-keyed agg "
+    "scores each train doc's contaminated-gram ratio. The expensive "
+    "shingle pipeline is evaluated exactly once (no eval/train self-join "
+    "re-deriving it on both sides), and nothing needs broadcasting, so it "
+    "holds even when the eval split isn't tiny (training-data extension)",
 )
 def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmesa_spark.operators.dedup import _portable_hash, gram_hash60
@@ -2253,16 +2254,21 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_eval"),
         F.explode(F.array_distinct(text_fns.shingles("text", 5))).alias("g"),
     ).select("doc_id", "is_eval", gram_hash60(F.col("g")).alias("gh"))
-    ev = grams.where("is_eval").select("gh").distinct()
-    tr = grams.where(~F.col("is_eval"))
-    hit = F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+    per_gram = grams.groupBy("gh").agg(
+        F.max(F.when(F.col("is_eval"), 1).otherwise(0)).alias("hit"),
+        F.collect_list(
+            F.when(~F.col("is_eval"), F.col("doc_id"))
+        ).alias("train_docs"),
+    )
     return (
-        tr.join(F.broadcast(ev.withColumn("hit", F.lit(1))), "gh", "left")
+        per_gram.select(F.explode("train_docs").alias("doc_id"), "hit")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(hit).cast("bigint").alias("n_contaminated"),
-            F.round(F.sum(hit) / F.count(F.lit(1)), 4).alias("contamination"),
+            F.sum("hit").cast("bigint").alias("n_contaminated"),
+            F.round(F.sum("hit") / F.count(F.lit(1)), 4).alias(
+                "contamination"
+            ),
         )
         .where(F.col("n_contaminated") > 0)
         .orderBy(F.col("contamination").desc(), "doc_id")
@@ -2434,10 +2440,11 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id ORDER BY doc_id
     """,
     doc="per-doc duplicated-5-gram fraction (RefinedWeb-family quality "
-    "signal): corpus gram document-frequency, joined back per doc. Two "
-    "shuffles, both keyed on the 60-bit gram hash (never the gram string), "
-    "so the heavy exchange moves fixed-width longs; partial aggregation "
-    "collapses the df count map-side (training-data extension)",
+    "signal). One gram-hash-keyed shuffle carrying fixed-width longs "
+    "computes each gram's document frequency WITH its holder list, then a "
+    "doc-keyed agg folds the fractions — the shingle/explode pipeline is "
+    "evaluated once, instead of a gram-table self-join re-deriving it on "
+    "both sides (training-data extension)",
 )
 def q_doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmesa_spark.operators.dedup import gram_hash60
@@ -2447,10 +2454,13 @@ def q_doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(text_fns.shingles("text", 5))).alias("g"),
     ).select("doc_id", gram_hash60(F.col("g")).alias("gh"))
-    cnt = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    per_gram = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.collect_list("doc_id").alias("docs"),
+    )
     dup = F.when(F.col("df") > 1, 1).otherwise(0)
     return (
-        grams.join(cnt, "gh")
+        per_gram.select(F.explode("docs").alias("doc_id"), "df")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -18,6 +18,10 @@ PYTHON_OK = {
     "building_match",
     "building_match_volume",
     "osm_relation_assembly",
+    # dense k*dim distance algebra: vectorized numpy kernel by design (the
+    # all-Column unrolling compiles O(k*dim) codegen per round instead)
+    "kmeans_clusters",
+    "semdedup_prune",
 }
 
 RELATIONAL = [
