@@ -22,9 +22,16 @@ argmax — materializes every (left, right) pair within a key before pruning
 kdb/QuestDB/DuckDB execute ASOF natively, which also makes the semantics
 directly oracle-checkable against DuckDB's `ASOF LEFT JOIN`.
 
-Determinism: right rows sharing (key, time) are tie-broken by the ordered
-`tiebreak` columns (last one wins — i.e. the max), so results are stable
-across partitionings and engines.
+Determinism: right rows sharing (key, time) are tie-broken by the packed
+value struct (last one wins — i.e. the max struct, field-lexicographic), so
+results are stable across partitionings and engines.
+
+Row atomicity: ALL value columns are packed into ONE struct and carried by a
+single `last(struct, ignorenulls=True)` — probe rows contribute a NULL
+struct, right rows a non-null struct whose FIELDS may be null. So (a) a
+genuinely-NULL right-side value stays NULL in the output instead of
+resolving to an older non-null value, and (b) every output row's value
+columns come from the SAME right row, never a mix of tied rows.
 """
 
 from __future__ import annotations
@@ -46,13 +53,11 @@ def asof_join(
     when no such row exists)."""
     lcols = left.columns
     rtypes = dict(right.dtypes)
+    struct_ddl = ",".join(f"`{c}`:{rtypes[c]}" for c in value_cols)
     l = left.select(
         *lcols,
         F.lit(1).alias("__probe"),
-        *[
-            F.lit(None).cast(rtypes[c]).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(f"struct<{struct_ddl}>").alias("__rv"),
     )
     ltypes = dict(left.dtypes)
     r = right.select(
@@ -61,25 +66,28 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("__probe"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
     )
     u = l.unionByName(r)
     order = [
         F.col(time_col).asc(),
         F.col("__probe").asc(),  # right rows sort before probes at equal time
-        *[F.col(f"__r_{c}").asc_nulls_first() for c in value_cols],
+        F.col("__rv").asc_nulls_first(),  # deterministic tie-break: max struct wins
     ]
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{out_prefix}{c}")
-        for c in value_cols
-    ]
+    carried = F.last("__rv", ignorenulls=True).over(w)
     return (
-        u.select(*lcols, "__probe", *carried)
+        u.select(*lcols, "__probe", carried.alias("__c"))
         .where(F.col("__probe") == 1)
-        .drop("__probe")
+        .select(
+            *lcols,
+            *[
+                F.col("__c").getField(c).alias(f"{out_prefix}{c}")
+                for c in value_cols
+            ],
+        )
     )

@@ -58,7 +58,22 @@ def salted_join(
     keys across `salts` partitions. The salt is derived per-row (round-robin
     within partitions), `other` is exploded `salts`×; joining on
     (key, salt) makes every hot key land in `salts` separate tasks.
-    Output columns = plain `skewed.join(other, key, how)`."""
+    Output columns = plain `skewed.join(other, key, how)`.
+
+    `how` is restricted to inner/left/semi/anti: in right and full-outer
+    joins the replicated `other` side null-extends each UNMATCHED row once
+    per salt replica — `salts` duplicate output rows vs the plain join."""
+    _SAFE_HOW = {
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi",
+        "anti", "left_anti", "leftanti", "cross",
+    }
+    if how.lower().replace(" ", "") not in _SAFE_HOW:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — right/full outer joins "
+            "would emit one null-extended duplicate per salt replica of "
+            "each unmatched row; use a plain join (or AQE skew hints)"
+        )
     s = skewed.withColumn(
         "__salt",
         F.pmod(

@@ -60,10 +60,13 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     of tokens belonging to any word that repeats. High values flag boilerplate
     / machine-generated text for curation filters.
 
-    Two-stage aggregation keyed by (doc, word) then (doc): both stages get
-    map-side partial aggregation, and the second groupBy re-uses the first's
-    hash partitioning on doc_id (no extra shuffle — the (doc_id, word) exchange
-    already co-locates each doc's words). Stays entirely in codegen; no UDFs.
+    Two-stage aggregation keyed by (doc, word) then (doc): TWO exchanges —
+    hash partitioning on (doc_id, word) does not satisfy a doc_id-only
+    clustering, so the second groupBy re-shuffles. Both shuffles move
+    partial-aggregated rows (the word explosion is collapsed map-side before
+    the first exchange, per-doc word counts before the second), which is
+    cheaper at scale than forcing one shuffle by repartitioning the RAW
+    exploded words on doc_id. Stays entirely in codegen; no UDFs.
     """
     words = (
         df.select(id_col, F.explode(F.split(F.lower(text_col), r"\s+")).alias("word"))

@@ -58,6 +58,19 @@ def test_salted_join_matches_plain_join(spark):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_salted_join_rejects_outer_hows(spark):
+    """Right/full outer would emit one null-extended duplicate per salt
+    replica of each unmatched `other` row — salted_join must refuse."""
+    a = spark.range(0, 10).select(F.col("id").alias("k"))
+    b = spark.range(0, 10).select(F.col("id").alias("k"))
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            C.salted_join(a, b, "k", salts=4, how=how)
+    # left outer stays correct: skewed side is not replicated
+    left = C.salted_join(a, b.where("k < 5"), "k", salts=4, how="left")
+    assert left.count() == 10
+
+
 def test_hot_keys_detects_skew(spark):
     df = spark.range(0, 10_000).select(
         F.when(F.col("id") < 9_000, F.lit(42)).otherwise(F.col("id")).alias("k")

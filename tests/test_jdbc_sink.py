@@ -1,0 +1,151 @@
+"""JDBC-style upsert sink tests: the same idempotence suite the parquet
+sink passes, run against the SQLite-backed `INSERT ... ON CONFLICT` path
+(reference parity: ChangesetStatsForeachWriter batching/retry/guard,
+ChangesetMetadataForeachWriter username + hashtag-dictionary rules)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmesa_spark.datagen import COUNTRIES, write_augdiff_dropdir
+from osmesa_spark.sinks import jdbc as J
+from osmesa_spark.sources import replication as R
+from osmesa_spark.streaming import stats_stream as S
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("jdbc_fx")
+    write_augdiff_dropdir(
+        str(base / "augdiffs"), n_sequences=4, per_seq=30, corrupt_every=17
+    )
+    return base
+
+
+def _stats_batch(spark, dirs):
+    good, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"))
+    )
+    return S.streaming_changeset_stats(good, COUNTRIES).select(
+        F.col("changeset").alias("id"),
+        F.col("counts").cast("map<string,bigint>").alias("counts"),
+        "measurements",
+        F.col("total_edits").cast("bigint"),
+        F.array(F.col("sequence")).cast("array<int>").alias("augmented_diffs"),
+    )
+
+
+def test_jdbc_upsert_insert_then_redeliver_noop(spark, dirs, tmp_path):
+    """Re-delivering a batch whose sequences are already recorded must be a
+    no-op — the `NOT (augmented_diffs && EXCLUDED.augmented_diffs)` guard."""
+    sink = J.JdbcStatsSink(str(tmp_path / "stats.db"))
+    batch = _stats_batch(spark, dirs)
+    sink.upsert_stats(batch)
+    first = sink.read_stats()
+    assert len(first) > 0
+    total = sum(r["total_edits"] for r in first)
+
+    sink.upsert_stats(batch)  # exact re-delivery
+    second = sink.read_stats()
+    assert sum(r["total_edits"] for r in second) == total
+    assert [r["id"] for r in second] == [r["id"] for r in first]
+
+
+def test_jdbc_upsert_merges_disjoint_sequences(spark, tmp_path):
+    """A later batch with NEW sequences for an existing id merges: maps sum
+    element-wise, total_edits adds, augmented_diffs unions."""
+    sink = J.JdbcStatsSink(str(tmp_path / "stats.db"))
+    mk = lambda seq, edits: spark.createDataFrame(  # noqa: E731
+        [(7, {"roads": edits}, {"road_km_added": 1.5}, edits, [seq])],
+        "id long, counts map<string,bigint>, "
+        "measurements map<string,double>, total_edits long, "
+        "augmented_diffs array<int>",
+    )
+    sink.upsert_stats(mk(1000, 3))
+    sink.upsert_stats(mk(1001, 4))
+    (row,) = sink.read_stats()
+    assert row["total_edits"] == 7
+    assert row["counts"] == {"roads": 7}
+    assert row["measurements"] == {"road_km_added": 3.0}
+    assert row["augmented_diffs"] == [1000, 1001]
+
+    # partial overlap: guard skips the WHOLE contribution (reference rule)
+    sink.upsert_stats(
+        spark.createDataFrame(
+            [(7, {"roads": 9}, {}, 9, [1001, 1002])],
+            "id long, counts map<string,bigint>, "
+            "measurements map<string,double>, total_edits long, "
+            "augmented_diffs array<int>",
+        )
+    )
+    (row,) = sink.read_stats()
+    assert row["total_edits"] == 7
+    assert row["augmented_diffs"] == [1000, 1001]
+
+
+def test_jdbc_users_last_name_wins(spark, tmp_path):
+    sink = J.JdbcStatsSink(str(tmp_path / "users.db"))
+    sink.upsert_users(
+        spark.createDataFrame([(1, "alice"), (2, "bob")], "id long, name string")
+    )
+    sink.upsert_users(
+        spark.createDataFrame([(1, "alicia")], "id long, name string")
+    )
+    con = J.connect(str(tmp_path / "users.db"))
+    rows = dict(con.execute("SELECT id, name FROM users"))
+    con.close()
+    assert rows == {1: "alicia", 2: "bob"}
+
+
+def test_jdbc_hashtag_ids_stable(spark, tmp_path):
+    sink = J.JdbcStatsSink(str(tmp_path / "tags.db"))
+    first = sink.upsert_hashtags(
+        spark.createDataFrame(
+            [("mapathon",), ("HOTOSM",)], "hashtag string"
+        )
+    )
+    second = sink.upsert_hashtags(
+        spark.createDataFrame(
+            [("mapathon",), ("newtag",)], "hashtag string"
+        )
+    )
+    # existing hashtags keep their serial id forever; new ids are higher
+    assert second["mapathon"] == first["mapathon"]
+    assert second["hotosm"] == first["hotosm"]
+    assert second["newtag"] > max(first.values())
+
+
+def test_jdbc_checkpoint_roundtrip(tmp_path):
+    sink = J.JdbcStatsSink(str(tmp_path / "ckpt.db"))
+    assert sink.load_checkpoint("augmented-diff-stats") is None
+    sink.save_checkpoint("augmented-diff-stats", 1003)
+    sink.save_checkpoint("augmented-diff-stats", 1005)
+    assert sink.load_checkpoint("augmented-diff-stats") == 1005
+
+
+def test_jdbc_streaming_end_to_end(spark, dirs, tmp_path):
+    """The full reference sink chain: stream → foreachBatch → JDBC upsert +
+    checkpoint row; totals match the batch run of the same pipeline."""
+    good_stream, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"), streaming=True)
+    )
+    db = str(tmp_path / "stream.db")
+    q = J.run_streaming_stats_to_jdbc(
+        good_stream, db, str(tmp_path / "ckpt"), countries=COUNTRIES
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
+            time.sleep(1)
+            if not q.status["isDataAvailable"]:
+                break
+    q.stop()
+    sink = J.JdbcStatsSink(db)
+    good, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"))
+    )
+    assert sum(r["total_edits"] for r in sink.read_stats()) == good.count()
+    assert sink.load_checkpoint("augmented-diff-stats") == 1003

@@ -322,6 +322,38 @@ def test_asof_join_edge_semantics(spark):
     }
 
 
+def test_asof_join_null_values_and_row_atomicity(spark):
+    """A genuinely-NULL right-side value must NOT resolve to an older
+    non-null value, and multiple value columns must all come from the SAME
+    right row (no field mixing across tied rows)."""
+    from osmesa_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 20, 1), (2, 5, 1)], "event_id long, ts long, user_id long"
+    )
+    right = spark.createDataFrame(
+        # t=10: non-null (7, 'a'); t=15 (later, wins): NULL v, 'b'
+        # t=4 ties: (1,'x') vs (2,'w') — max struct is (2,'w'); both fields
+        # must come from that one row
+        [
+            (1, 10, 7, "a"),
+            (1, 15, None, "b"),
+            (1, 4, 1, "x"),
+            (1, 4, 2, "w"),
+        ],
+        "user_id long, ts long, v long, tag string",
+    )
+    rows = {
+        r["event_id"]: (r["asof_v"], r["asof_tag"])
+        for r in asof_join(
+            left, right, key="user_id", time_col="ts",
+            value_cols=["v", "tag"],
+        ).collect()
+    }
+    assert rows[1] == (None, "b"), "NULL right value leaked an older value"
+    assert rows[2] == (2, "w"), "tied rows mixed fields across rows"
+
+
 def test_approx_count_distinct_accuracy(spark):
     """HLL++ estimate within the configured 2% rsd (loose 5% assert) of
     exact distinct counts on the events table."""
