@@ -45,6 +45,27 @@ COUNTRIES = {
     "CCC": (-60.0, 30.0, -40.0, 50.0),
 }
 
+# Polygon country set for the TRUE point-in-polygon path: the three
+# rectangles as rings, PLUS a concave L-shaped country "DDD" whose ring
+# covers only the south half + the north-east quadrant of AAA's extent.
+# Its ENVELOPE is exactly AAA's rectangle, so every AAA point hits the
+# envelope pre-check but only ~3/4 are inside the ring — bbox containment
+# and the ray-cast provably disagree on this fixture (the concave-border
+# wrongness VERDICT r2 flagged in the bbox-only geocoder).
+COUNTRY_POLYGONS = {
+    "AAA": [(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (-10.0, 10.0)],
+    "BBB": [(20.0, 0.0), (40.0, 0.0), (40.0, 20.0), (20.0, 20.0)],
+    "CCC": [(-60.0, 30.0), (-40.0, 30.0), (-40.0, 50.0), (-60.0, 50.0)],
+    "DDD": [
+        (-10.0, -10.0),
+        (10.0, -10.0),
+        (10.0, 10.0),
+        (0.0, 10.0),
+        (0.0, 0.0),
+        (-10.0, 0.0),
+    ],
+}
+
 
 def _ts(minutes: float) -> datetime:
     return T0 + timedelta(minutes=minutes)

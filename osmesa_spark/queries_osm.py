@@ -296,11 +296,11 @@ OSM_CHANGESET_STATS_SQL = f"""
 
 
 def osm_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmesa_spark.operators.geocode import geocode
+    from osmesa_spark.operators.geocode import geocode_polygons
 
     nodes = P.preprocess_nodes(_history(spark))
     pts = G.construct_point_geometries(nodes, tagged_only=False)
-    coded = geocode(pts, datagen.COUNTRIES)
+    coded = geocode_polygons(pts, datagen.COUNTRY_POLYGONS)
     return (
         coded.select("id", "version", F.explode("countries").alias("code"))
         .select("id", F.col("version").cast("int").alias("version"), "code")
@@ -308,13 +308,34 @@ def osm_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _geocode_case_sql() -> str:
+def _geocode_raycast_sql() -> str:
+    """Per-country SELECT with the SAME even-odd ray-cast the engine's
+    Column path evaluates (identical IEEE double expression per edge, so
+    strict-inequality crossings agree bit-for-bit), unrolled over the ring's
+    edges — including the concave 'DDD' country where bbox containment and
+    the ray-cast genuinely disagree."""
     parts = []
-    for code, (x0, y0, x1, y1) in sorted(datagen.COUNTRIES.items()):
+    for code, ring in sorted(datagen.COUNTRY_POLYGONS.items()):
+        xs = [float(x) for x, _ in ring]
+        ys = [float(y) for _, y in ring]
+        n = len(ring)
+        terms = []
+        for i in range(n):
+            j = (i + 1) % n
+            xi, yi, xj, yj = xs[i], ys[i], xs[j], ys[j]
+            terms.append(
+                f"(CASE WHEN (({yi!r} > lat) <> ({yj!r} > lat)) AND "
+                f"lon < ({xj!r} - {xi!r}) * (lat - {yi!r}) / "
+                f"({yj!r} - {yi!r}) + {xi!r} THEN 1 ELSE 0 END)"
+            )
+        cond = " + ".join(terms)
+        env = (
+            f"lon >= {min(xs)!r} AND lon <= {max(xs)!r} AND "
+            f"lat >= {min(ys)!r} AND lat <= {max(ys)!r}"
+        )
         parts.append(
             f"SELECT id, version::INT AS version, '{code}' AS code\n"
-            f"   FROM pts WHERE lon >= {x0} AND lon <= {x1} "
-            f"AND lat >= {y0} AND lat <= {y1}"
+            f"   FROM pts WHERE {env} AND ({cond}) % 2 = 1"
         )
     return "\n   UNION ALL\n   ".join(parts)
 
@@ -323,7 +344,7 @@ OSM_GEOCODE_SQL = f"""
     WITH pts AS (
         SELECT id, version, lon, lat FROM read_parquet('{_HISTORY}')
         WHERE type = 'node' AND lat IS NOT NULL AND lon IS NOT NULL)
-    SELECT DISTINCT * FROM ({_geocode_case_sql()})
+    SELECT DISTINCT * FROM ({_geocode_raycast_sql()})
 """
 
 
@@ -579,7 +600,10 @@ def register_osm_queries(register) -> None:
     register(
         "osm_geocode",
         OSM_GEOCODE_SQL,
-        doc="broadcast point-in-polygon geocode (J10) — Countries.scala parity",
+        doc="broadcast TRUE point-in-polygon geocode (J10) — Countries.scala "
+        "parity: pure-Column even-odd ray-cast over literal vertex arrays "
+        "(envelope pre-check, then crossing count), exercised on a concave "
+        "country where bbox containment gives the wrong answer",
     )(osm_geocode)
     register(
         "osm_hashtags",
