@@ -85,6 +85,133 @@ def ring_area_m2(vertices: Column | str) -> Column:
 
 
 # --------------------------------------------------------------------------
+# UTM (transverse Mercator) planar projection — stats/package.scala:17-32
+# `transformLatLngToUtm` parity, as pure Column math (Snyder 1987, "Map
+# Projections: A Working Manual", USGS PP 1395 pp. 60-64 — public domain).
+# No pyproj, no UDF: sin/cos/tan/sqrt Column expressions in codegen.
+# --------------------------------------------------------------------------
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_E2 = WGS84_F * (2.0 - WGS84_F)  # first eccentricity²
+WGS84_EP2 = WGS84_E2 / (1.0 - WGS84_E2)  # second eccentricity²
+UTM_K0 = 0.9996
+UTM_FALSE_EASTING = 500_000.0
+
+# meridian-arc series coefficients (Snyder eq. 3-21)
+_M0 = 1.0 - WGS84_E2 / 4.0 - 3.0 * WGS84_E2**2 / 64.0 - 5.0 * WGS84_E2**3 / 256.0
+_M2 = 3.0 * WGS84_E2 / 8.0 + 3.0 * WGS84_E2**2 / 32.0 + 45.0 * WGS84_E2**3 / 1024.0
+_M4 = 15.0 * WGS84_E2**2 / 256.0 + 45.0 * WGS84_E2**3 / 1024.0
+_M6 = 35.0 * WGS84_E2**3 / 3072.0
+
+
+def utm_lon0(lon: Column) -> Column:
+    """Central meridian (degrees) of the UTM zone containing `lon` —
+    zone = floor((lon+180)/6)+1 clamped to [1, 60], meridian = 6·zone−183.
+    The reference picks the zone from the geometry CENTROID
+    (stats/package.scala:21-24); pass the centroid lon here."""
+    zone = F.least(
+        F.greatest(F.floor((lon + 180.0) / 6.0) + 1, F.lit(1)), F.lit(60)
+    )
+    return (zone * 6 - 183).cast("double")
+
+
+def utm_easting(lon: Column, lat: Column, lon0: Column) -> Column:
+    """UTM easting (m) of (lon, lat) about central meridian lon0
+    (Snyder eq. 8-9): k0·N·(A + (1−T+C)A³/6 + (5−18T+T²+72C−58e′²)A⁵/120)
+    + 500000."""
+    phi = F.radians(lat)
+    sin_p, cos_p, tan_p = F.sin(phi), F.cos(phi), F.tan(phi)
+    n = F.lit(WGS84_A) / F.sqrt(1.0 - F.lit(WGS84_E2) * sin_p * sin_p)
+    t = tan_p * tan_p
+    c = F.lit(WGS84_EP2) * cos_p * cos_p
+    a = F.radians(lon - lon0) * cos_p
+    return (
+        F.lit(UTM_K0)
+        * n
+        * (
+            a
+            + (1.0 - t + c) * F.pow(a, 3) / 6.0
+            + (5.0 - 18.0 * t + t * t + 72.0 * c - F.lit(58.0 * WGS84_EP2))
+            * F.pow(a, 5)
+            / 120.0
+        )
+        + F.lit(UTM_FALSE_EASTING)
+    )
+
+
+def utm_northing(lon: Column, lat: Column, lon0: Column) -> Column:
+    """UTM northing (m), northern-hemisphere datum (no false northing —
+    areas/deltas are translation-invariant; Snyder eq. 8-10 with 3-21)."""
+    phi = F.radians(lat)
+    sin_p, cos_p, tan_p = F.sin(phi), F.cos(phi), F.tan(phi)
+    n = F.lit(WGS84_A) / F.sqrt(1.0 - F.lit(WGS84_E2) * sin_p * sin_p)
+    t = tan_p * tan_p
+    c = F.lit(WGS84_EP2) * cos_p * cos_p
+    a = F.radians(lon - lon0) * cos_p
+    m = F.lit(WGS84_A) * (
+        F.lit(_M0) * phi
+        - F.lit(_M2) * F.sin(2.0 * phi)
+        + F.lit(_M4) * F.sin(4.0 * phi)
+        - F.lit(_M6) * F.sin(6.0 * phi)
+    )
+    return F.lit(UTM_K0) * (
+        m
+        + n
+        * tan_p
+        * (
+            a * a / 2.0
+            + (5.0 - t + 9.0 * c + 4.0 * c * c) * F.pow(a, 4) / 24.0
+            + (
+                61.0
+                - 58.0 * t
+                + t * t
+                + 600.0 * c
+                - F.lit(330.0 * WGS84_EP2)
+            )
+            * F.pow(a, 6)
+            / 720.0
+        )
+    )
+
+
+def ring_area_m2_utm(vertices: Column | str) -> Column:
+    """TRUE planar ring area (m²): project every vertex to the UTM zone of
+    the ring's lon-centroid, then the planar shoelace — the reference's
+    `transformLatLngToUtm` + `st_area` pipeline (stats/package.scala:17-32,
+    49-60) with the reprojection done as Column trig instead of a UDF."""
+    v = F.col(vertices) if isinstance(vertices, str) else vertices
+    nv = F.greatest(F.size(v), F.lit(1)).cast("double")
+    cx = (
+        F.aggregate(
+            F.transform(v, lambda p: p.getField("lon")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / nv
+    )
+    lon0 = utm_lon0(cx)
+    proj = F.transform(
+        v,
+        lambda p: F.struct(
+            utm_easting(p.getField("lon"), p.getField("lat"), lon0).alias("x"),
+            utm_northing(p.getField("lon"), p.getField("lat"), lon0).alias("y"),
+        ),
+    )
+    closed = F.concat(proj, F.slice(proj, 1, 1))  # wrap last -> first edge
+    terms = F.zip_with(
+        F.slice(closed, 1, F.greatest(F.size(closed) - 1, F.lit(0))),
+        F.slice(closed, 2, F.greatest(F.size(closed) - 1, F.lit(0))),
+        lambda p, c: p.getField("x") * c.getField("y")
+        - c.getField("x") * p.getField("y"),
+    )
+    folded = F.coalesce(
+        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), F.lit(0.0)
+    )
+    return F.abs(folded) / 2.0
+
+
+# --------------------------------------------------------------------------
 # Web-Mercator tiling math (vector-grid pipeline, SURVEY §2.9 G1)
 # --------------------------------------------------------------------------
 

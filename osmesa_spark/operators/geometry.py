@@ -362,10 +362,18 @@ def with_prev_geom(features: DataFrame) -> DataFrame:
     )
 
 
-def with_deltas(features: DataFrame) -> DataFrame:
+def with_deltas(features: DataFrame, area: str = "spherical") -> DataFrame:
     """linearDelta (m) and areaDelta (m²) — stats/package.scala:37-60.
     Linear delta applies only to linear-tagged features; area delta to
-    polygon (prev)geometries. Both |new − old| with 0 for missing sides."""
+    polygon (prev)geometries. Both |new − old| with 0 for missing sides.
+
+    `area` picks the ring-area model: "utm" is the reference's exact
+    pipeline (transformLatLngToUtm + planar shoelace, here as Column trig —
+    geo.ring_area_m2_utm); "spherical" (default) is the spherical-excess
+    substitution the oracle-checked stats queries replay (the two agree to
+    <1% on building/landuse-sized rings, property-tested in test_utm.py)."""
+    area_fn = geo.ring_area_m2_utm if area == "utm" else geo.ring_area_m2
+
     def _len(geom_col: str, type_col: str):
         return F.coalesce(
             F.when(
@@ -377,7 +385,7 @@ def with_deltas(features: DataFrame) -> DataFrame:
     def _area(geom_col: str, type_col: str):
         return F.coalesce(
             F.when(
-                F.col(type_col) == "Polygon", geo.ring_area_m2(F.col(geom_col))
+                F.col(type_col) == "Polygon", area_fn(F.col(geom_col))
             ),
             F.lit(0.0),
         )

@@ -2462,11 +2462,13 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id ORDER BY doc_id
     """,
     doc="per-doc duplicated-5-gram fraction (RefinedWeb-family quality "
-    "signal). One gram-hash-keyed shuffle carrying fixed-width longs "
-    "computes each gram's document frequency WITH its holder list, then a "
-    "doc-keyed agg folds the fractions — the shingle/explode pipeline is "
-    "evaluated once, instead of a gram-table self-join re-deriving it on "
-    "both sides (training-data extension)",
+    "signal). Gram document frequencies via a count-only agg on the 60-bit "
+    "gram hash, joined back to the gram rows on the same key (both sides "
+    "hash-partitioned on gh — the agg's exchange is reused), then a "
+    "doc-keyed agg folds the fractions. No per-gram holder lists: a "
+    "stop-phrase gram appearing in millions of docs contributes one "
+    "bounded counter row, never a reducer-side array (training-data "
+    "extension)",
 )
 def q_doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmesa_spark.operators.dedup import gram_hash60
@@ -2476,13 +2478,10 @@ def q_doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(text_fns.shingles("text", 5))).alias("g"),
     ).select("doc_id", gram_hash60(F.col("g")).alias("gh"))
-    per_gram = grams.groupBy("gh").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.collect_list("doc_id").alias("docs"),
-    )
+    cnt = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     dup = F.when(F.col("df") > 1, 1).otherwise(0)
     return (
-        per_gram.select(F.explode("docs").alias("doc_id"), "df")
+        grams.join(cnt, "gh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -2548,6 +2547,7 @@ DRIVER_PRIORITY = [
     "osm_node_validity",
     "osm_snapshot_asof",
     "osm_way_reconstruction",
+    "osm_utm_area",
     "osm_changeset_stats",
     "osm_geocode",
     "osm_hashtags",

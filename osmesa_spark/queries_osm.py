@@ -136,6 +136,112 @@ OSM_WAY_RECONSTRUCTION_SQL = f"""
 """
 
 
+def osm_utm_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar ring areas via the TRUE UTM pipeline (transformLatLngToUtm +
+    shoelace, stats/package.scala:17-32,49-60) next to the spherical-excess
+    substitution — per polygon way version: order-of-magnitude of the UTM
+    m² area and the UTM/spherical ratio (3 dp). The oracle replays the
+    identical Snyder series in SQL; rounded outputs absorb libm ULP noise."""
+    from osmesa_spark.functions import geo
+
+    h = _history(spark)
+    wg = G.reconstruct_way_geometries(P.preprocess_ways(h), P.preprocess_nodes(h))
+    polys = wg.where(F.col("geomType") == "Polygon")
+    utm = geo.ring_area_m2_utm(F.col("geom"))
+    sph = geo.ring_area_m2(F.col("geom"))
+    return polys.select(
+        "id",
+        F.col("version").cast("int").alias("version"),
+        F.size("geom").alias("nverts"),
+        F.floor(F.log10(F.greatest(utm, F.lit(1e-9))))
+        .cast("int")
+        .alias("area_mag"),
+        F.round(utm / sph, 3).alias("utm_sph_ratio"),
+    ).where(sph > 1e-6)
+
+
+def _utm_sql_parts(lon: str, lat: str, lon0: str) -> tuple[str, str]:
+    """DuckDB scalar SQL for UTM (easting, northing) — the same Snyder
+    series geo.utm_easting/utm_northing evaluate Column-side, with the
+    identical coefficient literals."""
+    from osmesa_spark.functions import geo
+
+    phi = f"radians({lat})"
+    sinp, cosp, tanp = f"sin({phi})", f"cos({phi})", f"tan({phi})"
+    n = f"({geo.WGS84_A!r} / sqrt(1.0 - {geo.WGS84_E2!r} * {sinp} * {sinp}))"
+    t = f"({tanp} * {tanp})"
+    c = f"({geo.WGS84_EP2!r} * {cosp} * {cosp})"
+    a = f"(radians({lon} - {lon0}) * {cosp})"
+    easting = (
+        f"(0.9996 * {n} * ({a} + (1.0 - {t} + {c}) * pow({a}, 3) / 6.0"
+        f" + (5.0 - 18.0 * {t} + {t} * {t} + 72.0 * {c} - "
+        f"{58.0 * geo.WGS84_EP2!r}) * pow({a}, 5) / 120.0) + 500000.0)"
+    )
+    m = (
+        f"({geo.WGS84_A!r} * ({geo._M0!r} * {phi} - {geo._M2!r} * sin(2.0 * {phi})"
+        f" + {geo._M4!r} * sin(4.0 * {phi}) - {geo._M6!r} * sin(6.0 * {phi})))"
+    )
+    northing = (
+        f"(0.9996 * ({m} + {n} * {tanp} * ({a} * {a} / 2.0"
+        f" + (5.0 - {t} + 9.0 * {c} + 4.0 * {c} * {c}) * pow({a}, 4) / 24.0"
+        f" + (61.0 - 58.0 * {t} + {t} * {t} + 600.0 * {c} - "
+        f"{330.0 * geo.WGS84_EP2!r}) * pow({a}, 6) / 720.0)))"
+    )
+    return easting, northing
+
+
+def _osm_utm_area_sql() -> str:
+    from osmesa_spark.functions import geo
+
+    easting, northing = _utm_sql_parts("p.lon", "p.lat", "lon0")
+    r2_half = geo.EARTH_RADIUS_M * geo.EARTH_RADIUS_M / 2.0
+    return f"""
+    WITH {_NV_CTE}, {_WAYVERT_CTE},
+    wvl AS (
+        SELECT way_id, way_version,
+               ANY_VALUE(wtags) AS wtags,
+               COUNT(*) AS nverts,
+               SUM(nv.lon) AS clon,
+               ARG_MIN(nv.lon, pos) AS flon, ARG_MIN(nv.lat, pos) AS flat,
+               ARG_MAX(nv.lon, pos) AS llon, ARG_MAX(nv.lat, pos) AS llat,
+               list(struct_pack(lon := nv.lon, lat := nv.lat) ORDER BY pos)
+                   AS verts
+        FROM wx JOIN nv ON wx.ref = nv.id
+             AND nv.timestamp <= wx.wts
+             AND wx.wts < COALESCE(nv.valid_until, TIMESTAMP '9999-01-01')
+        WHERE nv.lon IS NOT NULL AND nv.lat IS NOT NULL AND nv.visible
+        GROUP BY way_id, way_version
+        HAVING COUNT(*) >= 4),
+    polys AS (
+        SELECT way_id, way_version, nverts, verts,
+               (least(greatest(floor((clon / nverts + 180.0) / 6.0) + 1, 1),
+                      60) * 6 - 183)::DOUBLE AS lon0
+        FROM wvl
+        WHERE flon = llon AND flat = llat AND {_IS_AREA_SQL}),
+    proj AS (
+        SELECT way_id, way_version, nverts,
+               list_transform(verts, p -> {easting}) AS xs,
+               list_transform(verts, p -> {northing}) AS ys,
+               list_transform(range(1, len(verts)), i ->
+                   radians(verts[i + 1].lon - verts[i].lon)
+                   * (2.0 + sin(radians(verts[i].lat))
+                      + sin(radians(verts[i + 1].lat)))) AS sph_terms
+        FROM polys),
+    areas AS (
+        SELECT way_id, way_version, nverts,
+               abs(list_sum(list_transform(range(1, len(xs) + 1), i ->
+                   xs[i] * ys[(i % len(xs)) + 1]
+                   - xs[(i % len(xs)) + 1] * ys[i]))) / 2.0 AS utm_area,
+               abs(COALESCE(list_sum(sph_terms), 0.0) * {r2_half!r})
+                   AS sph_area
+        FROM proj)
+    SELECT way_id AS id, way_version::INT AS version, nverts::INT AS nverts,
+           floor(log10(greatest(utm_area, 1e-9)))::INT AS area_mag,
+           round(utm_area / sph_area, 3) AS utm_sph_ratio
+    FROM areas WHERE sph_area > 1e-6
+"""
+
+
 def osm_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _history(spark)
     wg = G.reconstruct_way_geometries(P.preprocess_ways(h), P.preprocess_nodes(h))
@@ -597,6 +703,15 @@ def register_osm_queries(register) -> None:
         doc="FULL changeset-stats pipeline incl. way reconstruction, tag predicates, "
         "map rollup, metadata join — ChangesetStatsCreator parity",
     )(osm_changeset_stats)
+    register(
+        "osm_utm_area",
+        _osm_utm_area_sql(),
+        doc="TRUE UTM planar ring areas (transformLatLngToUtm + shoelace "
+        "parity, stats/package.scala:17-32,49-60) as Column trig — zone "
+        "from the ring centroid, Snyder series projection, planar "
+        "shoelace; emitted as magnitude + UTM/spherical ratio so the "
+        "cross-engine hash is libm-ULP-proof",
+    )(osm_utm_area)
     register(
         "osm_geocode",
         OSM_GEOCODE_SQL,
