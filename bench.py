@@ -54,6 +54,9 @@ HEADLINE = [
     "lang_id",
     "multimodal_features",
     "building_match_volume",
+    "building_match_support",
+    "osm_geocode",
+    "osm_utm_area",
     "osm_changeset_stats",
     "osm_way_reconstruction",
     "osm_tile_pyramid",

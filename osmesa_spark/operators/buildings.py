@@ -22,8 +22,11 @@ Spark-first redesign:
     convex clip + shoelace areas for volume ratios, SVD homography for the
     vertex score. No per-row Python, no driver collect.
   * the reference's neighborhood "support" matrix (BuildingMatching.scala:
-    200-260) needs cross-pair context; we keep the per-pair probability
-    p = max(vol_a, vol_b, vertex, projection) and note the simplification.
+    200-260) IS rebuilt (`with_support`): anchors = already-matched pairs
+    in the cell, support = Σ over anchors of centroid-direction-cosine ×
+    distance-ratio, normalized per cell, blended (p + q)/2 — as DataFrame
+    joins/aggregations instead of the reference's per-partition dense
+    triple loop.
 
 Scale: candidate volume is bounded by cell occupancy (quadratic only within
 a cell); payload through the shuffle is the vertex arrays (small). At 100 TB
@@ -144,6 +147,13 @@ def candidate_pairs(
             F.transform("va", lambda p: p["y"]).alias("va_y"),
             F.transform("vb", lambda p: p["x"]).alias("vb_x"),
             F.transform("vb", lambda p: p["y"]).alias("vb_y"),
+            # neighborhood context for the support matrix: canonical cell
+            # + both centroids ride along (tiny vs the vertex payload)
+            "cell",
+            "cxa",
+            "cya",
+            "cxb",
+            "cyb",
         )
     )
 
@@ -393,6 +403,11 @@ _SCORE_SCHEMA = T.StructType(
         T.StructField("p_vertex", T.DoubleType()),
         T.StructField("p_proj", T.DoubleType()),
         T.StructField("p", T.DoubleType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("cxa", T.DoubleType()),
+        T.StructField("cya", T.DoubleType()),
+        T.StructField("cxb", T.DoubleType()),
+        T.StructField("cyb", T.DoubleType()),
     ]
 )
 
@@ -445,10 +460,93 @@ def score_pairs(pairs: DataFrame, with_vertex: bool = True) -> DataFrame:
                     "p_vertex": pv,
                     "p_proj": pj,
                     "p": np.maximum(np.maximum(np.maximum(ra, rb), pv), pj),
+                    "cell": pdf["cell"].astype("int64").values,
+                    "cxa": pdf["cxa"].values,
+                    "cya": pdf["cya"].values,
+                    "cxb": pdf["cxb"].values,
+                    "cyb": pdf["cyb"].values,
                 }
             )
 
     return pairs.mapInPandas(kernel, schema=_SCORE_SCHEMA)
+
+
+def with_support(
+    scored: DataFrame,
+    anchor_threshold: float = 0.9,
+    anchor_pred: Column | None = None,
+) -> DataFrame:
+    """Neighborhood "support" matrix (BuildingMatching.scala:200-260):
+    for each candidate pair (a, b) in a cell, sum over the cell's ANCHOR
+    buildings c (pairs already matched with p >= anchor_threshold — the
+    reference's left∩right "middle" set) of
+
+        dot  = (cos∠((a−c), (b−c)) + 1) / 2          # same-direction term
+        dist = min(|a−c|/|b−c|, |b−c|/|a−c|)          # same-distance term
+        r    = dot · dist
+
+    then normalize by the cell's max support (the reference's per-partition
+    matrix max) and blend: p_sup = (p + q_norm) / 2 — BuildingMatching's
+    "Compute Probabilities" line (p(i)(j) = (max(p1,p2,p3) + q(i)(j))/2).
+
+    Spark shape: anchors ⋈ candidates is a cell-keyed equi-join (both sides
+    co-partitioned; anchor count per cell is small), the support sum is one
+    partial-agg shuffle on (cell, id_a, id_b), the normalization a window
+    over cell on the already-partitioned aggregate. Pure Column math.
+    Cells with no anchors keep q = 0 → p_sup = p/2, matching the
+    reference's zero support sum.
+
+    `anchor_pred` overrides the p-threshold anchor rule with an arbitrary
+    Column predicate over the scored columns (e.g. an exact integer-area
+    criterion immune to cross-engine float-rounding at the threshold)."""
+    from pyspark.sql import Window
+
+    if anchor_pred is None:
+        anchor_pred = F.col("p") >= anchor_threshold
+    anchors = scored.where(anchor_pred).select(
+        "cell",
+        ((F.col("cxa") + F.col("cxb")) / 2.0).alias("kx"),
+        ((F.col("cya") + F.col("cyb")) / 2.0).alias("ky"),
+    )
+    vx, vy = F.col("cxa") - F.col("kx"), F.col("cya") - F.col("ky")
+    ux, uy = F.col("cxb") - F.col("kx"), F.col("cyb") - F.col("ky")
+    absv = F.sqrt(vx * vx + vy * vy)
+    absu = F.sqrt(ux * ux + uy * uy)
+    dot = (
+        (vx * ux + vy * uy) / F.greatest(absv * absu, F.lit(1e-12)) + 1.0
+    ) / 2.0
+    dist = F.least(
+        absv / F.greatest(absu, F.lit(1e-12)),
+        absu / F.greatest(absv, F.lit(1e-12)),
+    )
+    joined = scored.join(anchors, "cell", "left")
+    q = (
+        joined.groupBy(
+            "cell", "id_a", "id_b", "p", "p_vol_a", "p_vol_b", "p_vertex",
+            "p_proj",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("kx").isNotNull(), dot * dist).otherwise(0.0)
+            ).alias("q_raw")
+        )
+    )
+    w = Window.partitionBy("cell")
+    q_norm = F.when(
+        F.max("q_raw").over(w) > 0, F.col("q_raw") / F.max("q_raw").over(w)
+    ).otherwise(F.lit(0.0))
+    return q.select(
+        "cell",
+        "id_a",
+        "id_b",
+        "p_vol_a",
+        "p_vol_b",
+        "p_vertex",
+        "p_proj",
+        "p",
+        F.round(q_norm, 6).alias("support"),
+        F.round((F.col("p") + q_norm) / 2.0, 6).alias("p_sup"),
+    )
 
 
 def building_match(

@@ -2156,6 +2156,130 @@ def q_building_match_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Support-matrix oracle: candidate pairs with their CANONICAL cell + exact
+# centroid mirror ((x0 + (x0 + w))/2 replays the engine's (minx+maxx)/2
+# float ops bit-for-bit), anchors by an exact 1e12-integer area criterion
+# (no float-threshold boundary), then the reference's dot·dist support sum
+# normalized per cell.
+_BM_SUPPORT_SQL = f"""
+    ra AS ({_BM_A_SQL}),
+    rb AS ({_BM_B_SQL}),
+    ka AS (
+        SELECT id, x0, y0, w, h,
+               (x0 + (x0 + w)) / 2 AS cx, (y0 + (y0 + h)) / 2 AS cy,
+               list_distinct([
+                 floor((x0 + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + 90.0) / 180.0 * 16384)::BIGINT,
+                 floor((x0 + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + h + 90.0) / 180.0 * 16384)::BIGINT,
+                 floor((x0 + w + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + 90.0) / 180.0 * 16384)::BIGINT,
+                 floor((x0 + w + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + h + 90.0) / 180.0 * 16384)::BIGINT]) AS cells
+        FROM ra),
+    kb AS (
+        SELECT id, x0, y0, w, h,
+               (x0 + (x0 + w)) / 2 AS cx, (y0 + (y0 + h)) / 2 AS cy,
+               list_distinct([
+                 floor((x0 + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + 90.0) / 180.0 * 16384)::BIGINT,
+                 floor((x0 + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + h + 90.0) / 180.0 * 16384)::BIGINT,
+                 floor((x0 + w + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + 90.0) / 180.0 * 16384)::BIGINT,
+                 floor((x0 + w + 180.0) / 360.0 * 16384)::BIGINT * 16384
+                   + floor((y0 + h + 90.0) / 180.0 * 16384)::BIGINT]) AS cells
+        FROM rb),
+    ka2 AS (SELECT *, unnest(cells) AS cell FROM ka),
+    kb2 AS (SELECT *, unnest(cells) AS cell FROM kb),
+    candc AS (
+        SELECT ka2.id AS id_a, kb2.id AS id_b, ka2.cell AS cell,
+               ka2.cx AS cxa, ka2.cy AS cya, kb2.cx AS cxb, kb2.cy AS cyb,
+               GREATEST(LEAST(ka2.x0 + ka2.w, kb2.x0 + kb2.w)
+                        - GREATEST(ka2.x0, kb2.x0), 0)
+               * GREATEST(LEAST(ka2.y0 + ka2.h, kb2.y0 + kb2.h)
+                          - GREATEST(ka2.y0, kb2.y0), 0) AS inter,
+               ka2.w * ka2.h AS area_a, kb2.w * kb2.h AS area_b
+        FROM ka2 JOIN kb2 ON ka2.cell = kb2.cell
+        WHERE (ka2.cx - kb2.cx) * (ka2.cx - kb2.cx)
+              + (ka2.cy - kb2.cy) * (ka2.cy - kb2.cy) < 0.0001
+          AND ka2.cell = list_aggregate(
+                list_intersect(ka2.cells, kb2.cells), 'min')),
+    anchors AS (
+        SELECT cell, (cxa + cxb) / 2.0 AS kx, (cya + cyb) / 2.0 AS ky
+        FROM candc
+        WHERE ROUND(inter * 1e12)::BIGINT * 10
+                  >= 9 * ROUND(area_a * 1e12)::BIGINT
+          AND ROUND(inter * 1e12)::BIGINT * 10
+                  >= 9 * ROUND(area_b * 1e12)::BIGINT),
+    q AS (
+        SELECT c.cell, c.id_a, c.id_b,
+               ANY_VALUE(GREATEST(c.inter / c.area_a, c.inter / c.area_b))
+                   AS p,
+               SUM(CASE WHEN a.kx IS NOT NULL THEN
+                   (((c.cxa - a.kx) * (c.cxb - a.kx)
+                     + (c.cya - a.ky) * (c.cyb - a.ky))
+                    / GREATEST(sqrt((c.cxa - a.kx) * (c.cxa - a.kx)
+                                    + (c.cya - a.ky) * (c.cya - a.ky))
+                               * sqrt((c.cxb - a.kx) * (c.cxb - a.kx)
+                                      + (c.cyb - a.ky) * (c.cyb - a.ky)),
+                               1e-12) + 1.0) / 2.0
+                   * LEAST(
+                       sqrt((c.cxa - a.kx) * (c.cxa - a.kx)
+                            + (c.cya - a.ky) * (c.cya - a.ky))
+                       / GREATEST(sqrt((c.cxb - a.kx) * (c.cxb - a.kx)
+                                       + (c.cyb - a.ky) * (c.cyb - a.ky)),
+                                  1e-12),
+                       sqrt((c.cxb - a.kx) * (c.cxb - a.kx)
+                            + (c.cyb - a.ky) * (c.cyb - a.ky))
+                       / GREATEST(sqrt((c.cxa - a.kx) * (c.cxa - a.kx)
+                                       + (c.cya - a.ky) * (c.cya - a.ky)),
+                                  1e-12))
+                   ELSE 0 END) AS q_raw
+        FROM candc c LEFT JOIN anchors a USING (cell)
+        GROUP BY c.cell, c.id_a, c.id_b),
+    normed AS (
+        SELECT id_a, id_b, p,
+               CASE WHEN MAX(q_raw) OVER (PARTITION BY cell) > 0
+                    THEN q_raw / MAX(q_raw) OVER (PARTITION BY cell)
+                    ELSE 0.0 END AS qn
+        FROM q)
+"""
+
+
+@register(
+    "building_match_support",
+    f"""
+    WITH {_BM_SUPPORT_SQL}
+    SELECT id_a, id_b,
+           ROUND(qn, 6) AS support,
+           ROUND((p + qn) / 2.0, 6) AS p_sup
+    FROM normed
+    """,
+    doc="neighborhood support matrix (§2.12, BuildingMatching.scala:200-260)"
+    ": per candidate pair, Σ over the cell's anchor buildings of "
+    "centroid-direction-cosine × distance-ratio, normalized by the cell "
+    "max, blended (p + q)/2 — the cross-pair term the reference computes "
+    "in a per-partition dense triple loop, here as cell-keyed joins + one "
+    "partial-agg shuffle + a co-partitioned window. Anchors chosen by an "
+    "exact 1e12-integer area criterion so the threshold can't flip on "
+    "cross-engine float noise",
+)
+def q_building_match_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators import buildings as bm
+
+    a = _bm_rects(spark, sf_dir, "a")
+    b = _bm_rects(spark, sf_dir, "b")
+    scored = bm.score_pairs(bm.candidate_pairs(a, b), with_vertex=False)
+    e12 = lambda c: F.round(F.col(c) * 1e12).cast("bigint")  # noqa: E731
+    pred = (e12("inter_area") * 10 >= 9 * e12("area_a")) & (
+        e12("inter_area") * 10 >= 9 * e12("area_b")
+    )
+    return bm.with_support(scored, anchor_pred=pred).select(
+        "id_a", "id_b", "support", "p_sup"
+    )
+
+
 @register(
     "building_match",
     None,  # homography SVD is not SQL-expressible — rows-only driver check
@@ -2462,13 +2586,14 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id ORDER BY doc_id
     """,
     doc="per-doc duplicated-5-gram fraction (RefinedWeb-family quality "
-    "signal). Gram document frequencies via a count-only agg on the 60-bit "
-    "gram hash, joined back to the gram rows on the same key (both sides "
-    "hash-partitioned on gh — the agg's exchange is reused), then a "
-    "doc-keyed agg folds the fractions. No per-gram holder lists: a "
-    "stop-phrase gram appearing in millions of docs contributes one "
-    "bounded counter row, never a reducer-side array (training-data "
-    "extension)",
+    "signal), via the SINGLETON identity dup(doc) = total(doc) − "
+    "singletons(doc): a df=1 gram's sole holder is recoverable as "
+    "min(doc_id) inside the same gram-keyed aggregation, so the gram "
+    "table shuffles exactly ONCE (by hash) and no per-gram holder lists "
+    "exist — a stop-phrase gram held by millions of docs is one bounded "
+    "counter row. The doc-keyed totals shuffle only map-side-combined "
+    "per-doc counts; the final join is between two per-doc aggregates "
+    "(training-data extension)",
 )
 def q_doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmesa_spark.operators.dedup import gram_hash60
@@ -2478,15 +2603,32 @@ def q_doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(text_fns.shingles("text", 5))).alias("g"),
     ).select("doc_id", gram_hash60(F.col("g")).alias("gh"))
-    cnt = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
-    dup = F.when(F.col("df") > 1, 1).otherwise(0)
+    # totals need no explode/shuffle at all: per-doc distinct-gram count is
+    # a row-local array size straight off the scan
+    totals = d.select(
+        "doc_id",
+        F.size(F.array_distinct(text_fns.shingles("text", 5))).alias(
+            "n_grams"
+        ).cast("bigint"),
+    ).where(F.col("n_grams") > 0)
+    per_gram = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
+    )
+    singles = (
+        per_gram.where(F.col("df") == 1)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("uniq"))
+    )
+    dup = (F.col("n_grams") - F.coalesce(F.col("uniq"), F.lit(0))).cast(
+        "bigint"
+    )
     return (
-        grams.join(cnt, "gh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(dup).cast("bigint").alias("dup_grams"),
-            F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_frac"),
+        totals.join(singles, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            dup.alias("dup_grams"),
+            F.round(dup / F.col("n_grams"), 4).alias("dup_frac"),
         )
         .orderBy("doc_id")
     )
@@ -2526,6 +2668,227 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("bpe_cnt") / F.sum("ws_cnt"), 4).alias("fertility"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "doc_token_entropy",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                              '([a-z0-9]+)', 1)) AS w
+        FROM documents),
+    wc AS (
+        SELECT doc_id, w, COUNT(*)::DOUBLE AS c
+        FROM words GROUP BY doc_id, w)
+    SELECT doc_id,
+           SUM(c)::BIGINT AS n_tokens,
+           ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy
+    FROM wc GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="per-doc Shannon token entropy (nats) — the unigram-diversity "
+    "quality signal (low entropy = repetitive/boilerplate, degenerate "
+    "generations): H = ln(n) − Σc·ln(c)/n from per-(doc, word) counts. "
+    "Two partial-agg shuffles of bounded counter rows, identical shape to "
+    "repetition_stats; pure codegen (training-data extension)",
+)
+def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(text_fns.word_tokens("text")).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    n = F.sum("c")
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            n.cast("bigint").alias("n_tokens"),
+            F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 4).alias(
+                "entropy"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# sparse-cosine pruning knobs: terms appearing in more than MAX_DF docs are
+# dropped from the INDEX (not the norms) — the standard inverted-index
+# scale bound: a stop-word shared by every doc otherwise contributes
+# O(N²) join rows. At 100 TB keep max_df ≪ corpus size (e.g. 1e5).
+_SPARSE_MAX_DF = 100
+_SPARSE_THRESHOLD = 0.6
+
+
+@register(
+    "neardup_sparse_cosine",
+    f"""
+    WITH words AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                              '([a-z0-9]+)', 1)) AS w
+        FROM documents),
+    tf AS (
+        SELECT doc_id, w, COUNT(*)::DOUBLE AS tf
+        FROM words GROUP BY doc_id, w),
+    df AS (
+        SELECT w, COUNT(*)::DOUBLE AS df FROM tf GROUP BY w),
+    n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+    wts AS (
+        SELECT tf.doc_id, tf.w, tf.tf * ln(n.n / df.df) AS wt, df.df
+        FROM tf JOIN df USING (w), n),
+    norms AS (
+        SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM wts GROUP BY doc_id),
+    idx AS (SELECT doc_id, w, wt FROM wts WHERE df <= {_SPARSE_MAX_DF}),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wt * b.wt) AS dot
+        FROM idx a JOIN idx b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(dot / GREATEST(na.nrm * nb.nrm, 1e-12), 6) AS cos
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE ROUND(dot / GREATEST(na.nrm * nb.nrm, 1e-12), 6)
+          >= {_SPARSE_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+    doc="sparse TF-IDF cosine near-dup via INVERTED-INDEX join — the "
+    "token-space counterpart of minhash (exact weights, no signature "
+    "approximation): per-(doc, term) tf·idf weights, term-keyed self-join "
+    "accumulates partial dot products, normalized by full doc norms. "
+    "Terms with df > max_df are pruned from the index (hot-term O(N²) "
+    "bound — the standard sparse-all-pairs scale trick; norms keep every "
+    "term so pruning only LOWERS similarity, never inflates it). Shuffles "
+    "are term-keyed then pair-keyed, all partial-agg (training-data "
+    "extension)",
+)
+def q_neardup_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(text_fns.word_tokens("text")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    wts = tf.join(df_, "w").select(
+        "doc_id",
+        "w",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wt"),
+        "df",
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    idx = wts.where(F.col("df") <= _SPARSE_MAX_DF).select("doc_id", "w", "wt")
+    a = idx.select(
+        F.col("doc_id").alias("id_a"), "w", F.col("wt").alias("wa")
+    )
+    b = idx.select(
+        F.col("doc_id").alias("id_b"), "w", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "w")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.round(
+        F.col("dot") / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)), 6
+    )
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= _SPARSE_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# BM25 constants (Robertson/Okapi defaults) and the fixed query-term set —
+# literals shared by engine and oracle.
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ["spark", "join", "shuffle"]
+
+
+@register(
+    "doc_bm25_topk",
+    f"""
+    WITH words AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                              '([a-z0-9]+)', 1)) AS w
+        FROM documents),
+    dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM words GROUP BY doc_id),
+    stats AS (SELECT AVG(dl) AS avgdl, COUNT(*)::DOUBLE AS n FROM dl),
+    tf AS (
+        SELECT doc_id, w, COUNT(*)::DOUBLE AS tf FROM words
+        WHERE w IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(*)::DOUBLE AS df FROM tf GROUP BY w),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({_BM25_K1!r} + 1.0)
+                   / (tf.tf + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+                      + {_BM25_B!r} * dl.dl / s.avgdl))) AS score
+        FROM tf
+        JOIN df USING (w) JOIN dl USING (doc_id), stats s
+        GROUP BY tf.doc_id),
+    ranked AS (
+        SELECT doc_id, ROUND(score, 6) AS score,
+               ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)::INT
+                   AS rank
+        FROM scored)
+    SELECT rank, doc_id, score FROM ranked WHERE rank <= 10
+    """,
+    doc="Okapi BM25 top-k retrieval for a fixed term set (k1=1.2, b=0.75): "
+    "doc-length normalization from a broadcast (avgdl, N) aggregate, idf "
+    "from per-term df, one doc-keyed partial-agg sum, rank on the ROUNDED "
+    "score with doc_id tiebreak (cross-engine-stable ordering). The "
+    "retrieval primitive under corpus curation search / hard-negative "
+    "mining (training-data extension)",
+)
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(text_fns.word_tokens("text")).alias("w")
+    )
+    dl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tf = (
+        words.where(F.col("w").isin(_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+    )
+    # TakeOrdered (sort+limit) prunes distributed — the global row_number
+    # window then runs on 10 rows, never the corpus
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "doc_id", "score"
     )
 
 
@@ -2570,6 +2933,7 @@ DRIVER_PRIORITY = [
     "right_outer_parts",
     "building_match_volume",
     "building_match",
+    "building_match_support",
     "doc_bigram_topk",
     "decontaminate_overlap",
     "source_mix_weights",
@@ -2577,9 +2941,12 @@ DRIVER_PRIORITY = [
     "semdedup_prune",
     "doc_dup_ngram_fraction",
     "tokenizer_fertility",
-    # changed this round — need fresh driver evidence
+    # new this round — need fresh driver evidence
     "embedding_quantize",
     "asof_click_attribution",
+    "doc_token_entropy",
+    "neardup_sparse_cosine",
+    "doc_bm25_topk",
     # flagship re-verification (previously green rounds 1-2)
     "changeset_stats",
     "user_statistics",

@@ -120,3 +120,60 @@ def test_batch_volume_matches_scalar():
     np.testing.assert_allclose(ia, exp[:, 0], rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(aa, exp[:, 1], rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(ab, exp[:, 2], rtol=1e-9, atol=1e-12)
+
+
+def _rect_df(spark, rows):
+    """rows: (id, x0, y0, w, h) → (id, vertices) frame."""
+    data = [
+        (
+            rid,
+            [
+                {"x": x0, "y": y0},
+                {"x": x0 + w, "y": y0},
+                {"x": x0 + w, "y": y0 + h},
+                {"x": x0, "y": y0 + h},
+            ],
+        )
+        for rid, x0, y0, w, h in rows
+    ]
+    return spark.createDataFrame(
+        data, "id long, vertices array<struct<x:double,y:double>>"
+    )
+
+
+def test_support_matrix_semantics(spark):
+    """An anchor (perfectly-matched pair) boosts the candidate pair that
+    sits in the same direction/distance from it (dot·dist ≈ 1) over one
+    whose B-side lies in the opposite direction (dot ≈ 0); p_sup blends
+    (p + q_norm)/2 — BuildingMatching.scala:200-260 semantics."""
+    s = 0.001
+    # anchor: identical rects at origin-ish (same cell as the candidates)
+    a_rows = [
+        (1, 0.0, 0.0, s, s),        # anchor A-side
+        (2, 3 * s, 0.0, s, s),      # consistent candidate A-side
+        (3, 6 * s, 0.0, s, s),      # inconsistent candidate A-side
+    ]
+    b_rows = [
+        (11, 0.0, 0.0, s, s),               # anchor B-side (identical)
+        (12, 3 * s + s / 4, 0.0, s, s),     # shifted same direction
+        (13, 6 * s - 3 * s, 2 * s, s, s),   # displaced opposite/offset
+    ]
+    scored = bm.score_pairs(
+        bm.candidate_pairs(_rect_df(spark, a_rows), _rect_df(spark, b_rows)),
+        with_vertex=False,
+    )
+    sup = bm.with_support(scored, anchor_threshold=0.99)
+    rows = {
+        (r["id_a"], r["id_b"]): r for r in sup.collect() if r["id_a"] != r["id_b"]
+    }
+    consistent = rows[(2, 12)]
+    inconsistent = rows[(3, 13)]
+    assert consistent["support"] > inconsistent["support"]
+    assert consistent["support"] == pytest.approx(1.0)  # cell max
+    # blend: p_sup = (p + q_norm)/2
+    assert consistent["p_sup"] == pytest.approx(
+        (consistent["p"] + consistent["support"]) / 2, abs=1e-6
+    )
+    # the anchor pair itself: support counted against itself → dot·dist with
+    # v=u → 1.0 → also normalized ≤ 1
+    assert rows[(1, 11)]["p_sup"] >= 0.5

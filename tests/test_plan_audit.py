@@ -17,6 +17,7 @@ PYTHON_OK = {
     "multimodal_frames",
     "building_match",
     "building_match_volume",
+    "building_match_support",
     "osm_relation_assembly",
     # dense k*dim distance algebra: vectorized numpy kernel by design (the
     # all-Column unrolling compiles O(k*dim) codegen per round instead)
@@ -132,6 +133,8 @@ EXTENSIONS_JVM_ONLY = [
     "stratified_sample",
     "dedup_keep_best",
     "curation_pipeline",
+    "doc_token_entropy",
+    "neardup_sparse_cosine",
 ]
 
 
