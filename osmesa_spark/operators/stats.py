@@ -105,10 +105,22 @@ def default_measurements(tags_col: str = "tags") -> F.Column:
     )
 
 
+def _is_polygon_countries(countries: dict) -> bool:
+    """Polygon form: values are vertex lists [(lon, lat), ...]; bbox form:
+    4-float tuples."""
+    v = next(iter(countries.values()), None)
+    return bool(v) and isinstance(v[0], (list, tuple))
+
+
 def build_features(
-    history: DataFrame, countries: BBoxCountries | None = None
+    history: DataFrame, countries: dict | None = None
 ) -> DataFrame:
-    """history → unified point/way features with deltas (and countries)."""
+    """history → unified point/way features with deltas (and countries).
+    `countries` takes either bbox rectangles (code → (x0, y0, x1, y1)) or
+    TRUE polygon rings (code → [(lon, lat), ...], concave-safe ray-cast —
+    Countries.scala parity)."""
+    from osmesa_spark.operators.geocode import geocode_polygons
+
     nodes = P.preprocess_nodes(history)
     ways = P.preprocess_ways(history)
     points = G.construct_point_geometries(nodes)
@@ -117,7 +129,10 @@ def build_features(
     feats = G.with_prev_geom(feats)
     feats = G.with_deltas(feats)
     if countries is not None:
-        feats = geocode(feats, countries)
+        coder = (
+            geocode_polygons if _is_polygon_countries(countries) else geocode
+        )
+        feats = coder(feats, countries)
     else:
         feats = feats.withColumn("countries", F.array().cast("array<string>"))
     return feats

@@ -306,7 +306,7 @@ def osm_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def osm_changeset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = changeset_stats(
-        _history(spark), _changesets(spark), countries=datagen.COUNTRIES
+        _history(spark), _changesets(spark), countries=datagen.COUNTRY_POLYGONS
     )
     def cnt(k: str):
         return F.coalesce(F.try_element_at("counts", F.lit(k)), F.lit(0)).alias(k)
@@ -414,34 +414,39 @@ def osm_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _raycast_cond(ring, lon: str, lat: str) -> str:
+    """SQL condition replaying geocode.point_in_ring's even-odd ray-cast
+    with the identical IEEE double expression per edge (envelope pre-check
+    + strict-inequality crossing count), so both engines agree
+    bit-for-bit."""
+    xs = [float(x) for x, _ in ring]
+    ys = [float(y) for _, y in ring]
+    n = len(ring)
+    terms = []
+    for i in range(n):
+        j = (i + 1) % n
+        xi, yi, xj, yj = xs[i], ys[i], xs[j], ys[j]
+        terms.append(
+            f"(CASE WHEN (({yi!r} > {lat}) <> ({yj!r} > {lat})) AND "
+            f"{lon} < ({xj!r} - {xi!r}) * ({lat} - {yi!r}) / "
+            f"({yj!r} - {yi!r}) + {xi!r} THEN 1 ELSE 0 END)"
+        )
+    env = (
+        f"{lon} >= {min(xs)!r} AND {lon} <= {max(xs)!r} AND "
+        f"{lat} >= {min(ys)!r} AND {lat} <= {max(ys)!r}"
+    )
+    return f"{env} AND ({' + '.join(terms)}) % 2 = 1"
+
+
 def _geocode_raycast_sql() -> str:
-    """Per-country SELECT with the SAME even-odd ray-cast the engine's
-    Column path evaluates (identical IEEE double expression per edge, so
-    strict-inequality crossings agree bit-for-bit), unrolled over the ring's
-    edges — including the concave 'DDD' country where bbox containment and
-    the ray-cast genuinely disagree."""
+    """Per-country SELECT over the node points — including the concave
+    'DDD' country where bbox containment and the ray-cast genuinely
+    disagree."""
     parts = []
     for code, ring in sorted(datagen.COUNTRY_POLYGONS.items()):
-        xs = [float(x) for x, _ in ring]
-        ys = [float(y) for _, y in ring]
-        n = len(ring)
-        terms = []
-        for i in range(n):
-            j = (i + 1) % n
-            xi, yi, xj, yj = xs[i], ys[i], xs[j], ys[j]
-            terms.append(
-                f"(CASE WHEN (({yi!r} > lat) <> ({yj!r} > lat)) AND "
-                f"lon < ({xj!r} - {xi!r}) * (lat - {yi!r}) / "
-                f"({yj!r} - {yi!r}) + {xi!r} THEN 1 ELSE 0 END)"
-            )
-        cond = " + ".join(terms)
-        env = (
-            f"lon >= {min(xs)!r} AND lon <= {max(xs)!r} AND "
-            f"lat >= {min(ys)!r} AND lat <= {max(ys)!r}"
-        )
         parts.append(
             f"SELECT id, version::INT AS version, '{code}' AS code\n"
-            f"   FROM pts WHERE {env} AND ({cond}) % 2 = 1"
+            f"   FROM pts WHERE {_raycast_cond(ring, 'lon', 'lat')}"
         )
     return "\n   UNION ALL\n   ".join(parts)
 
@@ -558,7 +563,7 @@ def _stats_df(spark: SparkSession) -> DataFrame:
     if key not in _STATS_CACHE:
         _STATS_CACHE.clear()  # at most one live session in tests/bench
         _STATS_CACHE[key] = changeset_stats(
-            _history(spark), _changesets(spark), countries=datagen.COUNTRIES
+            _history(spark), _changesets(spark), countries=datagen.COUNTRY_POLYGONS
         ).localCheckpoint()
     return _STATS_CACHE[key]
 
@@ -646,13 +651,14 @@ OSM_HASHTAG_USER_STATISTICS_SQL = f"""
 
 
 # country edit counts per changeset = geocoded feature counts; re-derive in
-# SQL from node + way features using the same centroid-bbox rule
+# SQL from node + way centroids with the same polygon ray-cast the engine's
+# stats pipeline runs (true borders incl. the concave country)
 def _geocode_pts_union_sql() -> str:
     parts = []
-    for code, (x0, y0, x1, y1) in sorted(datagen.COUNTRIES.items()):
+    for code, ring in sorted(datagen.COUNTRY_POLYGONS.items()):
         parts.append(
             f"SELECT changeset, '{code}' AS code FROM pts "
-            f"WHERE cx >= {x0} AND cx <= {x1} AND cy >= {y0} AND cy <= {y1}"
+            f"WHERE {_raycast_cond(ring, 'cx', 'cy')}"
         )
     return "\n        UNION ALL\n        ".join(parts)
 
