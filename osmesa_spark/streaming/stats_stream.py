@@ -28,15 +28,23 @@ from osmesa_spark.sinks.upsert import CheckpointTable, ParquetUpsertTable
 
 
 def augdiff_feature_stats(
-    diffs: DataFrame, countries: BBoxCountries | None = None
+    diffs: DataFrame, countries: dict | None = None
 ) -> DataFrame:
     """Per-feature counts/measurements on an (augmented-diff) element stream.
-    Works identically on bounded and unbounded inputs (T8)."""
+    Works identically on bounded and unbounded inputs (T8). `countries`
+    takes bbox rectangles or TRUE polygon rings (ray-cast, concave-safe) —
+    same dual form as the batch pipeline."""
+    from osmesa_spark.operators.geocode import geocode_polygons
+    from osmesa_spark.operators.stats import _is_polygon_countries
+
     feats = diffs.where(is_tagged("tags")).withColumn(
         "event_time", sequence_to_timestamp("sequence")
     )
     if countries is not None:
-        feats = geocode(feats, countries)
+        coder = (
+            geocode_polygons if _is_polygon_countries(countries) else geocode
+        )
+        feats = coder(feats, countries)
     else:
         feats = feats.withColumn("countries", F.array().cast("array<string>"))
     # deltas on the stream come from geom/prevGeom pairs carried by the diff

@@ -494,3 +494,24 @@ def test_streaming_session_windows_finalize(spark, tmp_path):
         (1, "2024-01-01 10:00:00", 2),
         (2, "2024-01-01 10:05:00", 1),
     }
+
+
+def test_bounded_rollup_polygon_countries(spark, dirs):
+    """The streaming stats chain accepts polygon country rings (ray-cast)
+    interchangeably with bboxes — same rollup totals either way."""
+    from osmesa_spark.datagen import COUNTRY_POLYGONS
+
+    good, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"))
+    )
+    bbox_total = (
+        S.streaming_changeset_stats(good, COUNTRIES)
+        .agg(F.sum("total_edits"))
+        .first()[0]
+    )
+    poly_total = (
+        S.streaming_changeset_stats(good, COUNTRY_POLYGONS)
+        .agg(F.sum("total_edits"))
+        .first()[0]
+    )
+    assert poly_total == bbox_total == good.count()
