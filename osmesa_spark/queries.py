@@ -2809,6 +2809,84 @@ def q_neardup_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_recall_lsh",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    bq AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+    bscored AS (
+        SELECT bq.query_id, v.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qv, v.v)
+                     / GREATEST(sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(v.v, v.v)), 1e-12),
+                     6) AS cos
+        FROM bq JOIN v ON bq.query_id <> v.vec_id),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM bscored) WHERE rank <= 5),
+    bk AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM v),
+    lq AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bk
+           WHERE vec_id < 8),
+    lscored AS (
+        SELECT query_id, bk.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qv, bk.v)
+                     / GREATEST(sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(bk.v, bk.v)), 1e-12),
+                     6) AS cos
+        FROM lq JOIN bk USING (bucket) WHERE query_id <> bk.vec_id),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM lscored) WHERE rank <= 5),
+    hits AS (
+        SELECT bf.query_id, COUNT(*)::BIGINT AS hits
+        FROM bf JOIN lsh USING (query_id, neighbor_id)
+        GROUP BY bf.query_id)
+    SELECT q.query_id,
+           ROUND(COALESCE(h.hits, 0) / 5.0, 2) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    LEFT JOIN hits h USING (query_id)
+    ORDER BY query_id
+    """,
+    doc="ANN quality evaluation: recall@5 of the sign-LSH probe against "
+    "the exact brute-force top-k, per query — the measurement loop that "
+    "tunes the bucket-count/recall trade-off before scaling an index out. "
+    "Composes the two existing operators; the join is on (query, "
+    "neighbor) pairs, both sides already top-k-pruned (similarity "
+    "extension)",
+)
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    bf = sim.knn_bruteforce(e, q, k=5).select("query_id", "neighbor_id")
+    lsh = sim.knn_lsh(e, q, _LSH_PLANES, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        bf.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("hits", F.lit(0)) / 5.0, 2).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 # BM25 constants (Robertson/Okapi defaults) and the fixed query-term set —
 # literals shared by engine and oracle.
 _BM25_K1, _BM25_B = 1.2, 0.75
@@ -2947,6 +3025,7 @@ DRIVER_PRIORITY = [
     "doc_token_entropy",
     "neardup_sparse_cosine",
     "doc_bm25_topk",
+    "ann_recall_lsh",
     # flagship re-verification (previously green rounds 1-2)
     "changeset_stats",
     "user_statistics",

@@ -138,10 +138,18 @@ def test_jdbc_streaming_end_to_end(spark, dirs, tmp_path):
     )
     deadline = time.time() + 120
     while time.time() < deadline:
-        if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
+        processed = any(
+            p["numInputRows"] > 0 for p in (q.recentProgress or [])
+        )
+        if (
+            processed
+            and not q.status["isDataAvailable"]
+            and not q.status["isTriggerActive"]
+        ):
             time.sleep(1)
             if not q.status["isDataAvailable"]:
                 break
+        time.sleep(0.5)
     q.stop()
     sink = J.JdbcStatsSink(db)
     good, _ = R.split_errors(

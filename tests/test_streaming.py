@@ -81,16 +81,27 @@ def test_streaming_upsert_idempotent(spark, dirs, tmp_path):
         str(tmp_path / "ckpt"),
         countries=COUNTRIES,
     )
-    # wait until all 4 files are processed
+    # wait until all 4 files are processed: idle status alone can race the
+    # source's first listing under load — also require a committed batch
     deadline = time.time() + 120
     while time.time() < deadline:
-        if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
+        processed = any(
+            p["numInputRows"] > 0 for p in (q.recentProgress or [])
+        )
+        if (
+            processed
+            and not q.status["isDataAvailable"]
+            and not q.status["isTriggerActive"]
+        ):
             time.sleep(1)
             if not q.status["isDataAvailable"]:
                 break
+        time.sleep(0.5)
     q.stop()
     table = ParquetUpsertTable(table_path)
-    first = table.read(spark).orderBy("id").collect()
+    stored = table.read(spark)
+    assert stored is not None, "stream committed no batches before deadline"
+    first = stored.orderBy("id").collect()
     assert len(first) > 0
     total_after_stream = sum(r["total_edits"] for r in first)
     good, _ = R.split_errors(
