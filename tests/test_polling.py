@@ -152,3 +152,29 @@ def test_dropdir_bridge_feeds_augdiff_source(spark, tmp_path):
     assert set(
         r["sequence"] for r in good.select("sequence").distinct().collect()
     ) == {1000, 1001, 1002}
+
+
+def test_http_endpoint_404_and_fetch(tmp_path):
+    """Real HTTP transport: state + payload fetch over a local http.server;
+    an unpublished sequence is a 404 → SequenceNotReady, not an error."""
+    import http.server
+    import threading
+
+    base = str(tmp_path)
+    _publish(base, 1, b"hello-http")
+    _set_state(base, 1)
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=base, **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        ep = PL.ReplicationEndpoint(f"http://127.0.0.1:{srv.server_port}")
+        assert ep.current_sequence() == 1
+        assert ep.fetch(1) == b"hello-http"  # gunzipped transparently
+        with pytest.raises(PL.SequenceNotReady):
+            ep.fetch(2)
+    finally:
+        srv.shutdown()
+        srv.server_close()
