@@ -339,9 +339,30 @@ def write_augdiff_dropdir(
             visible = rng.random() > 0.05
             lon, lat = rng.uniform(-10, 10), rng.uniform(-10, 10)
             is_way = rng.random() < 0.3
+            is_poly = is_way and rng.random() < 0.4
             tags = dict([rng.choice([("building", "yes"), ("highway", "residential"),
                                      ("waterway", "river"), ("natural", "coastline")])])
-            if is_way:
+            if is_poly:
+                # closed ring → Polygon diffs exercise the areaDelta path
+                # (landuse_km2/natural_km2 measurements)
+                tags = dict([rng.choice([("landuse", "farmland"),
+                                         ("natural", "wood"),
+                                         ("building", "yes")])])
+                w, h = rng.uniform(0.002, 0.01), rng.uniform(0.002, 0.01)
+                ring = [(lon, lat), (lon + w, lat), (lon + w, lat + h),
+                        (lon, lat + h), (lon, lat)]
+                geom = [{"lon": x, "lat": y} for x, y in ring]
+                prev_geom = (
+                    [
+                        {"lon": lon + (p["lon"] - lon) * 0.8,
+                         "lat": lat + (p["lat"] - lat) * 0.8}
+                        for p in geom
+                    ]
+                    if version > 1
+                    else None
+                )
+                gtype = "Polygon"
+            elif is_way:
                 geom = [
                     {"lon": lon + 0.001 * k, "lat": lat + 0.0005 * k}
                     for k in range(rng.randint(2, 6))

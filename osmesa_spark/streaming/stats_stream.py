@@ -56,9 +56,25 @@ def augdiff_feature_stats(
     prev_len = F.when(
         F.col("geomType") == "LineString", geo.line_length_m(F.col("prevGeom"))
     ).otherwise(F.lit(0.0))
+    # withAreaDelta parity (StreamingChangesetStatsUpdater.scala:119): the
+    # diff carries both ring geometries, so the polygon area delta is the
+    # same Column fold the batch path uses (augdiffs tag the FEATURE's
+    # geomType; the prev ring shares it)
+    ring_area = F.when(
+        F.col("geomType") == "Polygon", geo.ring_area_m2(F.col("geom"))
+    ).otherwise(F.lit(0.0))
+    prev_area = F.when(
+        F.col("geomType") == "Polygon", geo.ring_area_m2(F.col("prevGeom"))
+    ).otherwise(F.lit(0.0))
     feats = feats.withColumn(
         "linearDelta", F.abs(F.coalesce(line_len, F.lit(0.0)) - F.coalesce(prev_len, F.lit(0.0)))
-    ).withColumn("areaDelta", F.lit(0.0))
+    ).withColumn(
+        "areaDelta",
+        F.abs(
+            F.coalesce(ring_area, F.lit(0.0))
+            - F.coalesce(prev_area, F.lit(0.0))
+        ),
+    )
     return feats.select(
         "event_time",
         "sequence",

@@ -526,3 +526,20 @@ def test_bounded_rollup_polygon_countries(spark, dirs):
         .first()[0]
     )
     assert poly_total == bbox_total == good.count()
+
+
+def test_streaming_area_delta_flows_to_measurements(spark, dirs):
+    """withAreaDelta parity (StreamingChangesetStatsUpdater.scala:119):
+    Polygon diffs must produce nonzero landuse/natural km² measurements."""
+    good, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"))
+    )
+    assert good.where(F.col("geomType") == "Polygon").count() > 0
+    st = S.streaming_changeset_stats(good, COUNTRIES)
+    km2 = (
+        st.select(F.explode("measurements"))
+        .where(F.col("key").rlike("^(landuse|natural)_km2"))
+        .agg(F.sum("value"))
+        .first()[0]
+    )
+    assert km2 is not None and km2 > 0
