@@ -142,3 +142,18 @@ EXTENSIONS_JVM_ONLY = [
 def test_extension_plans_stay_jvm_side(spark, name):
     df = Q.registry()[name].spark(spark, SF_CORRECT)
     assert_scaleable(df, allow_python=False)
+
+
+def test_driver_priority_window_integrity():
+    """Every DRIVER_PRIORITY name must exist (a typo silently wastes one of
+    the external checker's 50 slots), and the first 50 registry entries
+    must contain all osm_* parity pipelines."""
+    from osmesa_spark.queries import DRIVER_PRIORITY
+
+    reg = Q.registry()
+    missing = [n for n in DRIVER_PRIORITY if n not in reg]
+    assert not missing, f"DRIVER_PRIORITY names not in registry: {missing}"
+    window = list(reg)[:50]
+    osm = [n for n in reg if n.startswith("osm_")]
+    left_out = sorted(set(osm) - set(window))
+    assert not left_out, f"osm_* queries outside the 50-entry window: {left_out}"
