@@ -398,3 +398,55 @@ def test_kmeans_separates_obvious_blobs(spark):
 
     again = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd(df, k=2, iters=3).collect()}
     assert again == out
+
+
+def test_asof_join_differential_vs_pandas(spark):
+    """Differential check against pandas merge_asof (an independent
+    backward-asof implementation) on randomized inputs with unique right
+    (key, time) pairs — including NULL right values, which must carry
+    through as NULL (not resolve to older rows)."""
+    import random as _random
+
+    import pandas as pd
+
+    rng = _random.Random(1234)
+    for _ in range(5):
+        keys = [1, 2, 3]
+        left_rows = [
+            (i, rng.choice(keys), rng.randint(0, 50))
+            for i in range(40)
+        ]
+        right_pairs = set()
+        right_rows = []
+        for j in range(30):
+            k, t = rng.choice(keys), rng.randint(0, 50)
+            if (k, t) in right_pairs:
+                continue
+            right_pairs.add((k, t))
+            v = None if rng.random() < 0.3 else rng.randint(100, 999)
+            right_rows.append((k, t, v))
+        left = spark.createDataFrame(
+            left_rows, "event_id long, k long, t long"
+        )
+        right = spark.createDataFrame(
+            right_rows, "k long, t long, v long"
+        )
+        from osmesa_spark.operators.asof import asof_join
+
+        got = {
+            r["event_id"]: r["asof_v"]
+            for r in asof_join(
+                left, right, key="k", time_col="t", value_cols=["v"]
+            ).collect()
+        }
+        lp = pd.DataFrame(left_rows, columns=["event_id", "k", "t"]).sort_values("t")
+        rp = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values("t")
+        merged = pd.merge_asof(
+            lp, rp, on="t", by="k", direction="backward",
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.v) else int(r.v))
+            for r in merged.itertuples()
+        }
+        assert got == want
