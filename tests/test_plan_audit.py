@@ -157,3 +157,19 @@ def test_driver_priority_window_integrity():
     osm = [n for n in reg if n.startswith("osm_")]
     left_out = sorted(set(osm) - set(window))
     assert not left_out, f"osm_* queries outside the 50-entry window: {left_out}"
+
+
+def test_deskewed_gram_queries_have_no_holder_lists(spark):
+    """The r3 de-skews: decontaminate_overlap broadcasts the eval-gram set
+    and doc_dup_ngram_fraction uses the singleton identity — neither plan
+    may regress to per-gram collect_list holder arrays (the reducer-side
+    OOM shape at 100 TB)."""
+    for name in ("decontaminate_overlap", "doc_dup_ngram_fraction"):
+        df = Q.registry()[name].spark(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan, f"{name}: holder list in plan"
+    a = assert_scaleable(
+        Q.registry()["decontaminate_overlap"].spark(spark, SF_CORRECT),
+        allow_python=False,
+    )
+    assert a.broadcast_joins >= 1, "eval-gram set not broadcast"
