@@ -1,0 +1,191 @@
+"""Composed batch apps — the runnable entry points a reference user has
+(`src/apps/src/main/scala/osmesa/apps/batch/`), each a thin composition of
+the engine's operators:
+
+  * `merge_changesets` — MergeChangesets.scala:75-118: extend an existing
+    changesets table with newer replication metadata, resuming from the
+    table's own last-modified timestamp.
+  * `footprint` — FootprintCreator.scala:40-110 + Footprints.scala: per-user
+    or per-hashtag tiled edit footprints (faceted tile pyramid), with the
+    optional hashtag-list file filter (S3Utils.readText / local file — S15).
+  * `changeset_stats_app` / `edit_histogram_app` — the two flagship
+    creators, already first-class operators (stats.changeset_stats,
+    vectorgrid pyramid); wrapped here so every `src/apps/batch` entry point
+    has a callable twin.
+
+All outputs are DataFrames; writing (ORC single-file, MVT pyramid, JDBC
+upsert) composes with the sinks package exactly as the reference chains
+`.repartition(1).write.orc` / tile writers / ForeachWriters.
+"""
+
+from __future__ import annotations
+
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text_lines(uri: str) -> list[str]:
+    """S3Utils.readText parity (S15): fetch a small text resource (hashtag
+    allow-list) from any urllib-able URI (file://, http(s)://, s3-over-http)
+    and return non-empty trimmed lowercased lines — the reference's hashtag
+    normalization (FootprintCreator.scala:61-72)."""
+    with urllib.request.urlopen(uri) as resp:
+        text = resp.read().decode("utf-8", "replace")
+    return [ln.strip().lower() for ln in text.splitlines() if ln.strip()]
+
+
+# MergeChangesets drops the per-run columns before the union
+_CS_COLUMNS = [
+    "id", "tags", "createdAt", "open", "closedAt", "commentsCount",
+    "minLat", "maxLat", "minLon", "maxLon", "numChanges", "uid", "user",
+]
+
+
+def merge_changesets(
+    spark: SparkSession,
+    existing: DataFrame,
+    drop_dir: str,
+    end_sequence: int | None = None,
+) -> DataFrame:
+    """MergeChangesets.scala:75-118: top up a changesets table with newer
+    replication metadata.
+
+    The reference derives the resume point from the table itself
+    (max(coalesce(closedAt, createdAt)) → replication sequence) and unions
+    the new source rows; since its start sequence is derived, overlap
+    "cannot" happen — we additionally collapse id collisions keeping the
+    newest row (max by coalesce(closedAt, createdAt), new side winning
+    ties), so a replayed sequence range cannot duplicate ids. One
+    argmax-via-max(struct) shuffle on id; no windows."""
+    from osmesa_spark.functions.timeseq import timestamp_to_sequence
+    from osmesa_spark.sources.replication import read_changeset_metadata
+
+    last_modified_seq = (
+        existing.agg(
+            F.max(
+                timestamp_to_sequence(F.coalesce("closedAt", "createdAt"))
+            ).alias("s")
+        ).first()["s"]
+    )
+    new = read_changeset_metadata(spark, drop_dir).where(
+        F.col("sequence") > F.lit(last_modified_seq)
+    )
+    if end_sequence is not None:
+        new = new.where(F.col("sequence") <= end_sequence)
+    unioned = new.select(*_CS_COLUMNS, F.lit(1).alias("__new")).unionByName(
+        existing.select(*_CS_COLUMNS, F.lit(0).alias("__new"))
+    )
+    payload = F.struct(*[F.col(c) for c in _CS_COLUMNS if c != "id"])
+    order_key = F.struct(
+        F.coalesce("closedAt", "createdAt").alias("__ts"), F.col("__new")
+    )
+    return (
+        unioned.groupBy("id")
+        .agg(F.max_by(payload, order_key).alias("__r"))
+        .select(
+            "id",
+            *[F.col(f"__r.{c}").alias(c) for c in _CS_COLUMNS if c != "id"],
+        )
+    )
+
+
+def footprint(
+    spark: SparkSession,
+    history: DataFrame,
+    changesets: DataFrame | None = None,
+    hashtags_uri: str | None = None,
+    kind: str = "user",
+    base_zoom: int = 10,
+    cells: int = 1,
+) -> DataFrame:
+    """FootprintCreator parity: tiled edit footprints per entity.
+
+    kind="user": every located node version counts toward its uid's
+    footprint. kind="hashtag": node versions join their changeset's
+    hashtags (requires `changesets`); `hashtags_uri` optionally restricts
+    to an allow-list fetched via `read_text_lines`.
+
+    Output: (entity, zoom, abs_col, abs_row, value) for zooms
+    base_zoom..0 — the faceted pyramid (one partial-agg shuffle per level,
+    facet key rides the same exchange). Feed `sinks.mvt.write_tile_pyramid`
+    per entity for the reference's vector-tile output."""
+    from osmesa_spark.functions.text import hashtags as hashtag_fn
+    from osmesa_spark.functions.text import merge_sets
+    from osmesa_spark.operators import vectorgrid as VG
+
+    nodes = history.where(
+        (F.col("type") == "node")
+        & F.col("lat").isNotNull()
+        & F.col("lon").isNotNull()
+    )
+    if kind == "user":
+        pts = nodes.select(F.col("uid").alias("entity"), "lon", "lat")
+    elif kind == "hashtag":
+        if changesets is None:
+            raise ValueError("kind='hashtag' requires the changesets table")
+        cs_tags = changesets.select(
+            F.col("id").alias("cs_id"),
+            F.explode(
+                merge_sets(
+                    hashtag_fn(F.col("tags").getItem("comment")),
+                    F.filter(
+                        F.transform(
+                            F.split(
+                                F.coalesce(
+                                    F.col("tags").getItem("hashtags"),
+                                    F.lit(""),
+                                ),
+                                ";",
+                            ),
+                            lambda x: F.lower(F.trim(x)),
+                        ),
+                        lambda x: x != "",
+                    ),
+                )
+            ).alias("entity"),
+        )
+        if hashtags_uri is not None:
+            allow = read_text_lines(hashtags_uri)
+            cs_tags = cs_tags.where(F.col("entity").isin(allow))
+        pts = nodes.select(
+            F.col("changeset").alias("cs_id"), "lon", "lat"
+        ).join(F.broadcast(cs_tags), "cs_id")
+    else:
+        raise ValueError(f"unknown footprint kind: {kind!r}")
+    base = VG.tile_points(
+        pts, zoom=base_zoom, cells=cells, key_cols=["entity"]
+    )
+    return VG.pyramid(base, base_zoom=base_zoom, key_cols=["entity"])
+
+
+def changeset_stats_app(
+    spark: SparkSession,
+    history: DataFrame,
+    changesets: DataFrame,
+    countries: dict | None = None,
+) -> DataFrame:
+    """ChangesetStatsCreator.scala:86-163 — the flagship batch pipeline."""
+    from osmesa_spark.operators.stats import changeset_stats
+
+    return changeset_stats(history, changesets, countries=countries)
+
+
+def edit_histogram_app(
+    spark: SparkSession,
+    history: DataFrame,
+    base_zoom: int = 10,
+    cells: int = 1,
+) -> DataFrame:
+    """EditHistogramTileCreator → EditHistogram.create parity: node edit
+    density pyramid (unfaceted)."""
+    from osmesa_spark.operators import vectorgrid as VG
+
+    nodes = history.where(
+        (F.col("type") == "node")
+        & F.col("lat").isNotNull()
+        & F.col("lon").isNotNull()
+    )
+    base = VG.tile_points(nodes, zoom=base_zoom, cells=cells)
+    return VG.pyramid(base, base_zoom=base_zoom)

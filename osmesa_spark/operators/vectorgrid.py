@@ -46,10 +46,16 @@ def tile_points(
     lon_col: str = "lon",
     lat_col: str = "lat",
     weight_col: str | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """G1+G2 fast path for points: assign (zoom, tx, ty, ccol, crow) and sum
     weights per cell — `x/y` are Web-Mercator unit coordinates so the cell is
-    `floor(unit * 2^zoom * cells) mod cells`."""
+    `floor(unit * 2^zoom * cells) mod cells`.
+
+    `key_cols` facets the histogram per entity (user id, hashtag, …) — the
+    FacetedEditHistogram/Footprint shape: one extra grouping key, same
+    single partial-agg shuffle."""
+    keys = list(key_cols or [])
     n_abs = float((1 << zoom) * cells)
     ux = geo.lon_to_unit(F.col(lon_col))
     uy = geo.lat_to_unit(F.col(lat_col))
@@ -61,39 +67,48 @@ def tile_points(
     ).cast("bigint")
     w = F.col(weight_col) if weight_col else F.lit(1)
     keyed = df.select(
+        *keys,
         F.lit(zoom).alias("zoom"),
         abs_col.alias("abs_col"),
         abs_row.alias("abs_row"),
         w.cast("bigint").alias("value"),
     )
     return (
-        keyed.groupBy("zoom", "abs_col", "abs_row")
+        keyed.groupBy(*keys, "zoom", "abs_col", "abs_row")
         .agg(F.sum("value").alias("value"))
     )
 
 
-def downsample(raster: DataFrame, dz: int = 1) -> DataFrame:
+def downsample(
+    raster: DataFrame, dz: int = 1, key_cols: list[str] | None = None
+) -> DataFrame:
     """G3: parent level(s) — absolute cell coords shift right by dz, values
     sum (reference resamples with Sum, Implicits.scala:188-220)."""
+    keys = list(key_cols or [])
     return (
         raster.select(
+            *keys,
             (F.col("zoom") - dz).alias("zoom"),
             F.shiftrightunsigned("abs_col", dz).alias("abs_col"),
             F.shiftrightunsigned("abs_row", dz).alias("abs_row"),
             "value",
         )
-        .groupBy("zoom", "abs_col", "abs_row")
+        .groupBy(*keys, "zoom", "abs_col", "abs_row")
         .agg(F.sum("value").alias("value"))
     )
 
 
-def pyramid(base: DataFrame, base_zoom: int = BASE_ZOOM) -> DataFrame:
+def pyramid(
+    base: DataFrame,
+    base_zoom: int = BASE_ZOOM,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
     """G5: all zoom levels base_zoom..0 as one DataFrame. Chained halving —
     each level is one hash-agg over the (4× smaller) previous level."""
     levels = [base]
     current = base
     for _z in range(base_zoom, 0, -1):
-        current = downsample(current, 1)
+        current = downsample(current, 1, key_cols=key_cols)
         levels.append(current)
     out = levels[0]
     for lv in levels[1:]:

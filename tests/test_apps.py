@@ -1,0 +1,147 @@
+"""Composed batch apps (src/apps/batch parity): MergeChangesets resume +
+id-collision collapse, user/hashtag footprints with the allow-list file,
+edit-histogram pyramid sums."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmesa_spark import apps as A
+from osmesa_spark.functions.timeseq import (
+    SEQUENCE_EPOCH_BASE,
+    SEQUENCE_INTERVAL_S,
+)
+
+
+def _seq_ts(seq: int) -> str:
+    return datetime.fromtimestamp(
+        SEQUENCE_EPOCH_BASE + seq * SEQUENCE_INTERVAL_S, tz=timezone.utc
+    ).isoformat()
+
+
+def _meta_row(cs_id: int, seq: int, user: str, changes: int = 5) -> dict:
+    return {
+        "id": cs_id,
+        "tags": {"created_by": "iD 2.19", "comment": f"work by {user}"},
+        "createdAt": _seq_ts(seq),
+        "open": False,
+        "closedAt": _seq_ts(seq),
+        "commentsCount": 0,
+        "numChanges": changes,
+        "uid": 1,
+        "user": user,
+        "sequence": seq,
+    }
+
+
+def test_merge_changesets_resume_and_collision(spark, tmp_path):
+    drop = str(tmp_path / "meta")
+    os.makedirs(drop)
+    # sequences 100 (already absorbed), 200 and 300 (new)
+    for seq, rows in [
+        (100, [_meta_row(1, 100, "old-dup")]),
+        (200, [_meta_row(1, 200, "updated"), _meta_row(7, 200, "seven")]),
+        (300, [_meta_row(9, 300, "nine")]),
+    ]:
+        with open(os.path.join(drop, f"{seq}.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+
+    # existing table: ids 1 and 2, last modified at sequence 150 → resume
+    # strictly after 150, so sequence 100 must NOT be re-read
+    existing = spark.createDataFrame(
+        [
+            (1, {"k": "v"}, _seq_ts(90), False, _seq_ts(150), 0,
+             None, None, None, None, 3, 1, "old-dup"),
+            (2, {"k": "v"}, _seq_ts(95), False, _seq_ts(120), 0,
+             None, None, None, None, 4, 1, "two"),
+        ],
+        "id long, tags map<string,string>, createdAt string, "
+        "open boolean, closedAt string, commentsCount int, minLat double, "
+        "maxLat double, minLon double, maxLon double, numChanges int, "
+        "uid long, user string",
+    ).withColumns(
+        {
+            "createdAt": F.to_timestamp("createdAt"),
+            "closedAt": F.to_timestamp("closedAt"),
+        }
+    )
+    merged = A.merge_changesets(spark, existing, drop)
+    rows = {r["id"]: r for r in merged.collect()}
+    assert set(rows) == {1, 2, 7, 9}
+    assert rows[1]["user"] == "updated"  # id collision → newest row wins
+    assert rows[2]["user"] == "two"  # untouched existing row survives
+    assert rows[7]["user"] == "seven" and rows[9]["user"] == "nine"
+
+    bounded = A.merge_changesets(spark, existing, drop, end_sequence=200)
+    assert set(r["id"] for r in bounded.collect()) == {1, 2, 7}
+
+
+@pytest.fixture(scope="module")
+def history(spark):
+    from osmesa_spark.queries_osm import _history
+
+    return _history(spark)
+
+
+def test_footprint_user_totals(spark, history):
+    fp = A.footprint(spark, history, kind="user", base_zoom=6)
+    nodes = history.where(
+        (F.col("type") == "node")
+        & F.col("lat").isNotNull()
+        & F.col("lon").isNotNull()
+    )
+    expected = {
+        r["uid"]: r["n"]
+        for r in nodes.groupBy("uid").agg(F.count("*").alias("n")).collect()
+    }
+    base = {
+        r["entity"]: r["v"]
+        for r in fp.where(F.col("zoom") == 6)
+        .groupBy("entity")
+        .agg(F.sum("value").alias("v"))
+        .collect()
+    }
+    z0 = {
+        r["entity"]: r["v"]
+        for r in fp.where(F.col("zoom") == 0)
+        .groupBy("entity")
+        .agg(F.sum("value").alias("v"))
+        .collect()
+    }
+    assert base == expected  # every located node lands in its uid's facet
+    assert z0 == expected  # downsampling is sum-preserving per facet
+
+
+def test_footprint_hashtag_allowlist(spark, history, tmp_path):
+    from osmesa_spark.queries_osm import _changesets
+
+    cs = _changesets(spark)
+    full = A.footprint(
+        spark, history, changesets=cs, kind="hashtag", base_zoom=5
+    )
+    tags = [r["entity"] for r in full.select("entity").distinct().collect()]
+    assert len(tags) >= 2
+    keep = sorted(tags)[0]
+    allow = tmp_path / "hashtags.txt"
+    allow.write_text(f"{keep.upper()}\n\n")  # mixed case + blank line
+    filtered = A.footprint(
+        spark, history, changesets=cs, kind="hashtag",
+        hashtags_uri=allow.as_uri(), base_zoom=5,
+    )
+    got = {r["entity"] for r in filtered.select("entity").distinct().collect()}
+    assert got == {keep}
+
+
+def test_edit_histogram_pyramid_sum_preserving(spark, history):
+    hist = A.edit_histogram_app(spark, history, base_zoom=8)
+    sums = {
+        r["zoom"]: r["v"]
+        for r in hist.groupBy("zoom").agg(F.sum("value").alias("v")).collect()
+    }
+    assert len(set(sums.values())) == 1  # same total at every level
+    assert sorted(sums) == list(range(0, 9))
