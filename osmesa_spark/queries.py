@@ -2993,6 +2993,7 @@ DRIVER_PRIORITY = [
     "osm_geocode",
     "osm_hashtags",
     "osm_tile_pyramid",
+    "osm_user_footprint",
     "osm_user_statistics",
     "osm_hashtag_statistics",
     "osm_country_statistics",

@@ -517,18 +517,20 @@ def osm_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tile_level_sql(z: int) -> str:
+def _tile_level_sql(z: int, facet: str | None = None) -> str:
     n = float(1 << z)
     max_lat = 85.05112877980659
     ux = "((lon + 180.0) / 360.0)"
     clat = f"RADIANS(LEAST(GREATEST(lat, -{max_lat}), {max_lat}))"
     uy = f"((1.0 - LN(TAN({clat}) + 1.0/COS({clat})) / PI()) / 2.0)"
+    fsel = f"{facet},\n  " if facet else ""
+    group = "1, 2, 3, 4" if facet else "1, 2, 3"
     return (
-        f"SELECT {z}::INT AS zoom,\n"
+        f"SELECT {fsel}{z}::INT AS zoom,\n"
         f"  LEAST(GREATEST(FLOOR({ux} * {n}), 0), {n - 1})::BIGINT AS tx,\n"
         f"  LEAST(GREATEST(FLOOR({uy} * {n}), 0), {n - 1})::BIGINT AS ty,\n"
         f"  COUNT(*)::BIGINT AS density\n"
-        f"FROM pts GROUP BY 1, 2, 3"
+        f"FROM pts GROUP BY {group}"
     )
 
 
@@ -540,6 +542,38 @@ OSM_TILE_PYRAMID_SQL = (
     """
     + "\n UNION ALL \n".join(
         _tile_level_sql(z) for z in range(_TILE_BASE_ZOOM, -1, -1)
+    )
+)
+
+
+def osm_user_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FootprintCreator parity via the faceted pyramid: per-user node-edit
+    densities for zooms base..0 — the downsample path must agree with the
+    oracle's independent per-level floor (floor(u·2^z) ≡ floor(u·2^{z+1})>>1)
+    for EVERY facet."""
+    from osmesa_spark import apps as A
+
+    fp = A.footprint(
+        spark, _history(spark), kind="user", base_zoom=_TILE_BASE_ZOOM,
+        cells=1,
+    )
+    return fp.select(
+        F.col("entity").cast("bigint").alias("uid"),
+        F.col("zoom").cast("int").alias("zoom"),
+        F.col("abs_col").alias("tx"),
+        F.col("abs_row").alias("ty"),
+        F.col("value").cast("bigint").alias("density"),
+    )
+
+
+OSM_USER_FOOTPRINT_SQL = (
+    f"""
+    WITH pts AS (
+        SELECT uid, lon, lat FROM read_parquet('{_HISTORY}')
+        WHERE type = 'node' AND lat IS NOT NULL AND lon IS NOT NULL)
+    """
+    + "\n UNION ALL \n".join(
+        _tile_level_sql(z, facet="uid") for z in range(_TILE_BASE_ZOOM, -1, -1)
     )
 )
 
@@ -736,6 +770,14 @@ def register_osm_queries(register) -> None:
         OSM_TILE_PYRAMID_SQL,
         doc="vector-grid tile + pyramid (G1-G5): per-zoom Web-Mercator densities",
     )(osm_tile_pyramid)
+    register(
+        "osm_user_footprint",
+        OSM_USER_FOOTPRINT_SQL,
+        doc="per-user tiled edit footprint (FootprintCreator parity): the "
+        "FACETED vector-grid pyramid — facet key rides the single "
+        "partial-agg shuffle per level; oracle re-derives every level "
+        "independently from the points",
+    )(osm_user_footprint)
     register(
         "osm_user_statistics",
         OSM_USER_STATISTICS_SQL,
