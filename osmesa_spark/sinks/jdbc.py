@@ -286,6 +286,48 @@ class JdbcStatsSink:
             con.close()
 
 
+def run_streaming_metadata_to_jdbc(
+    meta_stream,
+    db_path: str,
+    checkpoint_dir: str,
+    proc_name: str = "changeset-metadata",
+):
+    """StreamingChangesetMetadataUpdater parity: changeset-metadata stream →
+    foreachBatch → users upsert (last name wins) + hashtag dictionary
+    insert (stable serials) + checkpoint row."""
+    from pyspark.sql import functions as FF
+
+    from osmesa_spark.functions.text import hashtags as hashtag_fn
+
+    sink = JdbcStatsSink(db_path)
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sink.upsert_users(
+            batch.select(FF.col("uid").alias("id"), "user").withColumnRenamed(
+                "user", "name"
+            )
+        )
+        tags = batch.select(
+            FF.explode(
+                hashtag_fn(FF.col("tags").getItem("comment"))
+            ).alias("hashtag")
+        )
+        if not tags.isEmpty():
+            sink.upsert_hashtags(tags)
+        max_seq = batch.agg(FF.max("sequence")).first()[0]
+        if max_seq is not None:
+            sink.save_checkpoint(proc_name, int(max_seq))
+
+    return (
+        meta_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+
+
 def run_streaming_stats_to_jdbc(
     diffs_stream: DataFrame,
     db_path: str,

@@ -157,3 +157,43 @@ def test_jdbc_streaming_end_to_end(spark, dirs, tmp_path):
     )
     assert sum(r["total_edits"] for r in sink.read_stats()) == good.count()
     assert sink.load_checkpoint("augmented-diff-stats") == 1003
+
+
+def test_jdbc_streaming_metadata_updater(spark, tmp_path):
+    """StreamingChangesetMetadataUpdater parity: metadata stream feeds the
+    users + hashtag-dictionary upserts with checkpoint bookkeeping."""
+    from osmesa_spark.datagen import write_changeset_meta_dropdir
+
+    drop = str(tmp_path / "meta")
+    write_changeset_meta_dropdir(drop, n_sequences=3, per_seq=8)
+    meta = R.read_changeset_metadata(spark, drop, streaming=True)
+    db = str(tmp_path / "meta.db")
+    q = J.run_streaming_metadata_to_jdbc(meta, db, str(tmp_path / "ckpt"))
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        processed = any(
+            p["numInputRows"] > 0 for p in (q.recentProgress or [])
+        )
+        if (
+            processed
+            and not q.status["isDataAvailable"]
+            and not q.status["isTriggerActive"]
+        ):
+            time.sleep(1)
+            if not q.status["isDataAvailable"]:
+                break
+        time.sleep(0.5)
+    q.stop()
+    sink = J.JdbcStatsSink(db)
+    con = J.connect(db)
+    users = dict(con.execute("SELECT id, name FROM users"))
+    tags = dict(
+        (h, i) for i, h in con.execute("SELECT id, hashtag FROM hashtags")
+    )
+    con.close()
+    bounded = R.read_changeset_metadata(spark, drop)
+    from pyspark.sql import functions as F
+
+    assert len(users) == bounded.select("uid").distinct().count()
+    assert len(tags) > 0  # fixture comments carry #hashtags
+    assert sink.load_checkpoint("changeset-metadata") == 1002
