@@ -321,6 +321,7 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     seed: int = 29,
     round_to: int = 6,
+    emit_vector: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column — the IVF
     coarse-quantizer trainer (`knn_ivf` consumes its `cluster` output) and
@@ -407,7 +408,7 @@ def kmeans_lloyd(
             )
         else:
 
-            def assign(batches, C=C, cid_arr=cid_arr):
+            def assign(batches, C=C, cid_arr=cid_arr, emit=emit_vector):
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
@@ -416,16 +417,25 @@ def kmeans_lloyd(
                         ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1),
                         round_to,
                     )
-                    yield pd.DataFrame(
-                        {
-                            "vid": pdf["vid"],
-                            "cluster": cid_arr[D.argmin(1)].astype("int32"),
-                        }
-                    )
+                    out = {
+                        "vid": pdf["vid"],
+                        "cluster": cid_arr[D.argmin(1)].astype("int32"),
+                    }
+                    if emit:
+                        out["v"] = pdf["v"]
+                    yield pd.DataFrame(out)
 
-            return v.mapInPandas(
-                assign, schema="vid long, cluster int"
-            ).withColumnRenamed("vid", id_col)
+            # emit_vector: consumers that need (id, cluster, vector) — e.g.
+            # SemDeDup's cluster-blocked self-join — skip a join back to
+            # the source table entirely (the kernel already holds the row)
+            schema = (
+                "vid long, cluster int, v array<double>"
+                if emit_vector
+                else "vid long, cluster int"
+            )
+            return v.mapInPandas(assign, schema=schema).withColumnRenamed(
+                "vid", id_col
+            )
 
 
 def semdedup(

@@ -2557,8 +2557,12 @@ def semdedup_k(n: int, target: int = SEMDEDUP_TARGET_CLUSTER) -> int:
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     k = semdedup_k(e.count())
-    clustered = e.join(sim.kmeans_lloyd(e, k=k, iters=2, seed=29), "vec_id")
-    return sim.semdedup(clustered, threshold=0.3).orderBy("vec_id")
+    # emit_vector: the assign kernel already holds each row, so the
+    # cluster-blocked self-join needs no join back to the source table
+    clustered = sim.kmeans_lloyd(e, k=k, iters=2, seed=29, emit_vector=True)
+    return sim.semdedup(clustered, threshold=0.3, vec_col="v").orderBy(
+        "vec_id"
+    )
 
 
 @register(
