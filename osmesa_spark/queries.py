@@ -1858,6 +1858,53 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    """
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '(.)', 1, 's')) AS ch,
+               generate_subscripts(regexp_extract_all(text, '(.)', 1, 's'), 1)
+                   AS pos
+        FROM documents),
+    cellsum AS (
+        SELECT doc_id, ((pos - 1) % 12)::INT AS cell,
+               SUM(unicode(ch))::BIGINT AS v
+        FROM chars GROUP BY doc_id, cell),
+    spine AS (
+        SELECT d.doc_id, r.cell
+        FROM (SELECT DISTINCT doc_id FROM documents) d,
+             (SELECT unnest(range(0, 12))::INT AS cell) r)
+    SELECT s.doc_id AS media_id, 4 AS out_w, 3 AS out_h,
+           string_agg(COALESCE(c.v, 0)::VARCHAR, ',' ORDER BY s.cell)
+               AS thumb
+    FROM spine s LEFT JOIN cellsum c
+      ON s.doc_id = c.doc_id AND s.cell = c.cell
+    GROUP BY s.doc_id
+    """,
+    doc="multimodal extension: thumbnail resize — Arrow-batched decode + "
+    "per-cell modular byte fold into a fixed 4x3 grid (the strided-mean "
+    "downsample shape; real codec gated behind the decode stub). thumb "
+    "emitted as a CSV string so external canonicalizers can sort it; "
+    "oracle re-derives cell sums from utf8 char codes with a full cell "
+    "spine for short bodies",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_media(d)
+    thumbs = mm.resize_thumbnail(media, tw=4, th=3)
+    return thumbs.select(
+        "media_id",
+        F.col("out_w").cast("int").alias("out_w"),
+        F.col("out_h").cast("int").alias("out_h"),
+        F.array_join(F.col("thumb").cast("array<string>"), ",").alias(
+            "thumb"
+        ),
+    )
+
+
+@register(
     "map_merge_simplify",
     f"""
     WITH {EVENTS_MICRO_CTE},
@@ -3009,6 +3056,7 @@ DRIVER_PRIORITY = [
     "neardup_cosine",
     "multimodal_features",
     "multimodal_frames",
+    "multimodal_resize",
     "map_merge_simplify",
     "supplier_region_rollup",
     "kv_map_assembly",
@@ -3041,7 +3089,6 @@ DRIVER_PRIORITY = [
     "dedup_components",
     "knn_ivf",
     "curation_pipeline",
-    "sequence_rollup",
 ]
 
 

@@ -15,6 +15,7 @@ from tests.conftest import SF_CORRECT
 PYTHON_OK = {
     "multimodal_features",
     "multimodal_frames",
+    "multimodal_resize",
     "building_match",
     "building_match_volume",
     "building_match_support",
