@@ -5,11 +5,16 @@ and the DuckDB oracle read the exact same parquet.
 
 These give the driver's correctness gate direct coverage of:
   * preprocess validity windows (W1/W2 family)         → osm_node_validity
+  * snapshot-as-of validity filter                     → osm_snapshot_asof
   * way reconstruction w/ temporal join (J5+J6+A6)     → osm_way_reconstruction
+  * TRUE UTM planar areas (Snyder series, §2.8 geo)    → osm_utm_area
   * the full changeset-stats pipeline (P5/P6+A1+J3/J4) → osm_changeset_stats
-  * geocode point-in-polygon (J10)                     → osm_geocode
+  * geocode point-in-polygon ray-cast, concave (J10)   → osm_geocode
   * hashtag extraction + merge_sets (§2.8 string)      → osm_hashtags
   * vector-grid tile pyramid (G1-G5)                   → osm_tile_pyramid
+  * per-user faceted footprint pyramid (Footprint)     → osm_user_footprint
+  * the 4 rollup materialized views (A15/W3)           → osm_*_statistics
+  * multipolygon member resolution + ring assembly     → osm_relation_*
 """
 
 from __future__ import annotations
