@@ -1017,6 +1017,77 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_bins",
+    """
+    WITH f AS (
+        SELECT doc_id, source,
+               length(text) AS n_chars_c,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|in|a|is|for)\\b', 1)) AS stop_hits
+        FROM documents),
+    q AS (
+        SELECT doc_id, source,
+               ROUND(
+                 (alpha / GREATEST(n_chars_c, 1)) * 0.5
+                 + (CASE WHEN n_chars_c / GREATEST(n_tokens, 1)
+                              BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) * 0.25
+                 + LEAST((stop_hits / GREATEST(n_tokens, 1)) * 5.0, 1.0)
+                   * 0.25,
+               4) AS quality
+        FROM f),
+    th AS (
+        SELECT source,
+               quantile_cont(quality, 0.25) AS q1,
+               quantile_cont(quality, 0.50) AS q2,
+               quantile_cont(quality, 0.75) AS q3
+        FROM q GROUP BY source)
+    SELECT q.doc_id, q.source, q.quality,
+           (CASE WHEN q.quality <= th.q1 THEN 0
+                 WHEN q.quality <= th.q2 THEN 1
+                 WHEN q.quality <= th.q3 THEN 2
+                 ELSE 3 END)::INT AS quality_bin
+    FROM q JOIN th USING (source)
+    ORDER BY q.doc_id
+    """,
+    doc="per-source quality-quartile binning — the stratification primitive "
+    "under quality-filtered / curriculum sampling: exact per-source "
+    "quartiles (tiny aggregate) broadcast back onto the docs, bin via "
+    "CASE. No window over the corpus — the thresholds table is "
+    "sources×3 doubles regardless of corpus size; binning is a broadcast "
+    "join + codegen CASE (training-data extension). Bins compare the "
+    "4dp-rounded quality both sides so grid values can't straddle a "
+    "threshold differently across engines",
+)
+def q_doc_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", "source", quality_score("text").alias("quality"))
+    th = q.groupBy("source").agg(
+        F.percentile("quality", F.lit(0.25)).alias("q1"),
+        F.percentile("quality", F.lit(0.50)).alias("q2"),
+        F.percentile("quality", F.lit(0.75)).alias("q3"),
+    )
+    binned = (
+        F.when(F.col("quality") <= F.col("q1"), 0)
+        .when(F.col("quality") <= F.col("q2"), 1)
+        .when(F.col("quality") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        q.join(F.broadcast(th), "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            binned.cast("int").alias("quality_bin"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "doc_tfidf_top_terms",
     """
     WITH w AS (
@@ -3087,7 +3158,7 @@ DRIVER_PRIORITY = [
     "haversine_user_path",
     "minhash_lsh_pairs",
     "dedup_components",
-    "knn_ivf",
+    "doc_quality_bins",
     "curation_pipeline",
 ]
 
