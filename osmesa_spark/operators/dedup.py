@@ -245,6 +245,57 @@ def jaccard_verify(
     )
 
 
+def containment_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """DIRECTIONAL n-gram containment on candidate pairs:
+    cont_a = |A∩B|/|A| (fraction of A's shingles inside B), cont_b
+    symmetric; keep pairs with max(cont_a, cont_b) ≥ threshold. Catches
+    sub-document duplication — a short doc quoted inside a long one scores
+    near-1 containment while its Jaccard stays low (the CCNet/RefinedWeb
+    sub-dup signal the symmetric metric misses). Same single-join shape as
+    jaccard_verify."""
+    sh = ensure_parallelism(df.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+    )
+    sides = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
+    )
+    joined = (
+        sides.join(sh, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("id") == F.col("id_a"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("id") == F.col("id_b"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_b"),
+        )
+        .where(F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull())
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cont_a = inter / F.greatest(F.size("sh_a").cast("double"), F.lit(1.0))
+    cont_b = inter / F.greatest(F.size("sh_b").cast("double"), F.lit(1.0))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(cont_a, 4).alias("cont_a"),
+            F.round(cont_b, 4).alias("cont_b"),
+        )
+        .where(F.greatest("cont_a", "cont_b") >= threshold)
+    )
+
+
 def simhash64(text: Column | str, token_hash_bits: int = 60) -> Column:
     """64-bit (well, `token_hash_bits`-bit) SimHash of word tokens, pure
     Column HOFs: per-bit vote = sum over tokens of (+1 if bit set else -1);

@@ -1553,6 +1553,46 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_containment",
+    f"""
+    WITH {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
+    banded AS ({_band_bucket_sql(4, 4)}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    shd AS (SELECT doc_id, list_distinct(shs) AS shs FROM sh)
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(x.shs, y.shs))
+                 / GREATEST(len(x.shs), 1)::DOUBLE, 4) AS cont_a,
+           ROUND(len(list_intersect(x.shs, y.shs))
+                 / GREATEST(len(y.shs), 1)::DOUBLE, 4) AS cont_b
+    FROM cand JOIN shd x ON cand.id_a = x.doc_id
+              JOIN shd y ON cand.id_b = y.doc_id
+    WHERE GREATEST(
+            ROUND(len(list_intersect(x.shs, y.shs))
+                  / GREATEST(len(x.shs), 1)::DOUBLE, 4),
+            ROUND(len(list_intersect(x.shs, y.shs))
+                  / GREATEST(len(y.shs), 1)::DOUBLE, 4)) >= 0.8
+    """,
+    doc="directional n-gram containment on LSH candidates — the "
+    "sub-document duplication signal (short doc quoted inside a long one "
+    "scores ~1 containment at low Jaccard); same verify-candidates-only "
+    "shape as neardup_jaccard (dedup extension)",
+)
+def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=16)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    return dd.containment_verify(d, pairs, threshold=0.8).select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        "cont_a",
+        "cont_b",
+    )
+
+
+@register(
     "dedup_components",
     f"""
     WITH RECURSIVE {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
