@@ -148,7 +148,10 @@ def _pair_combinations(ids: Column) -> Column:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature and emit candidate pairs per (band, band-hash)
     bucket. Returns (id_a, id_b) pairs with id_a < id_b, distinct.
@@ -161,7 +164,16 @@ def lsh_candidate_pairs(
     never materialized — the LSH guarantee that keeps near-dup detection
     subquadratic. Bucket membership lists are small by design (near-dup
     buckets); a pathological hot bucket is O(n²) in EITHER shape, and
-    the pair explosion happens after the exchange at full parallelism."""
+    the pair explosion happens after the exchange at full parallelism.
+
+    `max_bucket` caps degenerate buckets at 100 TB scale: a bucket holding
+    millions of ids (boilerplate/empty-text collisions) would materialize
+    one reducer-side array AND emit useless O(n²) candidates — standard
+    LSH practice (datasketch, Spark MinHashLSH) drops or samples such
+    buckets, since exact grouping of their members is cheaper via exact
+    dedup on the full signature. Dropped-bucket members still pair through
+    their other (band, bucket) memberships. None (default) keeps exact
+    semantics for the fixture-scale oracle."""
     banded = sigs.select(
         "id",
         F.explode(
@@ -189,6 +201,8 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket)
     return (
         buckets.select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")

@@ -450,3 +450,24 @@ def test_asof_join_differential_vs_pandas(spark):
             for r in merged.itertuples()
         }
         assert got == want
+
+
+def test_lsh_max_bucket_cap(spark):
+    """max_bucket drops degenerate buckets (the 100 TB boilerplate-collision
+    guard) while identical docs still pair through their other bands when
+    under the cap."""
+    from osmesa_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "identical boilerplate text repeated") for i in range(20)]
+    rows += [(100 + i, f"unique document number {i} with words") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=16)
+    uncapped = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    assert uncapped.count() >= 20 * 19 // 2  # the clique pairs exist
+    capped = lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=4, max_bucket=10
+    )
+    assert capped.count() == 0  # every band-bucket of the clique is over cap
