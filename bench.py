@@ -44,6 +44,13 @@ HEADLINE = [
     "knn_ivf",
     "knn_lsh",
     "knn_quantized",
+    "ann_recall_lsh",
+    "neardup_sparse_cosine",
+    "neardup_containment",
+    "doc_token_entropy",
+    "doc_bm25_topk",
+    "doc_quality_bins",
+    "multimodal_resize",
     "curation_pipeline",
     "decontaminate_overlap",
     "doc_dup_ngram_fraction",
