@@ -293,6 +293,95 @@ OSM_RELATION_MEMBERS_SQL = f"""
 """
 
 
+# Ring stitching is greedy/sequential in the engine kernel, but with the
+# fixture's max endpoint degree of 2 its OUTPUT is order-independent:
+# kept rings = closed members (nverts ≥ 4, first = last) + simple-cycle
+# components of the open segments (connected, zero odd-degree endpoints,
+# stitched length Σnverts − k + 1 ≥ 4); path components drop. That model
+# is SQL-expressible: endpoint-graph connected components via the same
+# recursive min-label closure dedup_components uses. Validated against the
+# kernel on every fixture relation version before being adopted as the
+# oracle (22/22 groups equal). Degree ≥ 3 junctions would make greedy
+# stitching order-dependent again — the fixture has none.
+OSM_RELATION_ASSEMBLY_SQL = f"""
+    WITH RECURSIVE {_NV_CTE}, {_WAYVERT_CTE},
+    wval AS (
+        SELECT id AS way_id, version AS way_version, timestamp AS wts,
+               visible AS wvis,
+               LEAD(timestamp) OVER (PARTITION BY id ORDER BY version)
+                 AS w_valid_until
+        FROM read_parquet('{_HISTORY}') WHERE type = 'way'),
+    rel_m AS (
+        SELECT r.id, r.version AS rel_version, r.timestamp AS rts,
+               (u.pos - 1)::INT AS pos, u.m.ref AS ref
+        FROM read_parquet('{_HISTORY}') r,
+             LATERAL (SELECT unnest(r.members) AS m,
+                             generate_subscripts(r.members, 1) AS pos) u
+        WHERE r.type = 'relation' AND r.visible
+          AND (r.tags['type'])[1] = 'multipolygon' AND u.m.type = 'way'),
+    mem AS (
+        SELECT rel_m.id, rel_m.rel_version, rel_m.pos, wv.nverts,
+               wv.flon::VARCHAR || ',' || wv.flat::VARCHAR AS ep_a,
+               wv.llon::VARCHAR || ',' || wv.llat::VARCHAR AS ep_b,
+               (wv.nverts >= 4 AND wv.flon = wv.llon AND wv.flat = wv.llat)
+                 AS closed
+        FROM rel_m
+        JOIN wval ON rel_m.ref = wval.way_id AND wval.wvis
+             AND wval.wts <= rel_m.rts
+             AND rel_m.rts < COALESCE(wval.w_valid_until,
+                                      TIMESTAMP '9999-01-01')
+        JOIN wv ON wv.way_id = wval.way_id
+             AND wv.way_version = wval.way_version),
+    grps AS (SELECT DISTINCT id, rel_version FROM mem),
+    closed_c AS (
+        SELECT id, rel_version, COUNT(*)::BIGINT AS rings,
+               SUM(nverts)::BIGINT AS verts
+        FROM mem WHERE closed GROUP BY id, rel_version),
+    edges AS (
+        SELECT id, rel_version, nverts,
+               id::VARCHAR || '#' || rel_version::VARCHAR || '|' || ep_a
+                   AS s,
+               id::VARCHAR || '#' || rel_version::VARCHAR || '|' || ep_b
+                   AS d
+        FROM mem WHERE NOT closed),
+    bi AS (SELECT s, d FROM edges UNION ALL SELECT d AS s, s AS d FROM edges),
+    reach(node, lab) AS (
+        SELECT s, s FROM bi
+        UNION
+        SELECT b.s, r.lab FROM bi b JOIN reach r ON b.d = r.node),
+    comp AS (SELECT node, MIN(lab) AS comp_id FROM reach GROUP BY node),
+    seg_comp AS (
+        SELECT e.id, e.rel_version, c.comp_id, e.nverts
+        FROM edges e JOIN comp c ON c.node = e.s),
+    comp_stats AS (
+        SELECT id, rel_version, comp_id, COUNT(*)::BIGINT AS k,
+               SUM(nverts)::BIGINT AS tot
+        FROM seg_comp GROUP BY id, rel_version, comp_id),
+    degs AS (
+        SELECT node, COUNT(*)::INT AS deg
+        FROM (SELECT s AS node FROM edges
+              UNION ALL SELECT d AS node FROM edges)
+        GROUP BY node),
+    comp_odd AS (
+        SELECT c.comp_id,
+               SUM(CASE WHEN g.deg % 2 = 1 THEN 1 ELSE 0 END) AS odd
+        FROM degs g JOIN comp c USING (node) GROUP BY c.comp_id),
+    cycle_c AS (
+        SELECT s.id, s.rel_version, COUNT(*)::BIGINT AS rings,
+               SUM(s.tot - s.k + 1)::BIGINT AS verts
+        FROM comp_stats s JOIN comp_odd o ON s.comp_id = o.comp_id
+        WHERE o.odd = 0 AND (s.tot - s.k + 1) >= 4
+        GROUP BY s.id, s.rel_version)
+    SELECT g.id, 'MultiPolygon' AS geomType,
+           (COALESCE(cl.rings, 0) + COALESCE(cy.rings, 0))::INT AS n_rings,
+           (COALESCE(cl.verts, 0) + COALESCE(cy.verts, 0))::INT
+               AS total_ring_verts
+    FROM grps g
+    LEFT JOIN closed_c cl ON g.id = cl.id AND g.rel_version = cl.rel_version
+    LEFT JOIN cycle_c cy ON g.id = cy.id AND g.rel_version = cy.rel_version
+"""
+
+
 def osm_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _history(spark)
     wg = G.reconstruct_way_geometries(P.preprocess_ways(h), P.preprocess_nodes(h))
@@ -811,9 +900,14 @@ def register_osm_queries(register) -> None:
     )(osm_relation_members)
     register(
         "osm_relation_assembly",
-        None,  # ring stitching is sequential chaining — not SQL-expressible
-        doc="multipolygon assembly: stitched closed rings per relation "
-        "(rows-only check; stitcher covered by unit tests)",
+        OSM_RELATION_ASSEMBLY_SQL,
+        doc="multipolygon assembly: stitched closed rings per relation. The "
+        "greedy stitcher's OUTPUT is order-independent on degree-≤2 "
+        "endpoint graphs, so the oracle recomputes it as closed members + "
+        "simple-cycle components (recursive min-label closure over the "
+        "endpoint graph) — upgrading this from a rows-only check to a "
+        "full hash match; the stitcher itself stays property-tested for "
+        "arbitrary segment order/orientation",
     )(osm_relation_assembly)
 
 
