@@ -1623,6 +1623,60 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_stats",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
+    banded AS ({_band_bucket_sql(4, 4)}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs),
+    reach(node, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node),
+    comp AS (SELECT node, MIN(lab) AS component_id FROM reach GROUP BY node),
+    sizes AS (
+        SELECT component_id, COUNT(*)::BIGINT AS cluster_size
+        FROM comp GROUP BY component_id)
+    SELECT cluster_size,
+           COUNT(*)::BIGINT AS n_clusters,
+           SUM(cluster_size)::BIGINT AS n_docs,
+           (SUM(cluster_size) - COUNT(*))::BIGINT AS removable_docs
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    doc="dedup audit readout: duplicate-cluster size histogram over the "
+    "LSH connected components — n_clusters/n_docs per multiplicity and "
+    "the removable count (size − 1 per cluster), the number every dedup "
+    "run reports before committing a prune. Two bounded aggregations on "
+    "top of dedup_components; the histogram is at most O(max cluster "
+    "size) rows (training-data extension)",
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=16)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    comp = dd.connected_components(pairs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            (F.sum("cluster_size") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("removable_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
     "knn_bruteforce",
     """
     WITH q AS (SELECT vec_id AS query_id,
