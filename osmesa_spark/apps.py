@@ -69,9 +69,11 @@ def merge_changesets(
             ).alias("s")
         ).first()["s"]
     )
-    new = read_changeset_metadata(spark, drop_dir).where(
-        F.col("sequence") > F.lit(last_modified_seq)
-    )
+    new = read_changeset_metadata(spark, drop_dir)
+    if last_modified_seq is not None:
+        # `sequence > NULL` would silently drop every new row on an empty
+        # (or all-null-timestamp) table; bootstrap reads all sequences.
+        new = new.where(F.col("sequence") > F.lit(last_modified_seq))
     if end_sequence is not None:
         new = new.where(F.col("sequence") <= end_sequence)
     unioned = new.select(*_CS_COLUMNS, F.lit(1).alias("__new")).unionByName(
@@ -111,8 +113,7 @@ def footprint(
     base_zoom..0 — the faceted pyramid (one partial-agg shuffle per level,
     facet key rides the same exchange). Feed `sinks.mvt.write_tile_pyramid`
     per entity for the reference's vector-tile output."""
-    from osmesa_spark.functions.text import hashtags as hashtag_fn
-    from osmesa_spark.functions.text import merge_sets
+    from osmesa_spark.functions.text import changeset_hashtags
     from osmesa_spark.operators import vectorgrid as VG
 
     nodes = history.where(
@@ -127,24 +128,7 @@ def footprint(
             raise ValueError("kind='hashtag' requires the changesets table")
         cs_tags = changesets.select(
             F.col("id").alias("cs_id"),
-            F.explode(
-                merge_sets(
-                    hashtag_fn(F.col("tags").getItem("comment")),
-                    F.filter(
-                        F.transform(
-                            F.split(
-                                F.coalesce(
-                                    F.col("tags").getItem("hashtags"),
-                                    F.lit(""),
-                                ),
-                                ";",
-                            ),
-                            lambda x: F.lower(F.trim(x)),
-                        ),
-                        lambda x: x != "",
-                    ),
-                )
-            ).alias("entity"),
+            F.explode(changeset_hashtags(F.col("tags"))).alias("entity"),
         )
         if hashtags_uri is not None:
             allow = read_text_lines(hashtags_uri)

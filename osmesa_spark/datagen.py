@@ -448,14 +448,21 @@ def write_changeset_meta_dropdir(
         for _ in range(per_seq):
             cs_id = rng.randint(1, 80)
             created = T0 + timedelta(minutes=seq - rng.uniform(0, 60))
+            tags = {
+                "created_by": rng.choice(EDITORS),
+                "comment": f"work #{rng.choice(HASHTAG_WORDS)}",
+            }
+            if rng.random() < 0.4:
+                # hashtags recorded ONLY in the dedicated tag (never in the
+                # comment) — exercises the scala:110-111 merge path
+                tags["hashtags"] = ";".join(
+                    rng.sample(["builditup", "mapdrive", "roadfix"], 2)
+                )
             lines.append(
                 json.dumps(
                     {
                         "id": cs_id,
-                        "tags": {
-                            "created_by": rng.choice(EDITORS),
-                            "comment": f"work #{rng.choice(HASHTAG_WORDS)}",
-                        },
+                        "tags": tags,
                         "createdAt": created.isoformat(),
                         "open": False,
                         "closedAt": (created + timedelta(minutes=30)).isoformat(),

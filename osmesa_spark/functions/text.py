@@ -39,6 +39,23 @@ def merge_sets(a: Column, b: Column) -> Column:
     )
 
 
+def changeset_hashtags(tags: Column | str) -> Column:
+    """All hashtags of a changeset: regex-extracted from tags['comment']
+    UNION the `;`-delimited dedicated tags['hashtags'] list (trimmed,
+    lowercased). StreamingChangesetMetadataUpdater.scala:110-111 merges both
+    sources; extracting from the comment alone drops hashtags recorded only
+    in the dedicated tag."""
+    tags = F.col(tags) if isinstance(tags, str) else tags
+    dedicated = F.filter(
+        F.transform(
+            F.split(F.coalesce(tags.getItem("hashtags"), F.lit("")), ";"),
+            lambda x: F.lower(F.trim(x)),
+        ),
+        lambda x: x != "",
+    )
+    return merge_sets(hashtags(tags.getItem("comment")), dedicated)
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline text analysis (documents table)
 # --------------------------------------------------------------------------

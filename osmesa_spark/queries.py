@@ -1040,9 +1040,9 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM f),
     th AS (
         SELECT source,
-               quantile_cont(quality, 0.25) AS q1,
-               quantile_cont(quality, 0.50) AS q2,
-               quantile_cont(quality, 0.75) AS q3
+               ROUND(quantile_cont(quality, 0.25), 9) AS q1,
+               ROUND(quantile_cont(quality, 0.50), 9) AS q2,
+               ROUND(quantile_cont(quality, 0.75), 9) AS q3
         FROM q GROUP BY source)
     SELECT q.doc_id, q.source, q.quality,
            (CASE WHEN q.quality <= th.q1 THEN 0
@@ -1058,16 +1058,22 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CASE. No window over the corpus — the thresholds table is "
     "sources×3 doubles regardless of corpus size; binning is a broadcast "
     "join + codegen CASE (training-data extension). Bins compare the "
-    "4dp-rounded quality both sides so grid values can't straddle a "
-    "threshold differently across engines",
+    "4dp-rounded quality both sides, and the thresholds themselves are "
+    "9dp-rounded in both engines, so interpolated quantiles landing on the "
+    "quality grid can't flip a bin on 1-ULP cross-engine noise",
 )
 def q_doc_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     q = d.select("doc_id", "source", quality_score("text").alias("quality"))
+    # thresholds rounded to 9dp on BOTH engines: interpolated quantiles can
+    # land exactly on the 4dp quality grid, where a 1-ULP cross-engine
+    # difference in the interpolation would flip a doc's bin; at 9dp the
+    # ULP noise rounds away while distinct grid-adjacent thresholds stay
+    # distinct.
     th = q.groupBy("source").agg(
-        F.percentile("quality", F.lit(0.25)).alias("q1"),
-        F.percentile("quality", F.lit(0.50)).alias("q2"),
-        F.percentile("quality", F.lit(0.75)).alias("q3"),
+        F.round(F.percentile("quality", F.lit(0.25)), 9).alias("q1"),
+        F.round(F.percentile("quality", F.lit(0.50)), 9).alias("q2"),
+        F.round(F.percentile("quality", F.lit(0.75)), 9).alias("q3"),
     )
     binned = (
         F.when(F.col("quality") <= F.col("q1"), 0)

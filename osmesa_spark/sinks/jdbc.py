@@ -181,18 +181,22 @@ class JdbcStatsSink:
     def upsert_stats(self, batch: DataFrame) -> None:
         from osmesa_spark.functions.maps import sum_map_values
 
-        # one row per id within the batch (the PG writer upserts row-by-row,
-        # so a second same-(id, sequence) row would trip its own guard) —
-        # identical pre-merge to ParquetUpsertTable.upsert_stats
-        merged = batch.groupBy("id").agg(
+        # Pre-merge per (id, sequence-set), NOT per id: collapsing all of an
+        # id's sequences into one row would let the overlap guard discard a
+        # NEW sequence's edits whenever a replayed sequence rides the same
+        # batch (at-least-once redelivery with shifted foreachBatch
+        # boundaries). Kept per-sequence, the replayed row is skipped alone
+        # and the new row still applies — the PG writer's row-by-row
+        # same-(id, sequence) guard semantics. Same-(id, sequence) duplicates
+        # within the batch still merge to one row (guard parity).
+        merged = batch.groupBy(
+            "id", F.array_sort("augmented_diffs").alias("augmented_diffs")
+        ).agg(
             sum_map_values(F.collect_list("counts"), "bigint").alias("counts"),
             sum_map_values(F.collect_list("measurements"), "double").alias(
                 "measurements"
             ),
             F.sum("total_edits").alias("total_edits"),
-            F.array_distinct(
-                F.flatten(F.collect_list("augmented_diffs"))
-            ).alias("augmented_diffs"),
         )
         db_path = self.db_path
 
@@ -297,7 +301,7 @@ def run_streaming_metadata_to_jdbc(
     insert (stable serials) + checkpoint row."""
     from pyspark.sql import functions as FF
 
-    from osmesa_spark.functions.text import hashtags as hashtag_fn
+    from osmesa_spark.functions.text import changeset_hashtags
 
     sink = JdbcStatsSink(db_path)
 
@@ -309,10 +313,10 @@ def run_streaming_metadata_to_jdbc(
                 "user", "name"
             )
         )
+        # scala:110-111 merges hashtags(comment) with the dedicated
+        # tags['hashtags'] list — both sources feed the dictionary.
         tags = batch.select(
-            FF.explode(
-                hashtag_fn(FF.col("tags").getItem("comment"))
-            ).alias("hashtag")
+            FF.explode(changeset_hashtags(FF.col("tags"))).alias("hashtag")
         )
         if not tags.isEmpty():
             sink.upsert_hashtags(tags)
@@ -357,6 +361,13 @@ def run_streaming_stats_to_jdbc(
             ),
         )
         sink.upsert_stats(prepared)
+        # Checkpointing past max(sequence) is safe because every upserted row
+        # carries a SINGLE-sequence augmented_diffs array (array(sequence)
+        # above) and upsert_stats pre-merges per (id, sequence-set): a
+        # redelivered sequence is skipped row-by-row by the overlap guard
+        # while unseen sequences in the same batch still apply, so shifted
+        # foreachBatch boundaries under at-least-once delivery cannot lose
+        # edits.
         max_seq = batch.agg(F.max("sequence")).first()[0]
         if max_seq is not None:
             sink.save_checkpoint(proc_name, int(max_seq))

@@ -148,17 +148,24 @@ class ReplicationPoller:
             self.state = "TAILING"
             return 0
         done = 0
+        not_ready = False
         for seq in range(nxt, min(nxt + self.batch_size, head + 1)):
             try:
                 payload = self.endpoint.fetch(seq)
             except SequenceNotReady:
                 # state file ahead of the published files — tail and retry
                 self.state = "TAILING"
+                not_ready = True
                 break
             self.process(seq, payload)
             self._commit(seq)
             done += 1
-        if done and self.position is not None and self.position >= head:
+        if not_ready:
+            # keep TAILING even when done>0: reverting to CATCH_UP here
+            # would force an extra state-file fetch + failed payload fetch
+            # on every tail cycle
+            pass
+        elif done and self.position is not None and self.position >= head:
             self.state = "TAILING"
         elif done:
             self.state = "CATCH_UP"

@@ -80,6 +80,12 @@ def test_merge_changesets_resume_and_collision(spark, tmp_path):
     bounded = A.merge_changesets(spark, existing, drop, end_sequence=200)
     assert set(r["id"] for r in bounded.collect()) == {1, 2, 7}
 
+    # bootstrap: an EMPTY existing table has no resume point — every
+    # sequence must be read, not silently dropped by `sequence > NULL`
+    empty = existing.limit(0)
+    boot = A.merge_changesets(spark, empty, drop)
+    assert set(r["id"] for r in boot.collect()) == {1, 7, 9}
+
 
 @pytest.fixture(scope="module")
 def history(spark):

@@ -86,6 +86,39 @@ def test_jdbc_upsert_merges_disjoint_sequences(spark, tmp_path):
     assert row["augmented_diffs"] == [1000, 1001]
 
 
+def test_jdbc_upsert_shifted_batch_boundary_keeps_new_sequence(
+    spark, tmp_path
+):
+    """At-least-once redelivery with a SHIFTED foreachBatch boundary: a later
+    batch carries one already-applied sequence row AND one new sequence row
+    for the same id. The replayed row must be skipped alone; the new row must
+    apply (per-(id, sequence) pre-merge — not per-id collapse, which would
+    hand the overlap guard a [stored, new] array and lose the new edits)."""
+    sink = J.JdbcStatsSink(str(tmp_path / "shift.db"))
+    schema = (
+        "id long, counts map<string,bigint>, "
+        "measurements map<string,double>, total_edits long, "
+        "augmented_diffs array<int>"
+    )
+    sink.upsert_stats(
+        spark.createDataFrame([(7, {"roads": 3}, {}, 3, [1000])], schema)
+    )
+    # redelivered seq 1000 + unseen seq 1001 in ONE batch, same changeset
+    sink.upsert_stats(
+        spark.createDataFrame(
+            [
+                (7, {"roads": 3}, {}, 3, [1000]),
+                (7, {"roads": 4}, {}, 4, [1001]),
+            ],
+            schema,
+        )
+    )
+    (row,) = sink.read_stats()
+    assert row["total_edits"] == 7
+    assert row["counts"] == {"roads": 7}
+    assert row["augmented_diffs"] == [1000, 1001]
+
+
 def test_jdbc_users_last_name_wins(spark, tmp_path):
     sink = J.JdbcStatsSink(str(tmp_path / "users.db"))
     sink.upsert_users(
@@ -197,3 +230,26 @@ def test_jdbc_streaming_metadata_updater(spark, tmp_path):
     assert len(users) == bounded.select("uid").distinct().count()
     assert len(tags) > 0  # fixture comments carry #hashtags
     assert sink.load_checkpoint("changeset-metadata") == 1002
+
+    # scala:110-111: hashtags recorded ONLY in the dedicated tags['hashtags']
+    # list (never in the comment) must also enter the dictionary
+    from osmesa_spark.functions.text import changeset_hashtags
+
+    expected = {
+        r["h"]
+        for r in bounded.select(
+            F.explode(changeset_hashtags(F.col("tags"))).alias("h")
+        ).collect()
+    }
+    dedicated_only = expected - {
+        r["h"]
+        for r in bounded.select(
+            F.explode(
+                __import__(
+                    "osmesa_spark.functions.text", fromlist=["hashtags"]
+                ).hashtags(F.col("tags").getItem("comment"))
+            ).alias("h")
+        ).collect()
+    }
+    assert expected == set(tags)
+    assert dedicated_only, "fixture must exercise the dedicated-tag source"

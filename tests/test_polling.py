@@ -110,6 +110,29 @@ def test_state_ahead_of_published_files(tmp_path):
     assert p.run() == 1 and seen == [1, 2]
 
 
+def test_not_ready_mid_batch_stays_tailing(tmp_path):
+    """SequenceNotReady after done>0 within a batch must leave the poller
+    TAILING — reverting to CATCH_UP would cost an extra state-file fetch +
+    failed payload fetch on every tail cycle."""
+    base = str(tmp_path)
+    _publish(base, 1, b"a")
+    _set_state(base, 2)  # 2 advertised, not yet published
+    ep = PL.ReplicationEndpoint(f"file://{base}")
+    seen = []
+    p = PL.ReplicationPoller(
+        endpoint=ep, process=lambda s, b: seen.append(s),
+        start_sequence=1, batch_size=10,
+    )
+    assert p.step() == 0 and p.state == "CATCH_UP"  # INIT
+    # one batch: processes 1, hits not-ready on 2 → must be TAILING
+    assert p.step() == 1 and seen == [1]
+    assert p.state == "TAILING"
+    # once published, a tail step picks it up directly
+    _publish(base, 2, b"b")
+    p.state = "CATCH_UP"  # what run()'s tail loop does after the sleep
+    assert p.step() == 1 and seen == [1, 2]
+
+
 def test_end_sequence_bound(tmp_path):
     base = str(tmp_path)
     for s in range(1, 8):
