@@ -475,6 +475,7 @@ def with_support(
     scored: DataFrame,
     anchor_threshold: float = 0.9,
     anchor_pred: Column | None = None,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Neighborhood "support" matrix (BuildingMatching.scala:200-260):
     for each candidate pair (a, b) in a cell, sum over the cell's ANCHOR
@@ -498,9 +499,18 @@ def with_support(
 
     `anchor_pred` overrides the p-threshold anchor rule with an arbitrary
     Column predicate over the scored columns (e.g. an exact integer-area
-    criterion immune to cross-engine float-rounding at the threshold)."""
+    criterion immune to cross-engine float-rounding at the threshold).
+
+    `materialize_input` (default on) localCheckpoints `scored` first: it
+    feeds BOTH the anchor side and the candidate side of the cell join, and
+    without materialization each side re-executes the upstream subtree —
+    for a score_pairs input that is the polygon-clipping Arrow kernel run
+    twice over every candidate pair. One eager pass stores the scored
+    blocks; both sides scan them."""
     from pyspark.sql import Window
 
+    if materialize_input:
+        scored = scored.localCheckpoint()
     if anchor_pred is None:
         anchor_pred = F.col("p") >= anchor_threshold
     anchors = scored.where(anchor_pred).select(

@@ -444,6 +444,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
+    materialize_input: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. '23): semantic dedup by pruning, per coarse
     cluster, the higher-id member of every pair with cosine >= threshold.
@@ -453,7 +454,17 @@ def semdedup(
     The cluster id blocks the self-join, so pair count is bounded by the
     largest cluster, not the corpus — the whole point of clustering first;
     the join co-partitions both sides on the cluster key (one shuffle each)
-    and cosine runs JVM-side on the joined pair."""
+    and cosine runs JVM-side on the joined pair.
+
+    `materialize_input` (default on) localCheckpoints `clustered` before the
+    self-join: without it each join side re-executes the upstream subtree —
+    for a kmeans_lloyd input that is the Arrow `assign` kernel, i.e. a full
+    redundant pass over every embedding at corpus scale. One eager pass
+    stores the assigned (id, cluster, vector) blocks (MEMORY_AND_DISK spill
+    included) and both sides scan the blocks. Set False only when the input
+    is already a bare table scan or cached."""
+    if materialize_input:
+        clustered = clustered.localCheckpoint()
     a = clustered.select(
         F.col(cluster_col).alias("c"),
         F.col(id_col).alias("id_a"),

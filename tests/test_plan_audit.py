@@ -18,12 +18,19 @@ PYTHON_OK = {
     "multimodal_resize",
     "building_match",
     "building_match_volume",
-    "building_match_support",
     "osm_relation_assembly",
     # dense k*dim distance algebra: vectorized numpy kernel by design (the
     # all-Column unrolling compiles O(k*dim) codegen per round instead)
     "kmeans_clusters",
+}
+
+# kernel-defined queries whose Python stage is MATERIALIZED (localCheckpoint)
+# before a self-/re-join: the kernel runs exactly once eagerly and the
+# downstream plan must scan the checkpointed blocks — a second MapInPandas
+# in the plan would mean a full redundant kernel pass at corpus scale
+PYTHON_MATERIALIZED = {
     "semdedup_prune",
+    "building_match_support",
 }
 
 RELATIONAL = [
@@ -75,6 +82,23 @@ def test_python_only_where_defined(spark):
         df = Q.registry()[name].spark(spark, SF_CORRECT)
         a = audit_plan(df)
         assert a.python_stages >= 1, f"{name} should run its Python kernel"
+        assert a.cartesian_products == 0, name
+
+
+def test_materialized_kernels_run_once(spark):
+    """semdedup_prune / building_match_support re-join their kernel output;
+    the kernel must be checkpointed so the final plan re-scans blocks
+    (Scan ExistingRDD) instead of executing the MapInPandas subtree once
+    per join side (the round-3 double-compute finding)."""
+    for name in sorted(PYTHON_MATERIALIZED):
+        df = Q.registry()[name].spark(spark, SF_CORRECT)
+        a = audit_plan(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert a.python_stages == 0, (
+            f"{name}: kernel subtree still in the join plan — it would "
+            f"execute once per side"
+        )
+        assert "Scan ExistingRDD" in plan, f"{name}: no checkpointed scan"
         assert a.cartesian_products == 0, name
 
 
@@ -158,6 +182,50 @@ def test_driver_priority_window_integrity():
     osm = [n for n in reg if n.startswith("osm_")]
     left_out = sorted(set(osm) - set(window))
     assert not left_out, f"osm_* queries outside the 50-entry window: {left_out}"
+
+
+# queries whose join strategy must survive the NO-broadcast regime: at
+# 100 TB neither self-join side fits the broadcast threshold, so the
+# SortMergeJoin/ShuffledHashJoin fallback is the plan that actually runs —
+# prove it is exercised AND returns the same rows as the default plan
+# (decontaminate_overlap is NOT here: its broadcast is an explicit hint on
+# the eval-gram set, which is bounded by the eval suite — small at any
+# corpus scale — so broadcasting it is the correct 100 TB plan.)
+NO_BROADCAST_REGIME = [
+    "semdedup_prune",
+    "building_match_support",
+]
+
+
+@pytest.mark.parametrize("name", NO_BROADCAST_REGIME)
+def test_no_broadcast_regime_matches_default(spark, name):
+    q = Q.registry()[name].spark
+    baseline = sorted(map(tuple, q(spark, SF_CORRECT).collect()))
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = q(spark, SF_CORRECT)
+        a = audit_plan(df)
+        assert a.broadcast_joins == 0, f"{name}: broadcast under -1 threshold"
+        assert a.sort_merge_joins + a.shuffled_hash_joins >= 1, (
+            f"{name}: no shuffle-join fallback in the no-broadcast plan"
+        )
+        rows = sorted(map(tuple, df.collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    assert rows == baseline, f"{name}: no-broadcast plan changed the result"
 
 
 def test_deskewed_gram_queries_have_no_holder_lists(spark):
