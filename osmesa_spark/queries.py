@@ -2280,7 +2280,10 @@ def _bm_rects(spark: SparkSession, sf_dir: str, side: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id")
     x0 = (F.col("event_id") % 90000) * 0.002
     y0 = ((F.col("event_id") * 13) % 45000) * 0.002
-    if side == "b":
+    if side == "t":
+        # translated twin (building_match_blend fixture, see _BM_T_SQL)
+        x0 = x0 + (F.col("event_id") % 4) * 0.0002
+    elif side == "b":
         match = F.col("event_id") % 2 == 0
         # shift multipliers carry prime factors (411=3*137, 307 prime) that
         # w/h denominators (37, 41) never cancel, so overlap ratios cannot
@@ -2378,10 +2381,12 @@ def q_building_match_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid mirror ((x0 + (x0 + w))/2 replays the engine's (minx+maxx)/2
 # float ops bit-for-bit), anchors by an exact 1e12-integer area criterion
 # (no float-threshold boundary), then the reference's dot·dist support sum
-# normalized per cell.
-_BM_SUPPORT_SQL = f"""
+# normalized per cell. Parameterized on the B-side rect SQL so the blend
+# query can replay the same CTE chain over the translated-twin fixture.
+def _bm_support_cte(b_sql: str) -> str:
+    return f"""
     ra AS ({_BM_A_SQL}),
-    rb AS ({_BM_B_SQL}),
+    rb AS ({b_sql}),
     ka AS (
         SELECT id, x0, y0, w, h,
                (x0 + (x0 + w)) / 2 AS cx, (y0 + (y0 + h)) / 2 AS cy,
@@ -2465,6 +2470,25 @@ _BM_SUPPORT_SQL = f"""
 """
 
 
+_BM_SUPPORT_SQL = _bm_support_cte(_BM_B_SQL)
+
+# Translated-twin fixture for the blend oracle: B = A shifted +x by
+# dx = (id % 4) * 0.0002 — small enough that greedy vertex pairing is the
+# true correspondence, so the DLT homography is analytically the pure
+# translation [[1,0,dx],[0,1,0],[0,0,1]] and deviation = dx exactly;
+# vertex score = 1/(1+dx), projection score = 1/(1+dx/2) (two corners land
+# ON the twin's boundary, two at distance dx → mean dx/2 each side).
+_BM_T_SQL = """
+        SELECT event_id AS id,
+               (event_id % 90000) * 0.002
+                 + (event_id % 4) * 0.0002                AS x0,
+               ((event_id * 13) % 45000) * 0.002           AS y0,
+               ((event_id % 13) + 7) * 0.00037           AS w,
+               ((event_id % 11) + 5) * 0.00041           AS h
+        FROM events
+"""
+
+
 @register(
     "building_match_support",
     f"""
@@ -2510,6 +2534,62 @@ def q_building_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _bm_rects(spark, sf_dir, "a")
     b = _bm_rects(spark, sf_dir, "b")
     return bm.building_match(a, b, threshold=0.5)
+
+
+@register(
+    "building_match_blend",
+    f"""
+    WITH {_bm_support_cte(_BM_T_SQL)},
+    dxs AS (SELECT event_id AS id, (event_id % 4) * 0.0002 AS dx
+            FROM events)
+    SELECT n.id_a AS id,
+           ROUND((1.0 / (1.0 + d.dx)) * 1e6)::BIGINT        AS vs_e6,
+           ROUND((1.0 / (1.0 + d.dx / 2.0)) * 1e6)::BIGINT  AS pj_e6,
+           ROUND(GREATEST(n.p, 1.0 / (1.0 + d.dx),
+                          1.0 / (1.0 + d.dx / 2.0)) * 1e6)::BIGINT AS p_e6,
+           ROUND(ROUND(n.qn, 6) * 1e6)::BIGINT              AS sup_e6,
+           ROUND(ROUND((GREATEST(n.p, 1.0 / (1.0 + d.dx),
+                                 1.0 / (1.0 + d.dx / 2.0)) + n.qn) / 2.0,
+                       6) * 1e6)::BIGINT                    AS psup_e6
+    FROM normed n JOIN dxs d ON n.id_a = d.id
+    WHERE n.id_a = n.id_b
+    ORDER BY id
+    """,
+    doc="the FULL BuildingMatching blend — max(p_vol, p_vertex, p_proj) + "
+    "support, (p+q)/2 (BuildingMatching.scala:200-260) — made driver-hash-"
+    "checkable: B is A translated by dx=(id%4)*2e-4, where the DLT-SVD "
+    "homography is analytically the pure translation (deviation = dx, so "
+    "vertex score = 1/(1+dx); projection score = 1/(1+dx/2)); the support "
+    "CTE replays the same cell/anchor/dot-dist chain as "
+    "building_match_support. Requires the Hartley-normalized DLT "
+    "(buildings.homography_deviation): the raw solve at lon/lat magnitude "
+    "carries ~1e-4 deviation error vs ~2e-9 normalized, and the emitted "
+    "1e6-scaled integers need <4e-8. Covers the SVD path the plain "
+    "building_match row (rows-only, no_oracle) cannot",
+)
+def q_building_match_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators import buildings as bm
+
+    a = _bm_rects(spark, sf_dir, "a")
+    b = _bm_rects(spark, sf_dir, "t")
+    scored = bm.score_pairs(bm.candidate_pairs(a, b), with_vertex=True)
+    e12 = lambda c: F.round(F.col(c) * 1e12).cast("bigint")  # noqa: E731
+    pred = (e12("inter_area") * 10 >= 9 * e12("area_a")) & (
+        e12("inter_area") * 10 >= 9 * e12("area_b")
+    )
+    sup = bm.with_support(scored, anchor_pred=pred)
+    return (
+        sup.where(F.col("id_a") == F.col("id_b"))
+        .select(
+            F.col("id_a").alias("id"),
+            F.round(F.col("p_vertex") * 1e6).cast("bigint").alias("vs_e6"),
+            F.round(F.col("p_proj") * 1e6).cast("bigint").alias("pj_e6"),
+            F.round(F.col("p") * 1e6).cast("bigint").alias("p_e6"),
+            F.round(F.col("support") * 1e6).cast("bigint").alias("sup_e6"),
+            F.round(F.col("p_sup") * 1e6).cast("bigint").alias("psup_e6"),
+        )
+        .orderBy("id")
+    )
 
 
 @register(
@@ -3199,14 +3279,18 @@ register_osm_queries(register)
 
 
 # The driver's per-round correctness file records the FIRST 50 registry
-# entries; local tests cover all of them identically. Rounds 1-2 proved the
-# relational/extension core driver-green, so round 3 rotates the previously
-# unchecked queries (the 13 osm_* reference-parity pipelines + the late
-# extensions) plus this round's changed queries into the window; the
-# remaining slots re-verify flagship pipelines. Everything else stays
-# covered by tests/test_queries_oracle.py.
+# entries; local tests cover all of them identically. Round-4 window: the
+# osm_* parity pipelines stay (window-integrity test requires them), then
+# (a) queries NEW or CHANGED this round (building_match_blend — the
+# SVD-path hash oracle replacing the rows-only building_match row —
+# doc_quality_bins threshold rounding, the two kernel-materialization
+# rewrites), (b) the two queries never driver-checked in any round
+# (dedup_cluster_stats, neardup_containment), and (c) queries whose only
+# driver evidence is rounds 1-2 (stale) rotated back in. Triple-green
+# flagships (changeset_stats, pricing_summary, …) rotate out; everything
+# stays covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
-    # reference-parity pipelines (never driver-checked before round 3)
+    # reference-parity pipelines (r3-green; must stay in the window)
     "osm_node_validity",
     "osm_snapshot_asof",
     "osm_way_reconstruction",
@@ -3222,44 +3306,44 @@ DRIVER_PRIORITY = [
     "osm_hashtag_user_statistics",
     "osm_relation_members",
     "osm_relation_assembly",
-    # extensions past round 1-2's cutoff (never driver-checked)
-    "doc_winnow_fingerprints",
-    "neardup_cosine",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "map_merge_simplify",
-    "supplier_region_rollup",
-    "kv_map_assembly",
-    "comments_assembly",
-    "right_outer_parts",
-    "building_match_volume",
-    "building_match",
-    "building_match_support",
-    "doc_bigram_topk",
-    "decontaminate_overlap",
-    "source_mix_weights",
-    "kmeans_clusters",
-    "semdedup_prune",
-    "doc_dup_ngram_fraction",
-    "tokenizer_fertility",
-    # new this round — need fresh driver evidence
-    "embedding_quantize",
-    "asof_click_attribution",
-    "doc_token_entropy",
-    "neardup_sparse_cosine",
-    "doc_bm25_topk",
-    "ann_recall_lsh",
-    # flagship re-verification (previously green rounds 1-2)
-    "changeset_stats",
-    "user_statistics",
-    "pricing_summary",
-    "tile_histogram",
-    "haversine_user_path",
-    "minhash_lsh_pairs",
-    "dedup_components",
+    # new or changed this round — need fresh driver evidence
+    "building_match_blend",
     "doc_quality_bins",
-    "curation_pipeline",
+    "semdedup_prune",
+    "building_match_support",
+    "building_match_volume",
+    # never driver-checked in any round
+    "dedup_cluster_stats",
+    "neardup_containment",
+    # driver evidence is rounds 1-2 only — rotate back in
+    "semi_join_active",
+    "anti_join_inactive",
+    "earliest_event_type",
+    "topk_per_group",
+    "window_prev_value",
+    "minor_version_assignment",
+    "union_merge",
+    "full_outer_stats_merge",
+    "range_temporal_join",
+    "top_revenue_orders",
+    "event_sessions",
+    "day_key_histogram",
+    "exact_dedup_docs",
+    "neardup_jaccard",
+    "simhash_pairs",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_lsh",
+    "knn_quantized",
+    "doc_quality",
+    "doc_repetition_stats",
+    "lang_id",
+    "doc_token_stats",
+    "dataset_split",
+    "stratified_sample",
+    "dedup_keep_best",
+    "embedding_label_stats",
+    "doc_tfidf_top_terms",
 ]
 
 
