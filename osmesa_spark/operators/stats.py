@@ -119,7 +119,7 @@ def build_features(
     `countries` takes either bbox rectangles (code → (x0, y0, x1, y1)) or
     TRUE polygon rings (code → [(lon, lat), ...], concave-safe ray-cast —
     Countries.scala parity)."""
-    from osmesa_spark.operators.geocode import geocode_polygons
+    from osmesa_spark.operators.geocode import geocode_polygons_auto
 
     nodes = P.preprocess_nodes(history)
     ways = P.preprocess_ways(history)
@@ -129,8 +129,13 @@ def build_features(
     feats = G.with_prev_geom(feats)
     feats = G.with_deltas(feats)
     if countries is not None:
+        # polygon countries dispatch literal-vs-grid by complexity (the
+        # broadcast grid index is the STRtree-equivalent scale path;
+        # identical results — see tests/test_geocode.py equivalence tests)
         coder = (
-            geocode_polygons if _is_polygon_countries(countries) else geocode
+            geocode_polygons_auto
+            if _is_polygon_countries(countries)
+            else geocode
         )
         feats = coder(feats, countries)
     else:

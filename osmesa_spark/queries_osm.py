@@ -496,11 +496,11 @@ OSM_CHANGESET_STATS_SQL = f"""
 
 
 def osm_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmesa_spark.operators.geocode import geocode_polygons
+    from osmesa_spark.operators.geocode import geocode_polygons_auto
 
     nodes = P.preprocess_nodes(_history(spark))
     pts = G.construct_point_geometries(nodes, tagged_only=False)
-    coded = geocode_polygons(pts, datagen.COUNTRY_POLYGONS)
+    coded = geocode_polygons_auto(pts, datagen.COUNTRY_POLYGONS)
     return (
         coded.select("id", "version", F.explode("countries").alias("code"))
         .select("id", F.col("version").cast("int").alias("version"), "code")

@@ -34,15 +34,20 @@ def augdiff_feature_stats(
     Works identically on bounded and unbounded inputs (T8). `countries`
     takes bbox rectangles or TRUE polygon rings (ray-cast, concave-safe) —
     same dual form as the batch pipeline."""
-    from osmesa_spark.operators.geocode import geocode_polygons
+    from osmesa_spark.operators.geocode import geocode_polygons_auto
     from osmesa_spark.operators.stats import _is_polygon_countries
 
     feats = diffs.where(is_tagged("tags")).withColumn(
         "event_time", sequence_to_timestamp("sequence")
     )
     if countries is not None:
+        # complexity-dispatched on streams too: the grid path's
+        # stream-static broadcast join is supported by Structured Streaming
+        # and keeps per-row cost bounded by the cell's candidates
         coder = (
-            geocode_polygons if _is_polygon_countries(countries) else geocode
+            geocode_polygons_auto
+            if _is_polygon_countries(countries)
+            else geocode
         )
         feats = coder(feats, countries)
     else:

@@ -77,3 +77,121 @@ def test_raycast_plan_is_pure_column(spark):
 
     df = Q.registry()["osm_geocode"].spark(spark, "")
     assert_scaleable(df, allow_python=False)
+
+
+def test_auto_dispatch_thresholds(spark):
+    """Small sets stay on the inlined literal ray-cast (fastest at fixture
+    scale); big sets go through the broadcast grid index (no plan blowup)."""
+    from osmesa_spark.operators.geocode import geocode_polygons_auto
+    from osmesa_spark.plans import audit_plan
+
+    df = spark.createDataFrame([(0.5, 0.5)], "lon double, lat double").select(
+        F.array(
+            F.struct(F.col("lon").alias("lon"), F.col("lat").alias("lat"))
+        ).alias("geom")
+    )
+    small = geocode_polygons_auto(df, COUNTRY_POLYGONS)
+    assert audit_plan(small).broadcast_joins == 0
+    big = geocode_polygons_auto(df, _wobbly_countries(50, 100))
+    assert audit_plan(big).broadcast_joins >= 1
+
+
+# ---------------------------------------------------------------------------
+# coarse-grid index (STRtree-equivalent scale path)
+# ---------------------------------------------------------------------------
+
+
+def _wobbly_countries(n_countries: int, n_verts: int) -> dict:
+    """High-complexity synthetic world: non-overlapping concave 'wobbly
+    circle' countries (r(t) = R(1 + 0.35 sin(7t))) laid out on a grid —
+    the vertex-count/polygon-count regime of real country borders."""
+    import math
+
+    out = {}
+    cols = 25
+    for i in range(n_countries):
+        cx = -170.0 + (i % cols) * 14.0
+        cy = -75.0 + (i // cols) * 12.0
+        verts = []
+        for k in range(n_verts):
+            t = 2.0 * math.pi * k / n_verts
+            r = 4.0 * (1.0 + 0.35 * math.sin(7.0 * t + i))
+            verts.append((cx + r * math.cos(t), cy + r * math.sin(t)))
+        out[f"C{i:03d}"] = verts
+    return out
+
+
+def test_grid_matches_literal_raycast_on_fixture(spark):
+    """geocode_grid must return exactly what geocode_polygons returns on
+    the driver fixture (incl. the concave L and points on sure/candidate
+    cells)."""
+    from osmesa_spark.operators.geocode import geocode_grid, geocode_polygons
+
+    pts = [
+        (float(x) / 3.0, float(y) / 3.0)
+        for x in range(-40, 41, 5)
+        for y in range(-35, 36, 5)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double").select(
+        F.array(
+            F.struct(F.col("lon").alias("lon"), F.col("lat").alias("lat"))
+        ).alias("geom"),
+        "lon",
+        "lat",
+    )
+    lit = geocode_polygons(df, COUNTRY_POLYGONS).select(
+        "lon", "lat", F.array_sort("countries").alias("countries")
+    )
+    grid = geocode_grid(df, COUNTRY_POLYGONS, nx=36, ny=18).select(
+        "lon", "lat", "countries"
+    )
+    a = {(r["lon"], r["lat"]): list(r["countries"]) for r in lit.collect()}
+    b = {(r["lon"], r["lat"]): list(r["countries"]) for r in grid.collect()}
+    assert a == b
+
+
+def test_grid_index_high_vertex_complexity(spark):
+    """311-country/real-vertex-count regime: 300 concave countries x 400
+    vertices. The literal path would put 240k vertex literals in the plan;
+    the grid path ships them as broadcast DATA and each point ray-casts
+    only its cell's candidates. Verified against driver-side numpy PNPOLY
+    ground truth."""
+    from osmesa_spark.operators.geocode import (
+        _pnpoly_np,
+        build_grid_index,
+        geocode_grid,
+    )
+
+    countries = _wobbly_countries(300, 400)
+    # 1.25-degree cells: fine enough that country interiors span whole cells
+    index = build_grid_index(countries, nx=288, ny=144)
+    # interior-cell short-circuit must actually engage on this world
+    assert any(e["sure"] for e in index["cells"].values())
+
+    import random
+
+    rng = random.Random(7)
+    pts = [
+        (rng.uniform(-175.0, 175.0), rng.uniform(-85.0, 85.0))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double").select(
+        F.array(
+            F.struct(F.col("lon").alias("lon"), F.col("lat").alias("lat"))
+        ).alias("geom"),
+        "lon",
+        "lat",
+    )
+    got = {
+        (r["lon"], r["lat"]): set(r["countries"])
+        for r in geocode_grid(df, countries, nx=288, ny=144).collect()
+    }
+    for lon, lat in pts:
+        expect = {
+            code
+            for code, ring in countries.items()
+            if _pnpoly_np(
+                lon, lat, [x for x, _ in ring], [y for _, y in ring]
+            )
+        }
+        assert got[(lon, lat)] == expect, (lon, lat)
