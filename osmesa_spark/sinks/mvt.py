@@ -285,13 +285,21 @@ def tile_path(root: str, zoom: int, tx: int, ty: int) -> str:
     return os.path.join(root, str(zoom), str(tx), f"{ty}.mvt.gz")
 
 
+def _tile_key(zoom: int, tx: int, ty: int) -> str:
+    return f"{zoom}/{tx}/{ty}.mvt.gz"
+
+
 def read_tile(root: str, zoom: int, tx: int, ty: int):
-    """S12: read + gunzip + decode an existing tile, or None."""
-    p = tile_path(root, zoom, tx, ty)
-    if not os.path.exists(p):
+    """S12: read + gunzip + decode an existing tile, or None. `root` may be
+    a bare path, file://, mem://, or s3:// URI — scheme-routed through the
+    object-store seam (updater/package.scala:36-66 read semantics)."""
+    from osmesa_spark.sources.objectstore import join_key, open_store
+
+    store, prefix = open_store(root)
+    raw = store.get(join_key(prefix, _tile_key(zoom, tx, ty)))
+    if raw is None:
         return None
-    with open(p, "rb") as fh:
-        return decode_tile(gzip.decompress(fh.read()))
+    return decode_tile(gzip.decompress(raw))
 
 
 def committed_sequences(layers: dict[str, list[MvtFeature]]) -> list[int]:
@@ -359,12 +367,17 @@ def upsert_tile(
     if sequence is not None:
         layers[SEQUENCES_LAYER] = _sequence_layer(seqs)
     payload = gzip.compress(encode_tile(layers, extent))
-    p = tile_path(root, zoom, tx, ty)
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    tmp = p + ".tmp"
-    with open(tmp, "wb") as fh:
-        fh.write(payload)
-    os.replace(tmp, p)
+    # scheme-routed write, labeled Content-Encoding: gzip like the
+    # reference's S3 tile put (updater/package.scala:160-180); LocalStore
+    # writes atomically (tmp+rename) so readers never see partial tiles
+    from osmesa_spark.sources.objectstore import join_key, open_store
+
+    store, prefix = open_store(root)
+    store.put(
+        join_key(prefix, _tile_key(zoom, tx, ty)),
+        payload,
+        content_encoding="gzip",
+    )
     return "written" if existing is None else "updated"
 
 

@@ -221,12 +221,14 @@ def update_tiles(
                 ),
             }
             payload = gzip.compress(mvt.encode_tile(layers, EXTENT))
-            p = mvt.tile_path(root, z, tx, ty)
-            os.makedirs(os.path.dirname(p), exist_ok=True)
-            tmp = p + ".tmp"
-            with open(tmp, "wb") as fh:
-                fh.write(payload)
-            os.replace(tmp, p)
+            from osmesa_spark.sources.objectstore import join_key, open_store
+
+            store, prefix = open_store(root)
+            store.put(
+                join_key(prefix, mvt._tile_key(z, tx, ty)),
+                payload,
+                content_encoding="gzip",
+            )
 
     tiles.foreachPartition(write_partition)
     return tiles.count()
