@@ -124,6 +124,7 @@ def main() -> None:
             reps.append(run_once())
         timings[name] = round(min(reps), 3)
     total = round(sum(timings.values()), 3)
+    streaming_sec = measure_streaming_minutely_batch(spark)
     print(
         json.dumps(
             {
@@ -131,10 +132,68 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming_minutely_batch": streaming_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def measure_streaming_minutely_batch(spark) -> float:
+    """BASELINE.md target 3 (<60 s minutely batch), measured as an actual
+    stream, not inferred from batch numbers: one augmented-diff sequence of
+    4000 features lands in a drop-dir; wall-clock covers readStream pickup →
+    dead-letter split → watermarked geocoded stats rollup → idempotent
+    parquet upsert + checkpoint row, i.e. the full StreamingChangesetStats
+    ingest chain. 4000 elements/minute is at the high end of real minutely
+    replication traffic, so this is the conservative SLA proxy."""
+    import shutil
+    import tempfile
+
+    from osmesa_spark.datagen import COUNTRIES, write_augdiff_dropdir
+    from osmesa_spark.sinks.upsert import ParquetUpsertTable
+    from osmesa_spark.sources import replication as R
+    from osmesa_spark.streaming import stats_stream as S
+
+    base = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        drop = os.path.join(base, "augdiffs")
+        write_augdiff_dropdir(drop, n_sequences=1, per_seq=4000, corrupt_every=97)
+        # the rollup is a 0-second-watermark append aggregation: sequence
+        # 1000's groups finalize when sequence 1001's event time arrives —
+        # exactly how a live minutely feed behaves. Drop a 1-row follow-on
+        # sequence so the measured cycle includes the flush.
+        with open(os.path.join(drop, "1001.jsonl"), "w") as f:
+            f.write(
+                json.dumps({
+                    "sequence": 1001, "id": 1, "type": "node", "version": 1,
+                    "minorVersion": 0, "updated": "2020-01-01T00:00:00",
+                    "visible": True, "tags": {"building": "yes"},
+                    "prevTags": None, "changeset": 999_999, "uid": 2,
+                    "user": "flush", "geomType": "Point",
+                    "geom": [{"lon": 0.0, "lat": 0.0}], "prevGeom": None,
+                }) + "\n"
+            )
+        table_path = os.path.join(base, "stats_table")
+        t0 = time.perf_counter()
+        good, _ = R.split_errors(
+            R.read_augmented_diffs(spark, drop, streaming=True)
+        )
+        q = S.run_streaming_stats_to_upsert(
+            good,
+            table_path,
+            os.path.join(base, "ckpt"),
+            countries=COUNTRIES,
+        )
+        q.processAllAvailable()
+        q.stop()
+        elapsed = time.perf_counter() - t0
+        stored = ParquetUpsertTable(table_path).read(spark)
+        if stored is None or stored.count() == 0:
+            return -1.0  # sentinel: stream drained without committing
+        return round(elapsed, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -185,6 +185,46 @@ def generate_history(n_elements: int = 1000, seed: int = 42) -> list[dict]:
                     "visible": not (v == n_rv and rng.random() < 0.05),
                 }
             )
+
+    # super-relations: relation-of-relation members (the reference members
+    # struct allows type='relation'; HBase notebook model). One nesting
+    # level — members mix refs to the plain relations above with direct
+    # ways, exercising the nested-resolution path in
+    # geometry.relation_members_resolved(resolve_relations=True).
+    rel_ids = list(range(20_000_001, 20_000_001 + max(n_rels, 1)))
+    n_super = max(2, max(n_rels, 1) // 4)
+    for sid in range(30_000_001, 30_000_001 + n_super):
+        k = rng.randint(1, min(3, len(rel_ids)))
+        members = [
+            {"type": "relation", "ref": r, "role": "outer"}
+            for r in rng.sample(rel_ids, k)
+        ]
+        if rng.random() < 0.7:
+            members.append(
+                {"type": "way", "ref": rng.choice(way_ids), "role": "outer"}
+            )
+        n_rv = rng.randint(1, 2)
+        # late enough that member relations usually have a live version
+        base_minute = rng.uniform(150_000, 420_000)
+        uid = rng.randint(2, 101)
+        for v in range(1, n_rv + 1):
+            rows.append(
+                {
+                    "id": sid,
+                    "type": "relation",
+                    "tags": {"type": "multipolygon", "boundary": "administrative"},
+                    "lat": None,
+                    "lon": None,
+                    "nds": None,
+                    "members": members,
+                    "changeset": rng.randint(1, n_changesets),
+                    "timestamp": _ts(base_minute + v * 900),
+                    "uid": uid,
+                    "user": f"user_{uid}",
+                    "version": v,
+                    "visible": not (v == n_rv and rng.random() < 0.05),
+                }
+            )
     return rows
 
 

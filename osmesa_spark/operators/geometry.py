@@ -148,7 +148,7 @@ def reconstruct_way_geometries(ways: DataFrame, nodes: DataFrame) -> DataFrame:
 
 
 def relation_members_resolved(
-    relations: DataFrame, way_geoms: DataFrame
+    relations: DataFrame, way_geoms: DataFrame, resolve_relations: bool = False
 ) -> DataFrame:
     """Multipolygon relation members temporally joined to reconstructed way
     versions — the J6 shape on the member ref: the way version whose
@@ -158,9 +158,22 @@ def relation_members_resolved(
     way version's own reconstruction (nodes as of the WAY timestamp), not
     re-resolved at the relation timestamp.
 
-    Output: one row per (relation version, member): relId, updated, pos,
-    role, way ref, member geom/closed flag, plus relation metadata."""
-    rels = (
+    `resolve_relations=True` additionally resolves members with
+    type='relation' ONE level deep (the reference members struct allows
+    relation members; super-relation → member relation → its way members):
+    the member-relation version live at the SUPER-relation's timestamp is
+    picked via its own [timestamp, validUntil) validity window, its way
+    members are exploded, and every resolved way joins way_geoms at the
+    super-relation's timestamp — one temporal join serves both branches.
+    Nested rows carry via_ref (the intermediate relation id) and sub_pos
+    (position within it); direct rows have both NULL. The effective `role`
+    for nested rows is the INNER way member's role (OSM multipolygon
+    convention); the outer member's role is dropped.
+
+    Output: one row per (relation version, resolved member): relId, updated,
+    pos, [sub_pos, via_ref], role, way ref, member geom/closed flag, plus
+    relation metadata."""
+    exploded = (
         relations.where(
             (F.col("type") == "relation")
             & F.col("visible")
@@ -176,7 +189,6 @@ def relation_members_resolved(
             "version",
             F.posexplode("members").alias("pos", "m"),
         )
-        .where(F.col("m.type") == "way")
         .select(
             "relId",
             "tags",
@@ -186,10 +198,64 @@ def relation_members_resolved(
             "user",
             "version",
             "pos",
+            F.col("m.type").alias("mtype"),
             F.col("m.ref").alias("ref"),
             F.col("m.role").alias("role"),
         )
     )
+    rels = exploded.where(F.col("mtype") == "way").drop("mtype").select(
+        "relId", "tags", "changeset", "updated", "uid", "user", "version",
+        "pos",
+        F.lit(None).cast("int").alias("sub_pos"),
+        F.lit(None).cast("bigint").alias("via_ref"),
+        "ref", "role",
+    )
+    if resolve_relations:
+        far = F.lit("9999-01-01").cast("timestamp")
+        # member-relation validity windows over ALL versions (visibility
+        # filters AFTER window assembly, same layering as preprocess)
+        rw = (
+            relations.where(F.col("type") == "relation")
+            .withColumn(
+                "r_validUntil",
+                F.lead("timestamp").over(
+                    Window.partitionBy("id").orderBy("version")
+                ),
+            )
+            .where(F.col("visible"))
+            .select(
+                F.col("id").alias("via_id"),
+                F.col("timestamp").alias("r_updated"),
+                "r_validUntil",
+                F.col("members").alias("sub_members"),
+            )
+        )
+        supers = exploded.where(F.col("mtype") == "relation").drop("mtype")
+        nested = (
+            supers.join(
+                rw,
+                (supers.ref == rw.via_id)
+                & (rw.r_updated <= supers.updated)
+                & (supers.updated < F.coalesce(rw.r_validUntil, far)),
+                "inner",
+            )
+            .select(
+                "relId", "tags", "changeset", "updated", "uid", "user",
+                "version", "pos",
+                F.col("via_id").alias("via_ref"),
+                F.posexplode("sub_members").alias("sub_pos", "sm"),
+            )
+            .where(F.col("sm.type") == "way")
+            .select(
+                "relId", "tags", "changeset", "updated", "uid", "user",
+                "version", "pos",
+                F.col("sub_pos").cast("int").alias("sub_pos"),
+                F.col("via_ref").cast("bigint").alias("via_ref"),
+                F.col("sm.ref").alias("ref"),
+                F.col("sm.role").alias("role"),
+            )
+        )
+        rels = rels.unionByName(nested)
     wg = way_geoms.where(F.col("visible")).select(
         F.col("id").alias("ref"),
         F.col("geom").alias("way_geom"),

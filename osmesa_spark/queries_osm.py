@@ -32,7 +32,7 @@ from osmesa_spark.operators import vectorgrid as VG
 from osmesa_spark.operators.stats import changeset_stats
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FIXTURE_DIR = os.path.join(_REPO_ROOT, ".fixtures", "osm_v2")
+FIXTURE_DIR = os.path.join(_REPO_ROOT, ".fixtures", "osm_v3")
 _HISTORY = os.path.join(FIXTURE_DIR, "history.parquet")
 _CHANGESETS = os.path.join(FIXTURE_DIR, "changesets.parquet")
 _N_ELEMENTS = 2000
@@ -250,11 +250,13 @@ def _osm_utm_area_sql() -> str:
 def osm_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _history(spark)
     wg = G.reconstruct_way_geometries(P.preprocess_ways(h), P.preprocess_nodes(h))
-    m = G.relation_members_resolved(h, wg)
+    m = G.relation_members_resolved(h, wg, resolve_relations=True)
     return m.select(
         F.col("relId").alias("id"),
         F.col("version").cast("int").alias("rel_version"),
         F.col("pos").cast("int").alias("pos"),
+        F.col("sub_pos").cast("int").alias("sub_pos"),
+        F.col("via_ref").cast("bigint").alias("via_ref"),
         F.col("ref").cast("bigint").alias("ref"),
         "role",
         F.size("way_geom").alias("nverts"),
@@ -263,7 +265,11 @@ def osm_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # way-version validity windows come from ALL versions (preprocess), while
-# geometry joins only keep reconstructable ones — mirror both layers
+# geometry joins only keep reconstructable ones — mirror both layers.
+# Nested branch: super-relation members of type='relation' resolve ONE level
+# through the member relation's own validity window (live at the SUPER
+# timestamp), then that relation's way members join way versions at the
+# super timestamp — same layering as geometry.relation_members_resolved.
 OSM_RELATION_MEMBERS_SQL = f"""
     WITH {_NV_CTE}, {_WAYVERT_CTE},
     wval AS (
@@ -272,23 +278,53 @@ OSM_RELATION_MEMBERS_SQL = f"""
                LEAD(timestamp) OVER (PARTITION BY id ORDER BY version)
                  AS w_valid_until
         FROM read_parquet('{_HISTORY}') WHERE type = 'way'),
+    rval AS (
+        SELECT id AS r_id, timestamp AS r_ts, visible AS r_vis,
+               members AS r_members,
+               LEAD(timestamp) OVER (PARTITION BY id ORDER BY version)
+                 AS r_valid_until
+        FROM read_parquet('{_HISTORY}') WHERE type = 'relation'),
     rel_m AS (
         SELECT r.id, r.version AS rel_version, r.timestamp AS rts,
-               (u.pos - 1)::INT AS pos, u.m.ref AS ref, u.m.role AS role
+               (u.pos - 1)::INT AS pos,
+               NULL::INT AS sub_pos, NULL::BIGINT AS via_ref,
+               u.m.ref AS ref, u.m.role AS role
         FROM read_parquet('{_HISTORY}') r,
              LATERAL (SELECT unnest(r.members) AS m,
                              generate_subscripts(r.members, 1) AS pos) u
         WHERE r.type = 'relation' AND r.visible
-          AND (r.tags['type'])[1] = 'multipolygon' AND u.m.type = 'way')
-    SELECT rel_m.id, rel_m.rel_version::INT AS rel_version, rel_m.pos,
-           rel_m.ref::BIGINT AS ref, rel_m.role,
+          AND (r.tags['type'])[1] = 'multipolygon' AND u.m.type = 'way'),
+    rel_rm AS (
+        SELECT r.id, r.version AS rel_version, r.timestamp AS rts,
+               (u.pos - 1)::INT AS pos, u.m.ref AS via_ref
+        FROM read_parquet('{_HISTORY}') r,
+             LATERAL (SELECT unnest(r.members) AS m,
+                             generate_subscripts(r.members, 1) AS pos) u
+        WHERE r.type = 'relation' AND r.visible
+          AND (r.tags['type'])[1] = 'multipolygon' AND u.m.type = 'relation'),
+    nested_m AS (
+        SELECT rr.id, rr.rel_version, rr.rts, rr.pos,
+               (s.pos - 1)::INT AS sub_pos, rr.via_ref::BIGINT AS via_ref,
+               s.m.ref AS ref, s.m.role AS role
+        FROM rel_rm rr
+        JOIN rval ON rr.via_ref = rval.r_id AND rval.r_vis
+             AND rval.r_ts <= rr.rts
+             AND rr.rts < COALESCE(rval.r_valid_until,
+                                   TIMESTAMP '9999-01-01'),
+             LATERAL (SELECT unnest(rval.r_members) AS m,
+                             generate_subscripts(rval.r_members, 1) AS pos) s
+        WHERE s.m.type = 'way'),
+    all_m AS (SELECT * FROM rel_m UNION ALL SELECT * FROM nested_m)
+    SELECT all_m.id, all_m.rel_version::INT AS rel_version, all_m.pos,
+           all_m.sub_pos, all_m.via_ref,
+           all_m.ref::BIGINT AS ref, all_m.role,
            wv.nverts::INT AS nverts,
            (wv.nverts >= 4 AND wv.flon = wv.llon AND wv.flat = wv.llat)
              AS closed
-    FROM rel_m
-    JOIN wval ON rel_m.ref = wval.way_id AND wval.wvis
-         AND wval.wts <= rel_m.rts
-         AND rel_m.rts < COALESCE(wval.w_valid_until, TIMESTAMP '9999-01-01')
+    FROM all_m
+    JOIN wval ON all_m.ref = wval.way_id AND wval.wvis
+         AND wval.wts <= all_m.rts
+         AND all_m.rts < COALESCE(wval.w_valid_until, TIMESTAMP '9999-01-01')
     JOIN wv ON wv.way_id = wval.way_id AND wv.way_version = wval.way_version
 """
 

@@ -440,3 +440,97 @@ def write_tile_pyramid(
     tiles.foreachPartition(write_partition)
     # count touched tiles (cheap second agg over the same lineage)
     return tiles.count()
+
+
+def save_tiles_in_zips(
+    tiles: DataFrame,
+    root: str,
+    zoom: int,
+    io_threads: int = 8,
+) -> int:
+    """Package one zoom level's encoded tiles into zip archives keyed by
+    the zoom-(zoom%8) ancestor tile — ≙ GenerateVT.saveInZips
+    (/root/reference/src/bm/src/main/scala/osmesa/bm/GenerateVT.scala:85-115):
+    offset = zoom % 8, so zooms 0-7 / 8-15 / … each collapse onto the zip
+    grid of their 8-block base zoom; zip object key
+    `{zoom-offset}/{tx>>offset}/{ty>>offset}.zip`; entries named
+    `{zoom}/{tx}/{ty}.mvt`, Z2(Morton)-ordered within the archive.
+
+    `tiles`: (tx, ty, data binary) rows — `data` is the encoded (optionally
+    gzipped) tile payload. Grouping is a single shuffle on the ancestor key
+    with the Z2 sort done engine-side (array_sort on a struct whose first
+    field is the Morton id) — no groupByKey of raw pairs. Per-ancestor
+    fan-in is bounded by 4^offset tiles, the same bound the reference
+    accepts. Archives use ZIP_STORED + a fixed DOS timestamp so a re-run
+    writes byte-identical objects (idempotent under the store's
+    atomic-rename put). Returns the number of zip objects written."""
+    from osmesa_spark.functions.geo import zorder
+    from osmesa_spark.session import ship_package
+
+    ship_package(tiles.sparkSession)
+    offset = zoom % 8
+    grouped = (
+        tiles.select(
+            F.shiftrightunsigned(F.col("tx").cast("bigint"), offset).alias("atx"),
+            F.shiftrightunsigned(F.col("ty").cast("bigint"), offset).alias("aty"),
+            F.struct(
+                zorder(F.col("tx"), F.col("ty")).alias("z"),
+                F.col("tx").cast("bigint").alias("tx"),
+                F.col("ty").cast("bigint").alias("ty"),
+                F.col("data").alias("data"),
+            ).alias("t"),
+        )
+        .groupBy("atx", "aty")
+        .agg(F.array_sort(F.collect_list("t")).alias("entries"))
+    )
+
+    def write_partition(rows):
+        import io as _io
+        import zipfile
+        from concurrent.futures import ThreadPoolExecutor
+
+        from osmesa_spark.sources.objectstore import join_key, open_store
+
+        store, prefix = open_store(root)
+
+        def one(row):
+            buf = _io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                for t in row["entries"]:
+                    info = zipfile.ZipInfo(
+                        f"{zoom}/{t['tx']}/{t['ty']}.mvt",
+                        date_time=(1980, 1, 1, 0, 0, 0),
+                    )
+                    zf.writestr(info, bytes(t["data"]))
+            store.put(
+                join_key(prefix, f"{zoom - offset}/{row['atx']}/{row['aty']}.zip"),
+                buf.getvalue(),
+            )
+
+        with ThreadPoolExecutor(max_workers=io_threads) as pool:
+            list(pool.map(one, rows))
+
+    grouped.foreachPartition(write_partition)
+    return grouped.count()
+
+
+def read_zip_tile(root: str, zoom: int, tx: int, ty: int) -> bytes | None:
+    """Fetch one tile payload back out of its saveInZips archive, or None
+    if the archive or entry is absent."""
+    import io as _io
+    import zipfile
+
+    from osmesa_spark.sources.objectstore import join_key, open_store
+
+    offset = zoom % 8
+    store, prefix = open_store(root)
+    raw = store.get(
+        join_key(prefix, f"{zoom - offset}/{tx >> offset}/{ty >> offset}.zip")
+    )
+    if raw is None:
+        return None
+    with zipfile.ZipFile(_io.BytesIO(raw)) as zf:
+        name = f"{zoom}/{tx}/{ty}.mvt"
+        if name not in zf.namelist():
+            return None
+        return zf.read(name)

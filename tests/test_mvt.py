@@ -169,3 +169,48 @@ if HAVE_HYPOTHESIS:
                 assert g.geom_type == f.geom_type
                 assert g.points == f.points
                 assert g.tags == f.tags
+
+
+def test_save_in_zips_z2_order_and_readback(spark, tmp_path):
+    """saveInZips parity (GenerateVT.scala:85-115): zoom 10 → offset 2 →
+    archives keyed at zoom 8 by (tx>>2, ty>>2); entries Z2-ordered with
+    names {zoom}/{tx}/{ty}.mvt; re-run writes byte-identical archives."""
+    import itertools
+    import zipfile
+
+    rows = [
+        (tx, ty, f"tile-{tx}-{ty}".encode())
+        for tx, ty in itertools.product(range(8, 16), range(4, 10))
+    ]
+    df = spark.createDataFrame(rows, "tx int, ty int, data binary")
+    root = str(tmp_path / "zips")
+    n = mvt.save_tiles_in_zips(df, root, zoom=10)
+    # ancestors: tx>>2 in {2,3}, ty>>2 in {1,2} → 4 zips at zoom 8
+    assert n == 4
+    import os
+
+    zpath = os.path.join(root, "8", "2", "1.zip")
+    with zipfile.ZipFile(zpath) as zf:
+        names = zf.namelist()
+        # all 16 children of ancestor (2,1): tx 8-11, ty 4-7
+        assert len(names) == 16
+        def z2(tx, ty):
+            z = 0
+            for i in range(16):
+                z |= ((tx >> i) & 1) << (2 * i)
+                z |= ((ty >> i) & 1) << (2 * i + 1)
+            return z
+        keys = [tuple(map(int, nm.split("/")[1:3 ])) for nm in
+                (nm.removesuffix(".mvt") for nm in names)]
+        assert [z2(tx, ty) for tx, ty in keys] == sorted(
+            z2(tx, ty) for tx, ty in keys
+        )
+        assert zf.read(names[0]).startswith(b"tile-")
+    # single-tile read-back through the seam
+    got = mvt.read_zip_tile(root, 10, 9, 5)
+    assert got == b"tile-9-5"
+    assert mvt.read_zip_tile(root, 10, 99, 99) is None
+    # idempotent byte-stable re-run
+    before = open(zpath, "rb").read()
+    mvt.save_tiles_in_zips(df, root, zoom=10)
+    assert open(zpath, "rb").read() == before

@@ -221,3 +221,51 @@ def test_relation_assembly_rings_closed(spark, history):
             pts = [(p.lon, p.lat) for p in ring.ring]
             assert pts[0] == pts[-1] and len(pts) >= 4
             assert ring.role in ("outer", "inner")
+
+
+def test_nested_relation_members_one_level(spark, history):
+    """resolve_relations=True expands type='relation' members through the
+    member relation's validity window (live at the SUPER timestamp) into
+    that relation's way members; direct rows are unchanged."""
+    wg = G.reconstruct_way_geometries(
+        P.preprocess_ways(history), P.preprocess_nodes(history)
+    )
+    flat = G.relation_members_resolved(history, wg).collect()
+    nested = G.relation_members_resolved(
+        history, wg, resolve_relations=True
+    ).collect()
+    # direct rows identical (nested adds, never mutates)
+    key = lambda r: (r.relId, r.version, r.pos, r.ref)
+    direct_in_nested = {key(r) for r in nested if r.via_ref is None}
+    assert {key(r) for r in flat} == direct_in_nested
+    added = [r for r in nested if r.via_ref is not None]
+    assert added, "fixture super-relations produced no nested rows"
+    # every nested row's via_ref is a relation the super listed as member,
+    # and its (sub_pos, ref) matches a way member of a via-relation version
+    # whose [timestamp, validUntil) window contains the super's timestamp
+    hist = {
+        (r.id, r.version): r
+        for r in history.where(F.col("type") == "relation").collect()
+    }
+    windows: dict[int, list] = {}
+    for (rid, ver), row in sorted(hist.items()):
+        windows.setdefault(rid, []).append(row)
+    for r in added:
+        sup = hist[(r.relId, r.version)]
+        assert any(
+            m["type"] == "relation" and m["ref"] == r.via_ref
+            for m in sup.members
+        )
+        versions = windows[r.via_ref]
+        live = [
+            v
+            for i, v in enumerate(versions)
+            if v.timestamp <= sup.timestamp
+            and (
+                i + 1 == len(versions)
+                or sup.timestamp < versions[i + 1].timestamp
+            )
+        ]
+        assert len(live) == 1 and live[0].visible
+        m = live[0].members[r.sub_pos]
+        assert m["type"] == "way" and m["ref"] == r.ref and m["role"] == r.role
