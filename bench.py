@@ -52,6 +52,8 @@ HEADLINE = [
     "doc_quality_bins",
     "multimodal_resize",
     "curation_pipeline",
+    "doc_dedup_spans",
+    "incremental_new_docs",
     "decontaminate_overlap",
     "doc_dup_ngram_fraction",
     "kmeans_clusters",

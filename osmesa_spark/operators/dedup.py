@@ -470,3 +470,204 @@ def connected_components(
         prev_sum = cur_sum
     edges.unpersist()
     return labels
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Exact-substring span excision (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), at word-n-gram
+    granularity: any n-word span occurring ≥2 times ANYWHERE in the corpus
+    (other docs or repeated within one doc) is duplicated, and every word
+    covered by a duplicated span is removed. The cleaned doc is the
+    canonical-token residue (single-space joined) — byte-faithful
+    reconstruction is out of scope by design, matching how cleaned corpora
+    are re-tokenized downstream anyway.
+
+    Plan shape (100 TB): gram hashes are built ROW-LOCALLY (one md5 +
+    array HOFs per doc, no explode for construction); the occurrence count
+    shuffles gram instances ONCE keyed by the 60-bit hash (map-side
+    combine); only instances of DUPLICATED grams flow into the per-doc
+    index collection (bounded by dup positions, not corpus size); coverage
+    and residue assembly are array HOFs on the doc row. No driver
+    materialization, no all-pairs surface. The dup-gram join is an equi
+    sort-merge at scale — both sides keyed by gh.
+
+    Output: (id, n_words, n_removed, cleaned) — one row per input doc,
+    including docs shorter than n words (nothing removable)."""
+    words = df.select(
+        F.col(id_col).alias("id"), word_tokens(text_col).alias("w")
+    )
+    # gram-start hash array gh[i], i = 0-based word index (row-local)
+    gh = F.when(
+        F.size("w") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - n),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice("w", i + 1, n))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # checkpoint the tokenized+hashed frame: it feeds the occurrence
+    # count, the dup-index collection AND the final residue join — unchecked,
+    # Catalyst plans three copies of the scan+tokenize+md5 subtree, and
+    # InferFiltersFromGenerate additionally re-inlines the gram transform
+    # into each scan's filter (the hash work runs ~4× per doc). One
+    # materialization, three block-reads — the semdedup()/with_support()
+    # pattern.
+    docs = words.withColumn("gh", gh).localCheckpoint(eager=False)
+    inst = docs.select("id", F.posexplode("gh").alias("i", "g"))
+    cnt = inst.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    dup_idx = (
+        inst.join(cnt.where(F.col("df") >= 2), "g", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("i")).alias("dup_i"))
+    )
+    out = docs.join(dup_idx, "id", "left").withColumn(
+        "dup_i", F.coalesce("dup_i", F.array().cast("array<int>"))
+    )
+    # word p is covered iff some duplicated gram starts in [p-n+1, p]
+    covered = lambda p: F.exists(
+        "dup_i", lambda j: (j >= p - (n - 1)) & (j <= p)
+    )
+    kept = F.filter("w", lambda x, p: ~covered(p))
+    return out.select(
+        "id",
+        F.size("w").cast("bigint").alias("n_words"),
+        (F.size("w") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefilter incremental dedup (snapshot-over-snapshot ingestion)
+# ---------------------------------------------------------------------------
+
+def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n ln p / (ln 2)^2 bits (rounded up to a
+    whole 64-bit word), k = (m/n) ln 2 hash functions."""
+    import math
+
+    n = max(1, expected_items)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, ((m + 63) // 64) * 64)
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(col: Column, m: int, k: int) -> Column:
+    """Row-local array of k bit positions for `col` — xxhash64 with k
+    distinct tags, JVM-side (identical code path on build and probe sides,
+    so the probe never re-implements the hash in Python)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(f"b{i}:"), col), F.lit(m)).cast("bigint")
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_bitmap(
+    df: DataFrame, col: str, m: int, k: int
+):
+    """Distributed Bloom build: k positions per row (row-local) → explode →
+    bit_or-aggregate per 64-bit word index (ONE shuffle, map-side combined,
+    ≤ m/64 rows regardless of input size) → driver assembles a packed
+    numpy uint64 array. Driver materialization is bounded by the CHOSEN m
+    (m/8 bytes — 2^30 bits = 128 MB), never by the data; that is the same
+    boundedness contract as broadcasting k-means centroids."""
+    import numpy as np
+
+    words = (
+        df.select(
+            F.explode(_bloom_positions(F.col(col), m, k)).alias("pos")
+        )
+        .groupBy((F.col("pos") / 64).cast("bigint").alias("widx"))
+        .agg(
+            # shiftleft's Python binding needs a literal bit count; the SQL
+            # form takes a column expression
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    arr = np.zeros(m // 64, dtype=np.int64)
+    for r in words:
+        arr[int(r["widx"])] = r["bits"]
+    return arr.view(np.uint64)
+
+
+def bloom_new_rows(
+    incoming: DataFrame,
+    prior: DataFrame,
+    key_col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """EXACT incremental dedup of `incoming` against the already-ingested
+    `prior` snapshot, with a Bloom prefilter doing the heavy lifting:
+
+      1. build a Bloom bitmap over prior[key_col] (one bounded-output
+         shuffle over prior, never re-run per batch in a real deployment);
+      2. probe incoming row-locally — positions computed JVM-side, the bit
+         test a vectorized numpy kernel over the broadcast bitmap. A
+         bloom-NEGATIVE row is definitely new and flows through with ZERO
+         join work;
+      3. only bloom-POSITIVE rows (true dups + ~fpp false positives) pay
+         the exact anti-join against prior.
+
+    At 100 TB this turns an |incoming| ⋈ |prior| shuffle into a shuffle of
+    |dups| + fpp·|incoming| rows; output is exactly `incoming` anti-join
+    `prior` (the Bloom can only ADD candidates, and every candidate is
+    verified), so the operator is oracle-checkable by a plain anti-join.
+
+    Returns incoming rows whose key_col does not occur in prior."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    if expected_items is None:
+        expected_items = prior.count()
+    m, k = _bloom_params(expected_items, fpp)
+    bitmap = bloom_bitmap(prior, key_col, m, k)
+    spark = incoming.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    # no parameter annotations: module-level `from __future__ import
+    # annotations` turns them into strings pyspark's hint inference can't
+    # resolve here — unannotated defaults to the scalar pandas UDF type
+    @pandas_udf("boolean")
+    def might_contain(positions):
+        import numpy as np
+
+        words = bc.value
+        pos = np.asarray(positions.tolist(), dtype=np.uint64)
+        if pos.size == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        hit = (words[pos >> np.uint64(6)] >> (pos & np.uint64(63))) \
+            & np.uint64(1)
+        return pd.Series(hit.all(axis=1).astype(bool))
+
+    # checkpoint the probed frame: it feeds BOTH the negative passthrough
+    # and the candidate anti-join — without it each branch re-executes the
+    # probe UDF subtree (a second full pass over incoming at corpus scale),
+    # the same double-compute semdedup()/with_support() eliminate
+    probed = incoming.withColumn(
+        "__bloom_hit", might_contain(_bloom_positions(F.col(key_col), m, k))
+    ).localCheckpoint(eager=False)
+    negatives = probed.where(~F.col("__bloom_hit")).drop("__bloom_hit")
+    candidates = probed.where(F.col("__bloom_hit")).drop("__bloom_hit")
+    verified_new = candidates.join(
+        prior.select(F.col(key_col).alias(key_col)).distinct(),
+        key_col,
+        "left_anti",
+    )
+    return negatives.unionByName(verified_new)

@@ -2937,6 +2937,105 @@ def q_doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_dedup_spans",
+    """
+    WITH tokens AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS w
+        FROM documents),
+    words AS (
+        SELECT doc_id, u.word, (u.p - 1)::BIGINT AS p
+        FROM tokens, LATERAL (SELECT unnest(w) AS word,
+                                     generate_subscripts(w, 1) AS p) u),
+    wc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_words FROM words
+           GROUP BY doc_id),
+    gramlist AS (
+        SELECT doc_id, list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                 w[i+3] || ' ' || w[i+4]) AS gl
+        FROM tokens WHERE len(w) >= 5),
+    grams AS (
+        SELECT doc_id, (u.p - 1)::BIGINT AS i,
+               ('0x' || substr(md5(u.g), 1, 15))::BIGINT AS g
+        FROM gramlist, LATERAL (SELECT unnest(gl) AS g,
+                                       generate_subscripts(gl, 1) AS p) u),
+    cnt AS (SELECT g, COUNT(*)::BIGINT AS df FROM grams GROUP BY g),
+    dup AS (SELECT grams.doc_id, grams.i FROM grams JOIN cnt USING (g)
+            WHERE df >= 2),
+    covered AS (
+        SELECT DISTINCT w.doc_id, w.p FROM words w
+        JOIN dup d ON d.doc_id = w.doc_id AND w.p BETWEEN d.i AND d.i + 4),
+    kept AS (
+        SELECT w.doc_id, w.p, w.word FROM words w
+        ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.p = c.p),
+    kc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+                  COALESCE(string_agg(word, ' ' ORDER BY p), '') AS cleaned
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(wc.n_words, 0) AS n_words,
+           COALESCE(wc.n_words, 0) - COALESCE(kc.n_kept, 0) AS n_removed,
+           length(COALESCE(kc.cleaned, ''))::BIGINT AS cleaned_len,
+           md5(COALESCE(kc.cleaned, '')) AS cleaned_md5
+    FROM documents d
+    LEFT JOIN wc ON wc.doc_id = d.doc_id
+    LEFT JOIN kc ON kc.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="exact-substring span excision (Lee et al. 2022) at 5-word-gram "
+    "granularity: every word covered by a gram occurring ≥2 times anywhere "
+    "in the corpus is removed; emits the cleaned residue's length + md5 so "
+    "the rewritten TEXT itself is hash-checked, not just counts. Gram "
+    "hashes are built row-locally; the occurrence count shuffles gram "
+    "instances once by 60-bit hash; only duplicated instances reach the "
+    "per-doc index collection; coverage + residue are array HOFs on the "
+    "doc row (training-data extension)",
+)
+def q_doc_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.dedup import remove_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(d, "text", "doc_id", n=5)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_removed",
+        F.length("cleaned").cast("bigint").alias("cleaned_len"),
+        F.md5("cleaned").alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "incremental_new_docs",
+    """
+    WITH prior AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 != 0),
+    inc AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
+    SELECT inc.doc_id, inc.h
+    FROM inc ANTI JOIN prior ON inc.h = prior.h
+    ORDER BY inc.doc_id
+    """,
+    doc="incremental snapshot-over-snapshot dedup with a Bloom prefilter: "
+    "prior corpus → distributed bitmap build (explode k positions, bit_or "
+    "per 64-bit word — ONE bounded-output shuffle, ≤ m/64 rows no matter "
+    "the corpus size); incoming batch probed row-locally against the "
+    "broadcast bitmap (positions JVM-side, bit test a vectorized numpy "
+    "kernel); only bloom-positive rows (true dups + ~fpp false positives) "
+    "pay the exact anti-join. Output is EXACT — the Bloom only prunes join "
+    "input, every candidate is verified — so the oracle is a plain "
+    "anti-join (training-data extension)",
+)
+def q_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.dedup import bloom_new_rows
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    prior = d.where(F.col("doc_id") % 3 != 0)
+    incoming = d.where(F.col("doc_id") % 3 == 0)
+    return bloom_new_rows(incoming, prior, "h", fpp=0.01).orderBy("doc_id")
+
+
+@register(
     "tokenizer_fertility",
     """
     WITH toks AS (
@@ -3315,6 +3414,9 @@ DRIVER_PRIORITY = [
     # never driver-checked in any round
     "dedup_cluster_stats",
     "neardup_containment",
+    # new this round
+    "doc_dedup_spans",
+    "incremental_new_docs",
     # driver evidence is rounds 1-2 only — rotate back in
     "semi_join_active",
     "anti_join_inactive",

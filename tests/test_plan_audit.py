@@ -160,6 +160,7 @@ EXTENSIONS_JVM_ONLY = [
     "curation_pipeline",
     "doc_token_entropy",
     "neardup_sparse_cosine",
+    "doc_dedup_spans",
 ]
 
 

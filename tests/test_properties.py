@@ -471,3 +471,102 @@ def test_lsh_max_bucket_cap(spark):
         sigs, bands=4, rows_per_band=4, max_bucket=10
     )
     assert capped.count() == 0  # every band-bucket of the clique is over cap
+
+
+def test_remove_duplicated_spans_hand_case(spark):
+    from osmesa_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "the quick brown fox jumps"  # 5 words, shared verbatim
+    docs = [
+        (1, f"alpha beta {shared} gamma delta epsilon zeta"),
+        (2, f"one two three {shared} four five six seven"),
+        (3, "totally unique text with no overlap whatsoever here"),
+        (4, "tiny doc"),  # < 5 words: no grams, nothing removable
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {
+        r.id: r
+        for r in remove_duplicated_spans(df, "text", "doc_id").collect()
+    }
+    # the shared 5-gram (and only it) is duplicated: exactly its 5 words
+    # vanish from both holders, surrounding words survive
+    assert out[1].n_removed == 5
+    assert out[1].cleaned == "alpha beta gamma delta epsilon zeta"
+    assert out[2].n_removed == 5
+    assert out[2].cleaned == "one two three four five six seven"
+    assert out[3].n_removed == 0
+    assert out[3].cleaned == "totally unique text with no overlap whatsoever here"
+    assert out[4].n_removed == 0 and out[4].n_words == 2
+    assert out[4].cleaned == "tiny doc"
+
+
+def test_remove_duplicated_spans_within_doc_repeat(spark):
+    from osmesa_spark.operators.dedup import remove_duplicated_spans
+
+    # the same 5-gram twice WITHIN one doc is also a duplicate (df counts
+    # occurrences, not holders)
+    rep = "a b c d e"
+    df = spark.createDataFrame(
+        [(1, f"x {rep} y z w v u {rep} q")], "doc_id int, text string"
+    )
+    (row,) = remove_duplicated_spans(df, "text", "doc_id").collect()
+    assert row.n_removed == 10
+    assert row.cleaned == "x y z w v u q"
+
+
+def test_bloom_new_rows_exact_vs_antijoin(spark):
+    import pyspark.sql.functions as F
+
+    from osmesa_spark.operators.dedup import bloom_new_rows
+
+    prior = spark.range(0, 3000).select(
+        F.concat(F.lit("k"), (F.col("id") % 2000).cast("string")).alias("h")
+    )
+    incoming = spark.range(1500, 4500).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("h"),
+    )
+    got = bloom_new_rows(incoming, prior, "h", fpp=0.05)
+    # exact semantics regardless of Bloom false positives: keys 2000-4499
+    assert {r.rid for r in got.collect()} == set(range(2000, 4500))
+    # schema passes through untouched
+    assert got.columns == ["rid", "h"]
+
+
+def test_bloom_bitmap_fpp_bounded(spark):
+    import pyspark.sql.functions as F
+    import numpy as np
+
+    from osmesa_spark.operators.dedup import (
+        _bloom_params,
+        _bloom_positions,
+        bloom_bitmap,
+    )
+
+    n = 2000
+    m, k = _bloom_params(n, 0.01)
+    prior = spark.range(0, n).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("h")
+    )
+    bitmap = bloom_bitmap(prior, "h", m, k)
+    # members always hit; non-members hit at ~fpp (allow 5x headroom)
+    probe = spark.range(0, 4 * n).select(
+        F.col("id").alias("pid"),
+        _bloom_positions(
+            F.concat(F.lit("v"), F.col("id").cast("string")), m, k
+        ).alias("pos"),
+    ).collect()
+    hits = 0
+    for r in probe:
+        pos = np.asarray(r.pos, dtype=np.uint64)
+        hit = bool(
+            (
+                (bitmap[pos >> np.uint64(6)] >> (pos & np.uint64(63)))
+                & np.uint64(1)
+            ).all()
+        )
+        if r.pid < n:
+            assert hit, f"member {r.pid} missed the filter"
+        elif hit:
+            hits += 1
+    assert hits / (3 * n) < 0.05, f"fpp {hits / (3 * n):.3f} way over target"
