@@ -135,7 +135,8 @@ def footprint(
             cs_tags = cs_tags.where(F.col("entity").isin(allow))
         pts = nodes.select(
             F.col("changeset").alias("cs_id"), "lon", "lat"
-        ).join(F.broadcast(cs_tags), "cs_id")
+        ).join(cs_tags, "cs_id")  # hashtag-bearing changesets grow with
+        # the corpus — no forced broadcast; optimizer decides by size
     else:
         raise ValueError(f"unknown footprint kind: {kind!r}")
     base = VG.tile_points(

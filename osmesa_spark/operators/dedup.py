@@ -498,7 +498,11 @@ def remove_duplicated_spans(
 
     Output: (id, n_words, n_removed, cleaned) — one row per input doc,
     including docs shorter than n words (nothing removable)."""
-    words = df.select(
+    # spread before the tokenize+hash stage: the checkpoint below
+    # materializes with its input's partitioning, so a one-split scan would
+    # otherwise pin the whole gram build (and every downstream consumer)
+    # to a single core
+    words = ensure_parallelism(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"), word_tokens(text_col).alias("w")
     )
     # gram-start hash array gh[i], i = 0-based word index (row-local)

@@ -33,6 +33,7 @@ from osmesa_spark.functions import tags as tg
 from osmesa_spark.operators import curation as cur
 from osmesa_spark.operators import dedup as dd
 from osmesa_spark.operators import similarity as sim
+from osmesa_spark.util import ensure_parallelism
 from osmesa_spark.operators import textops
 
 
@@ -184,7 +185,9 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, o_orderkey
     LIMIT 10
     """,
-    doc="3-way join (broadcast dim) + agg + deterministic top-k (§2.3 J1/J4, §2.6)",
+    doc="3-way join + agg + deterministic top-k (§2.3 J1/J4, §2.6). No "
+    "broadcast hint on customer: it scales with SF (a real dim table at "
+    "100 TB) — the optimizer broadcasts it only while it fits",
 )
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -192,7 +195,7 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "c_mktsegment")
         .agg(
             F.round(
@@ -627,7 +630,7 @@ def q_explode_membership_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey"), F.explode("refs").alias("ref")
     )
     return (
-        exploded.join(F.broadcast(p), exploded.ref == p.p_partkey)
+        exploded.join(p, exploded.ref == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_refs"),
@@ -1127,7 +1130,9 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "word").select(
+    # no broadcast hint: dfreq is vocabulary-sized (unbounded at corpus
+    # scale) — let the optimizer broadcast only when it actually fits
+    scored = tf.join(dfreq, "word").select(
         "doc_id",
         "word",
         F.round(
@@ -2677,6 +2682,9 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmesa_spark.operators.dedup import _portable_hash, gram_hash60
 
     d = _t(spark, sf_dir, "documents")
+    # regex shingling + per-gram md5 is the CPU hot spot: a one-split scan
+    # (small table / one row-group) would serialize it on a single core
+    d = ensure_parallelism(d.select("doc_id", "text"), "doc_id")
     grams = d.select(
         "doc_id",
         (
@@ -2901,18 +2909,25 @@ def q_doc_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmesa_spark.operators.dedup import gram_hash60
 
     d = _t(spark, sf_dir, "documents")
+    # spread the scan before the shingle+md5 stage (single-split guard)
+    d = ensure_parallelism(d.select("doc_id", "text"), "doc_id")
     grams = d.select(
         "doc_id",
         F.explode(F.array_distinct(text_fns.shingles("text", 5))).alias("g"),
     ).select("doc_id", gram_hash60(F.col("g")).alias("gh"))
     # totals need no explode/shuffle at all: per-doc distinct-gram count is
-    # a row-local array size straight off the scan
-    totals = d.select(
+    # a row-local array size. Filter on the CHEAP equivalent (≥5 tokens ⟺
+    # n_grams > 0): a filter on n_grams itself would be pushed below the
+    # spreading exchange and re-evaluate the whole shingle pipeline on the
+    # unspread scan split (the minhash_signatures pushdown trap).
+    totals = d.where(
+        F.size(text_fns.word_tokens("text")) >= 5
+    ).select(
         "doc_id",
         F.size(F.array_distinct(text_fns.shingles("text", 5))).alias(
             "n_grams"
         ).cast("bigint"),
-    ).where(F.col("n_grams") > 0)
+    )
     per_gram = grams.groupBy("gh").agg(
         F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
     )
@@ -3201,9 +3216,13 @@ def q_neardup_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(
         F.col("dot") / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)), 6
     )
+    # no broadcast HINT on the norm joins: norms is PER-DOC (corpus-sized
+    # at 100 TB) — forcing it into executor memory is the one shape that
+    # cannot scale. Catalyst still broadcasts when the side fits the
+    # threshold; above it the join degrades to SMJ on id (regime-tested).
     return (
-        dots.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
         .select("id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= _SPARSE_THRESHOLD)
         .orderBy("id_a", "id_b")
@@ -3333,6 +3352,8 @@ _BM25_TERMS = ["spark", "join", "shuffle"]
 )
 def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    # single-split guard before the tokenize+explode stage
+    d = ensure_parallelism(d.select("doc_id", "text"), "doc_id")
     words = d.select(
         "doc_id", F.explode(text_fns.word_tokens("text")).alias("w")
     )
