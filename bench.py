@@ -54,6 +54,7 @@ HEADLINE = [
     "curation_pipeline",
     "doc_dedup_spans",
     "incremental_new_docs",
+    "doc_lm_nll",
     "decontaminate_overlap",
     "doc_dup_ngram_fraction",
     "kmeans_clusters",

@@ -316,12 +316,15 @@ def _stitch_rings(segments: list[list[tuple]]) -> list[list[tuple]]:
 
 
 def reconstruct_relation_geometries(
-    relations: DataFrame, way_geoms: DataFrame
+    relations: DataFrame, way_geoms: DataFrame, resolve_relations: bool = False
 ) -> DataFrame:
     """Multipolygon assembly: member ways → stitched closed rings, grouped
     by role. The per-relation stitch is inherently sequential (endpoint
     chaining) so it runs in an Arrow-batched kernel over one row per
     relation version; everything upstream is joins/aggs.
+    `resolve_relations=True` additionally stitches way members reached
+    through one level of relation-type members (super-relations) — their
+    rings join the super-relation's own assembly.
 
     Output: id, type='relation', geomType='MultiPolygon',
     rings: array<struct<role, ring: array<struct<lon,lat>>>>, metadata."""
@@ -332,7 +335,9 @@ def reconstruct_relation_geometries(
 
     from osmesa_spark.session import ship_package
 
-    members = relation_members_resolved(relations, way_geoms)
+    members = relation_members_resolved(
+        relations, way_geoms, resolve_relations=resolve_relations
+    )
     grouped = members.groupBy("relId", "updated").agg(
         F.first("tags").alias("tags"),
         F.first("changeset").alias("changeset"),

@@ -81,3 +81,70 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             4,
         ).alias("dup_word_share"),
     )
+
+
+def lm_nll_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality signal: per-doc average negative
+    log-likelihood under a corpus-trained add-k-smoothed BIGRAM model
+    (the in-engine stand-in for CCNet's KenLM 5-gram perplexity filter —
+    fluent text scores low, gibberish/boilerplate scores high).
+
+    p(b|a) = (C(a,b) + k) / (C(a) + k·V); score = −mean ln p over the
+    doc's bigram instances. The model is trained on the scored corpus
+    itself — standard for an unsupervised quality signal.
+
+    Scale shape: bigrams are built ROW-LOCALLY (array transform, no
+    window); the instance table is localCheckpointed because it feeds both
+    the count aggregation and the per-doc score join; C(a) derives from
+    the bigram counts (no second corpus pass); V is one distinct-count
+    scalar. Joins are keyed on the bigram — SMJ at corpus scale, the count
+    table is vocabulary²-bounded with zipfian mass (heavy pairs are single
+    counter rows, never holder lists).
+
+    Output: (id, n_bigrams, nll) — docs with ≥2 tokens only."""
+    from osmesa_spark.functions.text import word_tokens
+    from osmesa_spark.util import ensure_parallelism
+
+    base = ensure_parallelism(df.select(id_col, text_col), id_col)
+    toks = word_tokens(text_col)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("a"),
+            F.element_at(toks, i + 2).alias("b"),
+        ),
+    )
+    db = (
+        base.where(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+        .select("id", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    c_ab = db.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("c_ab")
+    )
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab = (
+        base.select(F.explode(toks).alias("t")).select("t").distinct().count()
+    )
+    probs = c_ab.join(c_a, "a").select(
+        "a",
+        "b",
+        F.log(
+            (F.col("c_ab") + F.lit(add_k))
+            / (F.col("c_a") + F.lit(add_k * float(vocab)))
+        ).alias("lp"),
+    )
+    return (
+        db.join(probs, ["a", "b"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(-F.avg("lp"), 6).alias("nll"),
+        )
+    )

@@ -3019,6 +3019,44 @@ def q_doc_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_lm_nll",
+    """
+    WITH tokens AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS w
+        FROM documents),
+    bg AS (
+        SELECT doc_id, w[u.i] AS a, w[u.i + 1] AS b
+        FROM tokens, LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+        WHERE len(w) >= 2),
+    cab AS (SELECT a, b, COUNT(*)::DOUBLE AS c_ab FROM bg GROUP BY a, b),
+    ca AS (SELECT a, SUM(c_ab)::DOUBLE AS c_a FROM cab GROUP BY a),
+    v AS (SELECT COUNT(DISTINCT u.t)::DOUBLE AS v
+          FROM tokens, LATERAL (SELECT unnest(w) AS t) u),
+    probs AS (
+        SELECT cab.a, cab.b,
+               ln((cab.c_ab + 0.5) / (ca.c_a + 0.5 * v.v)) AS lp
+        FROM cab JOIN ca USING (a), v)
+    SELECT bg.doc_id AS id, COUNT(*)::BIGINT AS n_bigrams,
+           ROUND(-AVG(p.lp), 6) AS nll
+    FROM bg JOIN probs p ON bg.a = p.a AND bg.b = p.b
+    GROUP BY bg.doc_id ORDER BY id
+    """,
+    doc="CCNet-style LM quality signal: per-doc average negative "
+    "log-likelihood under a corpus-trained add-0.5-smoothed bigram model "
+    "(in-engine stand-in for the KenLM perplexity filter). Bigrams built "
+    "row-locally; the instance table is checkpointed (feeds both the "
+    "count agg and the score join); C(a) derives from C(a,b) with no "
+    "second corpus pass; V is one scalar. Bigram-keyed joins — counter "
+    "rows, never holder lists (training-data extension)",
+)
+def q_doc_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.textops import lm_nll_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_nll_scores(d, "doc_id", "text").orderBy("id")
+
+
+@register(
     "incremental_new_docs",
     """
     WITH prior AS (
@@ -3438,6 +3476,7 @@ DRIVER_PRIORITY = [
     # new this round
     "doc_dedup_spans",
     "incremental_new_docs",
+    "doc_lm_nll",
     # driver evidence is rounds 1-2 only — rotate back in
     "semi_join_active",
     "anti_join_inactive",

@@ -347,6 +347,12 @@ OSM_RELATION_ASSEMBLY_SQL = f"""
                LEAD(timestamp) OVER (PARTITION BY id ORDER BY version)
                  AS w_valid_until
         FROM read_parquet('{_HISTORY}') WHERE type = 'way'),
+    rval AS (
+        SELECT id AS r_id, timestamp AS r_ts, visible AS r_vis,
+               members AS r_members,
+               LEAD(timestamp) OVER (PARTITION BY id ORDER BY version)
+                 AS r_valid_until
+        FROM read_parquet('{_HISTORY}') WHERE type = 'relation'),
     rel_m AS (
         SELECT r.id, r.version AS rel_version, r.timestamp AS rts,
                (u.pos - 1)::INT AS pos, u.m.ref AS ref
@@ -355,16 +361,39 @@ OSM_RELATION_ASSEMBLY_SQL = f"""
                              generate_subscripts(r.members, 1) AS pos) u
         WHERE r.type = 'relation' AND r.visible
           AND (r.tags['type'])[1] = 'multipolygon' AND u.m.type = 'way'),
+    rel_rm AS (
+        SELECT r.id, r.version AS rel_version, r.timestamp AS rts,
+               (u.pos - 1)::INT AS pos, u.m.ref AS via_ref
+        FROM read_parquet('{_HISTORY}') r,
+             LATERAL (SELECT unnest(r.members) AS m,
+                             generate_subscripts(r.members, 1) AS pos) u
+        WHERE r.type = 'relation' AND r.visible
+          AND (r.tags['type'])[1] = 'multipolygon'
+          AND u.m.type = 'relation'),
+    nested_m AS (
+        SELECT rr.id, rr.rel_version, rr.rts, rr.pos, s.m.ref AS ref
+        FROM rel_rm rr
+        JOIN rval ON rr.via_ref = rval.r_id AND rval.r_vis
+             AND rval.r_ts <= rr.rts
+             AND rr.rts < COALESCE(rval.r_valid_until,
+                                   TIMESTAMP '9999-01-01'),
+             LATERAL (SELECT unnest(rval.r_members) AS m,
+                             generate_subscripts(rval.r_members, 1) AS pos) s
+        WHERE s.m.type = 'way'),
+    all_m AS (
+        SELECT id, rel_version, rts, pos, ref FROM rel_m
+        UNION ALL
+        SELECT id, rel_version, rts, pos, ref FROM nested_m),
     mem AS (
-        SELECT rel_m.id, rel_m.rel_version, rel_m.pos, wv.nverts,
+        SELECT all_m.id, all_m.rel_version, all_m.pos, wv.nverts,
                wv.flon::VARCHAR || ',' || wv.flat::VARCHAR AS ep_a,
                wv.llon::VARCHAR || ',' || wv.llat::VARCHAR AS ep_b,
                (wv.nverts >= 4 AND wv.flon = wv.llon AND wv.flat = wv.llat)
                  AS closed
-        FROM rel_m
-        JOIN wval ON rel_m.ref = wval.way_id AND wval.wvis
-             AND wval.wts <= rel_m.rts
-             AND rel_m.rts < COALESCE(wval.w_valid_until,
+        FROM all_m
+        JOIN wval ON all_m.ref = wval.way_id AND wval.wvis
+             AND wval.wts <= all_m.rts
+             AND all_m.rts < COALESCE(wval.w_valid_until,
                                       TIMESTAMP '9999-01-01')
         JOIN wv ON wv.way_id = wval.way_id
              AND wv.way_version = wval.way_version),
@@ -421,7 +450,7 @@ OSM_RELATION_ASSEMBLY_SQL = f"""
 def osm_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _history(spark)
     wg = G.reconstruct_way_geometries(P.preprocess_ways(h), P.preprocess_nodes(h))
-    rels = G.reconstruct_relation_geometries(h, wg)
+    rels = G.reconstruct_relation_geometries(h, wg, resolve_relations=True)
     return rels.select(
         "id",
         "geomType",

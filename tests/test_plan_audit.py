@@ -204,6 +204,7 @@ NO_BROADCAST_REGIME = [
     "neardup_sparse_cosine",
     "doc_dedup_spans",
     "incremental_new_docs",
+    "doc_lm_nll",
 ]
 
 

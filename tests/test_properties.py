@@ -570,3 +570,37 @@ def test_bloom_bitmap_fpp_bounded(spark):
         elif hit:
             hits += 1
     assert hits / (3 * n) < 0.05, f"fpp {hits / (3 * n):.3f} way over target"
+
+
+def test_lm_nll_matches_hand_model(spark):
+    import math
+
+    from osmesa_spark.operators.textops import lm_nll_scores
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "zx qv pw zx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r.id: r for r in lm_nll_scores(df, "doc_id", "text").collect()}
+
+    # hand-build the same add-0.5 bigram model
+    toks = {i: t.split() for i, t in docs}
+    c_ab, c_a, vocab = {}, {}, set()
+    for ws in toks.values():
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            c_ab[(a, b)] = c_ab.get((a, b), 0) + 1
+            c_a[a] = c_a.get(a, 0) + 1
+    V = len(vocab)
+    for i, ws in toks.items():
+        lps = [
+            math.log((c_ab[(a, b)] + 0.5) / (c_a[a] + 0.5 * V))
+            for a, b in zip(ws, ws[1:])
+        ]
+        assert got[i].n_bigrams == len(lps)
+        assert abs(got[i].nll - round(-sum(lps) / len(lps), 6)) < 1e-9
+    # the natural-language docs share mass; gibberish with unseen pairs
+    # (all singleton bigrams over rare unigrams) scores strictly worse
+    assert got[3].nll > got[1].nll and got[3].nll > got[2].nll
