@@ -66,6 +66,7 @@ HEADLINE = [
     "building_match_volume",
     "building_match_support",
     "osm_geocode",
+    "osm_geocode_grid",
     "osm_utm_area",
     "osm_changeset_stats",
     "osm_way_reconstruction",

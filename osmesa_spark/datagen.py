@@ -67,6 +67,33 @@ COUNTRY_POLYGONS = {
 }
 
 
+def _grid_fixture_countries(n: int = 40) -> dict[str, list[tuple[float, float]]]:
+    """Deterministic n-country polygon set sized to trip the geocoder's
+    grid dispatch (> GRID_THRESHOLD_COUNTRIES): octagon rings (even index)
+    and concave 8-point stars (odd index) tiling the fixture node extent,
+    with deliberate overlaps so points carry multiple codes. Vertices
+    rounded to 6dp so SQL literals replay the exact doubles."""
+    import math
+
+    out: dict[str, list[tuple[float, float]]] = {}
+    for i in range(n):
+        cx = -11.0 + (i % 8) * 3.0
+        cy = -11.0 + (i // 8) * 5.5
+        r = 1.9 if i % 2 == 0 else 2.3
+        ring = []
+        for k in range(8):
+            ang = 2.0 * math.pi * k / 8.0
+            rr = r if (i % 2 == 0 or k % 2 == 0) else r * 0.45
+            ring.append(
+                (round(cx + rr * math.cos(ang), 6), round(cy + rr * math.sin(ang), 6))
+            )
+        out[f"G{i:02d}"] = ring
+    return out
+
+
+COUNTRY_POLYGONS_GRID = _grid_fixture_countries()
+
+
 def _ts(minutes: float) -> datetime:
     return T0 + timedelta(minutes=minutes)
 

@@ -2068,8 +2068,8 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmesa_spark.operators import multimodal as mm
 
     d = _t(spark, sf_dir, "documents")
-    media = mm.synthesize_media(d)
-    thumbs = mm.resize_thumbnail(media, tw=4, th=3)
+    # fused single Arrow pass — blobs never cross the JVM boundary
+    thumbs = mm.synthesize_and_resize(d, tw=4, th=3)
     return thumbs.select(
         "media_id",
         F.col("out_w").cast("int").alias("out_w"),
@@ -3455,6 +3455,7 @@ DRIVER_PRIORITY = [
     "osm_utm_area",
     "osm_changeset_stats",
     "osm_geocode",
+    "osm_geocode_grid",
     "osm_hashtags",
     "osm_tile_pyramid",
     "osm_user_footprint",
@@ -3502,10 +3503,6 @@ DRIVER_PRIORITY = [
     "lang_id",
     "doc_token_stats",
     "dataset_split",
-    "stratified_sample",
-    "dedup_keep_best",
-    "embedding_label_stats",
-    "doc_tfidf_top_terms",
 ]
 
 

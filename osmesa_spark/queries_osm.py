@@ -10,6 +10,7 @@ These give the driver's correctness gate direct coverage of:
   * TRUE UTM planar areas (Snyder series, §2.8 geo)    → osm_utm_area
   * the full changeset-stats pipeline (P5/P6+A1+J3/J4) → osm_changeset_stats
   * geocode point-in-polygon ray-cast, concave (J10)   → osm_geocode
+  * geocode GRID-index dispatch (the at-scale path)     → osm_geocode_grid
   * hashtag extraction + merge_sets (§2.8 string)      → osm_hashtags
   * vector-grid tile pyramid (G1-G5)                   → osm_tile_pyramid
   * per-user faceted footprint pyramid (Footprint)     → osm_user_footprint
@@ -618,6 +619,43 @@ OSM_GEOCODE_SQL = f"""
 """
 
 
+def osm_geocode_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same node points as osm_geocode, but against a 40-country set —
+    above GRID_THRESHOLD_COUNTRIES, so geocode_polygons_auto dispatches
+    the broadcast coarse-grid index path (the 100 TB / 311-real-country
+    shape: per-point cost bounded by the cell's candidate list, interior
+    cells short-circuit with zero vertex work). Driver-checks the GRID
+    code path end-to-end; osm_geocode keeps covering the literal path."""
+    from osmesa_spark.operators.geocode import geocode_polygons_auto
+
+    nodes = P.preprocess_nodes(_history(spark))
+    pts = G.construct_point_geometries(nodes, tagged_only=False)
+    coded = geocode_polygons_auto(pts, datagen.COUNTRY_POLYGONS_GRID)
+    return (
+        coded.select("id", "version", F.explode("countries").alias("code"))
+        .select("id", F.col("version").cast("int").alias("version"), "code")
+        .distinct()
+    )
+
+
+def _geocode_grid_raycast_sql() -> str:
+    parts = []
+    for code, ring in sorted(datagen.COUNTRY_POLYGONS_GRID.items()):
+        parts.append(
+            f"SELECT id, version::INT AS version, '{code}' AS code\n"
+            f"   FROM pts WHERE {_raycast_cond(ring, 'lon', 'lat')}"
+        )
+    return "\n   UNION ALL\n   ".join(parts)
+
+
+OSM_GEOCODE_GRID_SQL = f"""
+    WITH pts AS (
+        SELECT id, version, lon, lat FROM read_parquet('{_HISTORY}')
+        WHERE type = 'node' AND lat IS NOT NULL AND lon IS NOT NULL)
+    SELECT DISTINCT * FROM ({_geocode_grid_raycast_sql()})
+"""
+
+
 def osm_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs = _changesets(spark)
     merged = cs.select(
@@ -919,6 +957,14 @@ def register_osm_queries(register) -> None:
         "(envelope pre-check, then crossing count), exercised on a concave "
         "country where bbox containment gives the wrong answer",
     )(osm_geocode)
+    register(
+        "osm_geocode_grid",
+        OSM_GEOCODE_GRID_SQL,
+        doc="GRID-dispatched geocode (the 100 TB shape): 40 countries > "
+        "dispatch threshold, so the broadcast coarse-grid cell index path "
+        "runs — interior-cell short-circuit, candidate-only ray-cast — "
+        "and must agree with the 40-way literal ray-cast oracle",
+    )(osm_geocode_grid)
     register(
         "osm_hashtags",
         OSM_HASHTAGS_SQL,
