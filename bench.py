@@ -55,6 +55,7 @@ HEADLINE = [
     "doc_dedup_spans",
     "incremental_new_docs",
     "doc_lm_nll",
+    "doc_c4_line_filter",
     "decontaminate_overlap",
     "doc_dup_ngram_fraction",
     "kmeans_clusters",

@@ -174,3 +174,32 @@ def edit_histogram_app(
     )
     base = VG.tile_points(nodes, zoom=base_zoom, cells=cells)
     return VG.pyramid(base, base_zoom=base_zoom)
+
+
+def generate_vt_zips(
+    spark: SparkSession,
+    history: DataFrame,
+    root: str,
+    base_zoom: int = 10,
+    cells: int = 16,
+) -> dict[str, int]:
+    """GenerateVT-style batch run ≙ the reference bm pipeline
+    (GenerateVT.scala:85-115 `saveInZips` call path): located node
+    versions → vector-grid pyramid → per-zoom MVT encoding → zip-of-zooms
+    packaging (archives keyed at zoom−(zoom%8), entries Z2-ordered).
+
+    One pyramid build feeds every zoom level; per-zoom filtering happens
+    into 8-block subtree archives by save_pyramid_in_zips (one zip holds
+    up to 8 zoom levels of one subtree). Returns {"zips": n_archives}."""
+    from osmesa_spark.operators import vectorgrid as VG
+    from osmesa_spark.sinks.mvt import encode_tiles, save_pyramid_in_zips
+
+    pts = history.where(
+        (F.col("type") == "node")
+        & F.col("lat").isNotNull()
+        & F.col("lon").isNotNull()
+    ).select("lon", "lat")
+    base = VG.tile_points(pts, zoom=base_zoom, cells=cells)
+    vect = VG.vectorize(VG.pyramid(base, base_zoom=base_zoom), cells=cells)
+    encoded = encode_tiles(vect, cells=cells)
+    return {"zips": save_pyramid_in_zips(encoded, root)}

@@ -148,3 +148,49 @@ def lm_nll_scores(
             F.round(-F.avg("lp"), 6).alias("nll"),
         )
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the rule set
+    RefinedWeb/Dolma descend from), as pure array HOFs — one row-local
+    pass, no explode, no Python:
+
+      keep a line iff it (a) ends in terminal punctuation (. ! ? "),
+      (b) has ≥ `min_line_words` words, (c) does not contain a
+      curly brace (code/JS heuristic) and (d) is not the cookies/
+      javascript boilerplate notice;
+      then drop DOCS with fewer than `min_kept_lines` surviving lines.
+
+    Splitting on newline, rules per line, reassembly with '\\n' — the doc
+    never leaves the row, so the operator is a projection: it composes
+    with any downstream dedup/quality stage without a shuffle of its own.
+
+    Output: (id, n_lines, n_kept, cleaned) for surviving docs."""
+    lines = F.split(F.col(text_col), "\n")
+    word_count = lambda l: F.size(F.split(F.trim(l), "\\s+"))
+    lower = lambda l: F.lower(l)
+    keep = lambda l: (
+        l.rlike('[.!?"]\\s*$')
+        & (word_count(l) >= min_line_words)
+        & ~l.contains("{")
+        & ~l.contains("}")
+        & ~lower(l).contains("javascript")
+        & ~lower(l).contains("cookie")
+        & ~lower(l).contains("lorem ipsum")
+    )
+    kept = F.filter(lines, keep)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(lines).cast("bigint").alias("n_lines"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            F.array_join(kept, "\n").alias("cleaned"),
+        )
+        .where(F.col("n_kept") >= min_kept_lines)
+    )

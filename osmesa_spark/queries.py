@@ -3019,6 +3019,73 @@ def q_doc_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_c4_line_filter",
+    """
+    WITH tokens AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS w
+        FROM documents),
+    lined AS (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   range(0, ((len(w) + 5) // 6)::BIGINT),
+                   i -> array_to_string(w[i*6+1 : i*6+6], ' ')
+                        || CASE WHEN (i + doc_id) % 3 != 0
+                                THEN '.' ELSE '' END), chr(10)) AS text
+        FROM tokens WHERE len(w) > 0),
+    split AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+    filt AS (
+        SELECT doc_id, len(ls)::BIGINT AS n_lines,
+               list_filter(ls, l ->
+                   regexp_matches(l, '[.!?"]\\s*$')
+                   AND len(string_split_regex(trim(l), '\\s+')) >= 5
+                   AND NOT contains(l, '{') AND NOT contains(l, '}')
+                   AND NOT contains(lower(l), 'javascript')
+                   AND NOT contains(lower(l), 'cookie')
+                   AND NOT contains(lower(l), 'lorem ipsum')) AS kept
+        FROM split)
+    SELECT doc_id AS id, n_lines, len(kept)::BIGINT AS n_kept,
+           md5(array_to_string(kept, chr(10))) AS cleaned_md5
+    FROM filt WHERE len(kept) >= 1 ORDER BY id
+    """,
+    doc="C4-style line-level cleaning (Raffel et al. 2020 §2.2): terminal "
+    "punctuation, ≥5 words, no braces, no cookies/javascript/lorem "
+    "boilerplate; docs with zero surviving lines drop. The synthetic corpus "
+    "has no line structure, so BOTH engines first derive the same lined "
+    "text (6-word lines, deterministic 1-in-3 missing terminal period) — "
+    "the filter then does real work (~1/3 of lines drop) and the cleaned "
+    "residue is md5-checked. The operator itself is a row-local projection "
+    "(split/filter/join HOFs) — composes with downstream stages with no "
+    "shuffle of its own (training-data extension)",
+)
+def q_doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.textops import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text_fns.word_tokens("text")
+    n_chunks = F.floor((F.size(toks) + 5) / 6).cast("bigint")
+    line = lambda i: F.concat(
+        F.concat_ws(" ", F.slice(toks, i * 6 + 1, 6)),
+        F.when((i + F.col("doc_id")) % 3 != 0, F.lit(".")).otherwise(
+            F.lit("")
+        ),
+    )
+    lined = d.where(F.size(toks) > 0).select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), line), "\n"
+        ).alias("text"),
+    )
+    out = c4_line_filter(lined, "doc_id", "text", min_line_words=5)
+    return out.select(
+        "id",
+        "n_lines",
+        "n_kept",
+        F.md5("cleaned").alias("cleaned_md5"),
+    ).orderBy("id")
+
+
+@register(
     "doc_lm_nll",
     """
     WITH tokens AS (
@@ -3478,6 +3545,7 @@ DRIVER_PRIORITY = [
     "doc_dedup_spans",
     "incremental_new_docs",
     "doc_lm_nll",
+    "doc_c4_line_filter",
     # driver evidence is rounds 1-2 only — rotate back in
     "semi_join_active",
     "anti_join_inactive",
@@ -3502,7 +3570,6 @@ DRIVER_PRIORITY = [
     "doc_repetition_stats",
     "lang_id",
     "doc_token_stats",
-    "dataset_split",
 ]
 
 

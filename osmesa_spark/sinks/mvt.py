@@ -534,3 +534,149 @@ def read_zip_tile(root: str, zoom: int, tx: int, ty: int) -> bytes | None:
         if name not in zf.namelist():
             return None
         return zf.read(name)
+
+
+def encode_tiles(
+    vectorized: DataFrame,
+    layer_name: str = "density",
+    cells: int = 128,
+    value_col: str = "value",
+    extent: int = DEFAULT_EXTENT,
+    gzip_bytes: bool = True,
+) -> DataFrame:
+    """DataFrame twin of write_tile_pyramid's sink loop: encode each tile
+    of the `vectorize` output (zoom, tx, ty, __id, ccol, crow, value) to
+    its (optionally gzipped) MVT payload and RETURN the bytes as rows
+    (zoom, tx, ty, data binary) instead of writing them — the input shape
+    for packaging sinks (save_tiles_in_zips) or any byte-level store.
+    Same per-tile collect_list fan-in bound as the writer; the codec runs
+    in one Arrow-batched kernel."""
+    from pyspark.sql import types as T
+
+    from osmesa_spark.session import ship_package
+
+    ship_package(vectorized.sparkSession)
+    scale = extent // cells
+    grouped = (
+        vectorized.select(
+            "zoom",
+            "tx",
+            "ty",
+            F.struct("__id", "ccol", "crow", F.col(value_col).alias("value"))
+            .alias("cell"),
+        )
+        .groupBy("zoom", "tx", "ty")
+        .agg(F.collect_list("cell").alias("cells"))
+    )
+    schema = T.StructType(
+        [
+            T.StructField("zoom", T.IntegerType()),
+            T.StructField("tx", T.LongType()),
+            T.StructField("ty", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+
+    def encode_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                feats = [
+                    MvtFeature(
+                        fid=int(c["__id"]),
+                        geom_type=_GEOM_POINT,
+                        points=[
+                            (
+                                int(c["ccol"]) * scale + scale // 2,
+                                int(c["crow"]) * scale + scale // 2,
+                            )
+                        ],
+                        tags={"density": int(c["value"]), "__id": int(c["__id"])},
+                    )
+                    for c in row["cells"]
+                ]
+                buf = encode_tile({layer_name: feats})
+                if gzip_bytes:
+                    # mtime=0: byte-stable archives across re-runs
+                    import io as _io
+
+                    bio = _io.BytesIO()
+                    with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0) as gz:
+                        gz.write(buf)
+                    buf = bio.getvalue()
+                out.append(
+                    (int(row["zoom"]), int(row["tx"]), int(row["ty"]), buf)
+                )
+            yield pd.DataFrame(
+                out, columns=["zoom", "tx", "ty", "data"]
+            )
+
+    return grouped.mapInPandas(encode_batch, schema=schema)
+
+
+def save_pyramid_in_zips(
+    encoded: DataFrame,
+    root: str,
+    io_threads: int = 8,
+) -> int:
+    """Multi-zoom packaging of a whole encoded pyramid (zoom, tx, ty,
+    data): every tile lands in the archive of its 8-block subtree — key
+    zoom base = zoom − (zoom % 8), ancestor (tx >> zoom%8, ty >> zoom%8),
+    path {base}/{atx}/{aty}.zip — so one zip carries up to 8 zoom levels
+    of one subtree (the 'zip of 8 zooms'). `save_tiles_in_zips` is the
+    single-zoom reference-signature twin (GenerateVT.scala:85-115, which
+    the reference only ever invokes per zoom); this variant is what a
+    tileserver wants to fetch. Entries ordered by (zoom, Z2). Returns the
+    number of archives written."""
+    from osmesa_spark.functions.geo import zorder
+    from osmesa_spark.session import ship_package
+
+    ship_package(encoded.sparkSession)
+    off = F.pmod("zoom", F.lit(8)).cast("int")
+    grouped = (
+        encoded.select(
+            (F.col("zoom") - off).alias("base"),
+            F.expr("shiftrightunsigned(CAST(tx AS BIGINT), CAST(pmod(zoom, 8) AS INT))").alias("atx"),
+            F.expr("shiftrightunsigned(CAST(ty AS BIGINT), CAST(pmod(zoom, 8) AS INT))").alias("aty"),
+            F.struct(
+                F.col("zoom").cast("int").alias("zoom"),
+                zorder(F.col("tx"), F.col("ty")).alias("z"),
+                F.col("tx").cast("bigint").alias("tx"),
+                F.col("ty").cast("bigint").alias("ty"),
+                F.col("data").alias("data"),
+            ).alias("t"),
+        )
+        .groupBy("base", "atx", "aty")
+        .agg(F.array_sort(F.collect_list("t")).alias("entries"))
+    )
+
+    def write_partition(rows):
+        import io as _io
+        import zipfile
+        from concurrent.futures import ThreadPoolExecutor
+
+        from osmesa_spark.sources.objectstore import join_key, open_store
+
+        store, prefix = open_store(root)
+
+        def one(row):
+            buf = _io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                for t in row["entries"]:
+                    info = zipfile.ZipInfo(
+                        f"{t['zoom']}/{t['tx']}/{t['ty']}.mvt",
+                        date_time=(1980, 1, 1, 0, 0, 0),
+                    )
+                    zf.writestr(info, bytes(t["data"]))
+            store.put(
+                join_key(prefix, f"{row['base']}/{row['atx']}/{row['aty']}.zip"),
+                buf.getvalue(),
+            )
+
+        with ThreadPoolExecutor(max_workers=io_threads) as pool:
+            list(pool.map(one, rows))
+
+    grouped.foreachPartition(write_partition)
+    return grouped.count()

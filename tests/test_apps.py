@@ -151,3 +151,45 @@ def test_edit_histogram_pyramid_sum_preserving(spark, history):
     }
     assert len(set(sums.values())) == 1  # same total at every level
     assert sorted(sums) == list(range(0, 9))
+
+
+def test_generate_vt_zips_end_to_end(spark, tmp_path):
+    """bm saveInZips call path: pyramid → encoded MVT → zip archives;
+    read one tile back through the seam and decode it."""
+    import gzip as _gzip
+
+    from osmesa_spark.sinks import mvt
+    from tests.fixtures_gen import write_fixtures
+
+    fx = tmp_path / "fx"
+    write_fixtures(str(fx), n_elements=300, seed=42)
+    history = spark.read.parquet(f"{fx}/history.parquet")
+    root = str(tmp_path / "vtzips")
+    written = A.generate_vt_zips(spark, history, root, base_zoom=4, cells=8)
+    assert written["zips"] >= 1
+    # zooms 0-4 all share block base 0 → ONE archive per subtree holding
+    # every zoom level (the zip-of-8-zooms shape)
+    import os
+    import zipfile
+
+    z0 = os.path.join(root, "0")
+    assert os.path.isdir(z0)
+    found = None
+    zooms_seen = set()
+    for dirpath, _, files in os.walk(z0):
+        for f in files:
+            if f.endswith(".zip"):
+                with zipfile.ZipFile(os.path.join(dirpath, f)) as zf:
+                    for n in zf.namelist():
+                        zooms_seen.add(int(n.split("/")[0]))
+                    names = [n for n in zf.namelist() if n.startswith("4/")]
+                    if names and found is None:
+                        found = (zf.read(names[0]), names[0])
+    assert found, "no zoom-4 tile entry in any zip"
+    assert zooms_seen == set(range(0, 5)), zooms_seen
+    raw, name = found
+    layers = mvt.decode_tile(_gzip.decompress(raw))
+    assert "density" in layers and len(layers["density"]) >= 1
+    # read-back helper agrees byte-for-byte
+    _, ztx, zty = name.removesuffix(".mvt").split("/")
+    assert mvt.read_zip_tile(root, 4, int(ztx), int(zty)) == raw

@@ -164,6 +164,7 @@ EXTENSIONS_JVM_ONLY = [
     "doc_token_entropy",
     "neardup_sparse_cosine",
     "doc_dedup_spans",
+    "doc_c4_line_filter",
 ]
 
 

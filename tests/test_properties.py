@@ -604,3 +604,31 @@ def test_lm_nll_matches_hand_model(spark):
     # the natural-language docs share mass; gibberish with unseen pairs
     # (all singleton bigrams over rare unigrams) scores strictly worse
     assert got[3].nll > got[1].nll and got[3].nll > got[2].nll
+
+
+def test_c4_line_filter_rules(spark):
+    from osmesa_spark.operators.textops import c4_line_filter
+
+    doc = "\n".join([
+        "This line is long enough and ends properly.",   # keep
+        "Too short.",                                     # < 5 words
+        "This line has no terminal punctuation at all",   # no ./!/?
+        'A quoted ending also counts as terminal here."', # keep
+        "Enable javascript to view this site properly.",  # boilerplate
+        "We use cookie banners to annoy every visitor.",  # boilerplate
+        "function f() { return 1; } is clearly code.",    # braces
+        "Lorem ipsum dolor sit amet consectetur filler.", # boilerplate
+        "Questions make perfectly good line endings too?" # keep
+    ])
+    df = spark.createDataFrame(
+        [(1, doc), (2, "no line survives this doc")], "doc_id int, text string"
+    )
+    rows = {r.id: r for r in c4_line_filter(df, "doc_id", "text").collect()}
+    assert 2 not in rows  # zero kept lines -> doc dropped
+    r = rows[1]
+    assert r.n_lines == 9 and r.n_kept == 3
+    assert r.cleaned.splitlines() == [
+        "This line is long enough and ends properly.",
+        'A quoted ending also counts as terminal here."',
+        "Questions make perfectly good line endings too?",
+    ]
