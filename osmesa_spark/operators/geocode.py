@@ -412,3 +412,83 @@ def geocode_polygons(
         / n
     )
     return features.withColumn(out_col, lookup_codes_polygon(cx, cy, countries))
+
+
+# ---------------------------------------------------------------------------
+# countries.geojson resource loading (S14) — Countries.scala:17-33 parity
+# ---------------------------------------------------------------------------
+
+def keyhole_ring(
+    rings: list[list[tuple[float, float]]]
+) -> list[tuple[float, float]]:
+    """Merge multiple rings (exterior(s) + holes) into ONE ring that is
+    even-odd EQUIVALENT to the ring set, so every existing single-ring
+    code path (Column ray-cast, numpy PNPOLY, grid classifier) handles
+    multipolygons and holes unchanged — the classic keyhole construction:
+
+      each ring is closed explicitly; rings after the first are bridged
+      from the first ring's start vertex with out-and-back edges. A
+      rightward ray crosses a bridge segment the same way in both
+      directions, so each bridge contributes 0 mod 2 to the crossing
+      parity; the final wrap edge is degenerate (a0 → a0, zero-span).
+
+    Hence parity(keyhole) == XOR over rings of parity(ring): points inside
+    an exterior are in (1 crossing set), points also inside a hole are out
+    (2 sets), disjoint multipolygon parts each count once. Boundary
+    behavior on the bridge lines themselves is measure-zero, the same
+    class as the ray-cast's half-open edge rule."""
+    norm = []
+    for r in rings:
+        r = [(float(x), float(y)) for x, y in r]
+        if len(r) >= 2 and r[0] == r[-1]:
+            r = r[:-1]
+        if len(r) >= 3:
+            norm.append(r)
+    if not norm:
+        raise ValueError("keyhole_ring: no ring with >= 3 vertices")
+    if len(norm) == 1:
+        return norm[0]
+    a0 = norm[0][0]
+    out = list(norm[0]) + [norm[0][0]]
+    for r in norm[1:]:
+        out += list(r) + [r[0], a0]
+    return out
+
+
+def load_countries_geojson(path: str) -> PolygonCountries:
+    """Parse a countries GeoJSON FeatureCollection (the reference loads
+    `countries.geojson` from resources, Countries.scala:17-33) into the
+    {code: ring} form every geocode path consumes. Codes come from the
+    ADM0_A3 / ISO_A3 / id property chain the reference uses. Polygon
+    holes and MultiPolygon parts are folded through `keyhole_ring`, so
+    real-world borders (archipelagos, enclaves) geocode correctly on both
+    the literal and the grid path with no special cases."""
+    import json as _json
+
+    with open(path) as f:
+        fc = _json.load(f)
+    out: PolygonCountries = {}
+    for feat in fc.get("features", []):
+        props = feat.get("properties") or {}
+        code = (
+            props.get("ADM0_A3")
+            or props.get("ISO_A3")
+            or props.get("code")
+            or feat.get("id")
+        )
+        geom = feat.get("geometry") or {}
+        gtype, coords = geom.get("type"), geom.get("coordinates")
+        if not code or not coords:
+            continue
+        if gtype == "Polygon":
+            rings = coords
+        elif gtype == "MultiPolygon":
+            rings = [ring for poly in coords for ring in poly]
+        else:
+            continue
+        out[str(code)] = keyhole_ring(
+            [[(p[0], p[1]) for p in ring] for ring in rings]
+        )
+    if not out:
+        raise ValueError(f"no polygon features in {path}")
+    return out

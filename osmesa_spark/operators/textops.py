@@ -129,8 +129,17 @@ def lm_nll_scores(
         F.count(F.lit(1)).cast("double").alias("c_ab")
     )
     c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    # V = distinct tokens over the bigram-participating corpus, derived
+    # from the CHECKPOINTED instance table (map-side combine bounds the
+    # shuffle by vocabulary size) — a third full tokenize pass over the
+    # raw corpus would cost a scan + regex per doc for the same scalar.
+    # (Tokens appearing only in 1-token docs are outside the model's
+    # event space either way — they can never be conditioned on or
+    # predicted — so this V is the self-consistent one.)
     vocab = (
-        base.select(F.explode(toks).alias("t")).select("t").distinct().count()
+        c_ab.select(F.explode(F.array("a", "b")).alias("t"))
+        .distinct()
+        .count()
     )
     probs = c_ab.join(c_a, "a").select(
         "a",

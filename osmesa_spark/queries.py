@@ -3097,8 +3097,8 @@ def q_doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(w) >= 2),
     cab AS (SELECT a, b, COUNT(*)::DOUBLE AS c_ab FROM bg GROUP BY a, b),
     ca AS (SELECT a, SUM(c_ab)::DOUBLE AS c_a FROM cab GROUP BY a),
-    v AS (SELECT COUNT(DISTINCT u.t)::DOUBLE AS v
-          FROM tokens, LATERAL (SELECT unnest(w) AS t) u),
+    v AS (SELECT COUNT(*)::DOUBLE AS v FROM
+          (SELECT a AS t FROM cab UNION SELECT b FROM cab)),
     probs AS (
         SELECT cab.a, cab.b,
                ln((cab.c_ab + 0.5) / (ca.c_a + 0.5 * v.v)) AS lp
@@ -3112,8 +3112,8 @@ def q_doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "log-likelihood under a corpus-trained add-0.5-smoothed bigram model "
     "(in-engine stand-in for the KenLM perplexity filter). Bigrams built "
     "row-locally; the instance table is checkpointed (feeds both the "
-    "count agg and the score join); C(a) derives from C(a,b) with no "
-    "second corpus pass; V is one scalar. Bigram-keyed joins — counter "
+    "count agg and the score join); C(a) and V both derive from C(a,b) — "
+    "no second or third corpus pass. Bigram-keyed joins — counter "
     "rows, never holder lists (training-data extension)",
 )
 def q_doc_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -195,3 +195,71 @@ def test_grid_index_high_vertex_complexity(spark):
             )
         }
         assert got[(lon, lat)] == expect, (lon, lat)
+
+
+def test_keyhole_multiring_holes_and_parts(spark):
+    """A donut country (hole) + a two-part archipelago, loaded from a
+    GeoJSON file and folded through keyhole_ring: the hole excludes, both
+    parts include, and literal / grid / independent per-ring-XOR ground
+    truth all agree."""
+    import json
+    import tempfile
+
+    from osmesa_spark.operators.geocode import (
+        _pnpoly_np,
+        geocode_grid,
+        geocode_polygons,
+        load_countries_geojson,
+    )
+
+    donut_outer = [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]
+    donut_hole = [[3, 3], [7, 3], [7, 7], [3, 7], [3, 3]]
+    isle_a = [[20, 0], [24, 0], [24, 4], [20, 4], [20, 0]]
+    isle_b = [[30, 0], [34, 0], [34, 4], [30, 4], [30, 0]]
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"ADM0_A3": "DNT"},
+             "geometry": {"type": "Polygon",
+                          "coordinates": [donut_outer, donut_hole]}},
+            {"type": "Feature", "properties": {"ISO_A3": "ARC"},
+             "geometry": {"type": "MultiPolygon",
+                          "coordinates": [[isle_a], [isle_b]]}},
+        ],
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".geojson", delete=False) as f:
+        json.dump(fc, f)
+        path = f.name
+    countries = load_countries_geojson(path)
+    assert set(countries) == {"DNT", "ARC"}
+
+    pts = [
+        (1, 1.0, 1.0, ["DNT"]),    # inside donut, outside hole
+        (2, 5.0, 5.0, []),         # inside the hole -> excluded
+        (3, 22.0, 2.0, ["ARC"]),   # island part 1
+        (4, 32.0, 2.0, ["ARC"]),   # island part 2
+        (5, 27.0, 2.0, []),        # sea between the parts
+        (6, 15.0, 5.0, []),        # between donut and archipelago
+    ]
+    df = spark.createDataFrame(
+        [(i, [{"lon": x, "lat": y}]) for i, x, y, _ in pts],
+        "id int, geom array<struct<lon:double,lat:double>>",
+    )
+    for coder in (geocode_polygons, geocode_grid):
+        got = {
+            r.id: sorted(r.countries)
+            for r in coder(df, countries).select("id", "countries").collect()
+        }
+        for i, x, y, want in pts:
+            assert got[i] == want, (coder.__name__, i, got[i], want)
+    # independent ground truth: XOR of per-ring PNPOLY parities must match
+    # the keyhole parity for every probe
+    for i, x, y, want in pts:
+        for code, rings in (("DNT", [donut_outer[:-1], donut_hole[:-1]]),
+                            ("ARC", [isle_a[:-1], isle_b[:-1]])):
+            parity = False
+            for ring in rings:
+                parity ^= _pnpoly_np(
+                    x, y, [p[0] for p in ring], [p[1] for p in ring]
+                )
+            assert parity == (code in want), (i, code)
