@@ -632,3 +632,57 @@ def test_c4_line_filter_rules(spark):
         'A quoted ending also counts as terminal here."',
         "Questions make perfectly good line endings too?",
     ]
+
+
+def test_connected_components_star_differential(spark):
+    """large-star/small-star vs union-find ground truth on graph shapes
+    chosen to break min-label propagation: a 400-link chain (diameter 400
+    — propagation at 25 rounds CANNOT finish it; the star algorithm must),
+    cliques, random sparse graphs, singleton pairs."""
+    import random
+
+    from osmesa_spark.operators.dedup import connected_components_star
+
+    rng = random.Random(7)
+    edges = []
+    # 400-node chain with shuffled ids (worst case for label propagation)
+    chain_ids = rng.sample(range(10_000, 99_999), 400)
+    edges += list(zip(chain_ids, chain_ids[1:]))
+    # two cliques
+    k1 = rng.sample(range(1000, 2000), 8)
+    k2 = rng.sample(range(3000, 4000), 6)
+    edges += [(a, b) for i, a in enumerate(k1) for b in k1[i + 1:]]
+    edges += [(a, b) for i, a in enumerate(k2) for b in k2[i + 1:]]
+    # random sparse component + isolated pair + self-dup noise
+    sparse = rng.sample(range(5000, 6000), 50)
+    edges += [(rng.choice(sparse), rng.choice(sparse)) for _ in range(60)]
+    edges += [(7001, 7002), (8_000, 8_000)]
+
+    # union-find ground truth
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in parent}
+    # canonical: min id per component
+    comp_min: dict[int, int] = {}
+    for n, r in truth.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    truth = {n: comp_min[find(n)] for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component_id
+        for r in connected_components_star(df).collect()
+    }
+    assert got == truth
