@@ -396,50 +396,54 @@ def simhash_dedup(
     )
 
 
-def connected_components(
-    pairs: DataFrame,
-    id_a: str = "id_a",
-    id_b: str = "id_b",
-    max_iterations: int = 25,
-) -> DataFrame:
-    """Group duplicate pairs into components: (node, component_id) where
-    component_id = min node id reachable through the pair graph.
+def _cc_raw(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Normalize a pair frame to bigint (a, b) and materialize it ONCE —
+    the pair subtree upstream (typically the whole LSH pipeline) must not
+    re-execute for every downstream consumer (node set, edge set, star
+    fallback)."""
+    return pairs.select(
+        F.col(id_a).cast("bigint").alias("a"),
+        F.col(id_b).cast("bigint").alias("b"),
+    ).localCheckpoint()
 
-    The missing last stage of the web-scale dedup pipeline (exact / LSH /
-    simhash stages above emit *pairs*; curation needs *clusters* so one
-    representative per cluster can be kept — see `curation.keep_best_dedup`).
 
-    Algorithm: iterative min-label propagation — each round every node
-    adopts the smallest label among itself and its neighbors, a join +
-    groupBy(min) per round, converging in O(component diameter) rounds.
-    Near-dup graphs are dense small clusters (diameter 2-3 in practice,
-    Manku '07), so 3-4 rounds suffice at any data size; `localCheckpoint`
-    truncates the plan each round so the lineage doesn't grow with the
-    iteration count (the classic iterative-Spark failure mode). Convergence
-    is detected by the monotone decrease of sum(label) — one cheap agg per
-    round instead of a self-join diff. For adversarial long-chain graphs,
-    swap the propagation body for alternating large-star/small-star
-    (Kiveris '14 "Connected Components in MapReduce"), which converges in
-    O(log n) rounds with the same join+min primitive.
-    """
-    e = (
-        pairs.select(
-            F.col(id_a).cast("bigint").alias("src"),
-            F.col(id_b).cast("bigint").alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
+def _with_self_roots(raw: DataFrame, labels: DataFrame) -> DataFrame:
+    """Union in (node, node) for every node of `raw` absent from `labels`
+    — component roots the star kernel leaves implicit, and nodes that
+    appear only in self-loop pairs (a == b)."""
+    all_nodes = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
         .distinct()
     )
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    roots = all_nodes.join(labels.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("component_id")
+    )
+    return labels.union(roots)
+
+
+def _cc_propagation_labels(raw: DataFrame, max_rounds: int):
+    """Min-label propagation over normalized (a, b) pairs. Returns the
+    label frame (covering every node with at least one non-self edge) if
+    the fixpoint was reached within `max_rounds`, else None — the caller
+    decides whether that means "fall back to the star kernel" (hybrid
+    dispatch) or "raise". Convergence check: sum(label) is monotone
+    non-increasing and stalls exactly at the fixpoint (labels only ever
+    decrease), so one cheap agg per round replaces a self-join diff."""
+    e = raw.where(F.col("a") != F.col("b")).distinct()
+    edges = e.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(e.select(F.col("b").alias("src"), F.col("a").alias("dst"))).persist()
     # init: label(v) = min(v, min neighbor) — one propagation round for free
     labels = edges.groupBy("src").agg(F.min("dst").alias("m")).select(
         F.col("src").alias("node"),
         F.least(F.col("src"), F.col("m")).alias("component_id"),
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("component_id")).first()[0]
-    for _ in range(max_iterations):
+    # decimal(38,0): immune to ANSI bigint-sum overflow at any node count
+    lab_sum = F.sum(F.col("component_id").cast("decimal(38,0)"))
+    prev_sum = labels.agg(lab_sum).first()[0]
+    converged = False
+    for _ in range(max_rounds):
         neigh = (
             edges.join(
                 labels.select(
@@ -464,12 +468,67 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("component_id")).first()[0]
+        cur_sum = labels.agg(lab_sum).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels
+    return labels if converged else None
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 40,
+    propagation_rounds: int = 4,
+) -> DataFrame:
+    """Group duplicate pairs into components: (node, component_id) where
+    component_id = min node id reachable through the pair graph;
+    self-loop-only nodes label themselves.
+
+    The missing last stage of the web-scale dedup pipeline (exact / LSH /
+    simhash stages above emit *pairs*; curation needs *clusters* so one
+    representative per cluster can be kept — see `curation.keep_best_dedup`).
+
+    Hybrid dispatch: near-dup graphs are dense small clusters (diameter
+    2-3 in practice, Manku '07), so `propagation_rounds` of cheap min-label
+    propagation (one join + groupBy(min) each) settle the common case. If
+    the graph hides long chains (adversarial shingled spam mirrors) and
+    propagation has NOT reached its fixpoint by then, the whole graph is
+    re-run through the alternating large-star/small-star kernel
+    (`connected_components_star`, Kiveris '14), which converges in O(log n)
+    rounds regardless of component diameter — a 10k-link path costs ~30
+    star rounds instead of 10k propagation rounds. The pair subtree is
+    localCheckpointed once up front, so the fallback re-reads materialized
+    blocks, not the LSH pipeline."""
+    raw = _cc_raw(pairs, id_a, id_b)
+    labels = _cc_propagation_labels(raw, propagation_rounds)
+    if labels is None:
+        labels = _cc_star_labels(raw, max_iterations)
+    return _with_self_roots(raw, labels)
+
+
+def connected_components_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Pure min-label propagation connected components — O(diameter)
+    rounds, raising if the fixpoint is not reached in `max_iterations`.
+    Prefer `connected_components` (hybrid with the O(log n) star-kernel
+    fallback) unless the graph is known to be dense small clusters."""
+    raw = _cc_raw(pairs, id_a, id_b)
+    labels = _cc_propagation_labels(raw, max_iterations)
+    if labels is None:
+        raise RuntimeError(
+            "connected_components_propagation did not converge in "
+            f"{max_iterations} rounds — the graph has components of "
+            "diameter > rounds; use connected_components (star fallback)"
+        )
+    return _with_self_roots(raw, labels)
 
 
 def remove_duplicated_spans(
@@ -696,26 +755,29 @@ def connected_components_star(
     Each phase is one groupBy(min) + join over the bidirectional edge
     frame; the edge set is re-normalized to undirected (lo, hi) pairs and
     localCheckpointed per round (lineage truncation). Fixpoint when the
-    (count, sum) signature of the edge set stops changing — at that point
-    every edge is (root, v), a star per component.
+    (count, sum(xxhash64(lo, hi))) signature of the edge set stops
+    changing — the 64-bit per-edge hash makes a signature collision
+    between distinct consecutive edge sets astronomically unlikely
+    (a plain sum(lo*31+hi) collides on e.g. {(1,100),(2,69)} vs
+    {(1,69),(2,100)}); exhausting `max_iterations` without convergence
+    raises instead of silently returning non-star edges.
 
     Output: (node, component_id = min reachable id) for every node that
-    appears in `pairs` — same contract as `connected_components`."""
+    appears in `pairs` (self-loop-only nodes label themselves) — same
+    contract as `connected_components`."""
+    raw = _cc_raw(pairs, id_a, id_b)
+    return _with_self_roots(raw, _cc_star_labels(raw, max_iterations))
+
+
+def _cc_star_labels(raw: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternating-star rounds over normalized (a, b) pairs; returns
+    (node, component_id) for every NON-ROOT node — callers union in roots
+    and self-loop-only nodes via `_with_self_roots`."""
     e = (
-        pairs.select(
-            F.col(id_a).cast("bigint").alias("a"),
-            F.col(id_b).cast("bigint").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
+        raw.where(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
         )
-        .distinct()
-        .localCheckpoint()
-    )
-    all_nodes = (
-        e.select(F.col("lo").alias("node"))
-        .union(e.select(F.col("hi").alias("node")))
         .distinct()
         .localCheckpoint()
     )
@@ -740,13 +802,19 @@ def connected_components_star(
     def signature(und: DataFrame) -> tuple:
         row = und.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.col("lo") * 31 + F.col("hi")), F.lit(0)).alias(
-                "s"
-            ),
+            F.coalesce(
+                F.sum(
+                    F.xxhash64(F.col("lo"), F.col("hi")).cast(
+                        "decimal(38,0)"
+                    )
+                ),
+                F.lit(0),
+            ).alias("s"),
         ).first()
         return (row["n"], row["s"])
 
     sig = signature(e)
+    converged = False
     for _ in range(max_iterations):
         bi = bidir(e)
         mins = bi.groupBy("src").agg(
@@ -773,14 +841,18 @@ def connected_components_star(
         e = normalize(small).localCheckpoint()
         new_sig = signature(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            "connected_components_star did not reach the star fixpoint in "
+            f"{max_iterations} alternating rounds; O(log n) convergence "
+            "means this graph is far larger than max_iterations allows — "
+            "raise max_iterations"
+        )
     # fixpoint edges are stars (lo = component root): label every non-root
-    # by its star edge, roots (and only roots) label themselves
-    labels = e.select(
+    # by its star edge; roots label themselves via _with_self_roots
+    return e.select(
         F.col("hi").alias("node"), F.col("lo").alias("component_id")
     )
-    roots = all_nodes.join(
-        labels.select("node"), "node", "left_anti"
-    ).select("node", F.col("node").alias("component_id"))
-    return labels.union(roots)

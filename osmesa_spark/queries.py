@@ -1622,7 +1622,8 @@ def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node, MIN(lab)::BIGINT AS component_id FROM reach GROUP BY node
     """,
     doc="duplicate-cluster assignment: LSH pairs → connected components by "
-    "min-label propagation (dedup extension; oracle = recursive closure)",
+    "alternating large-star/small-star (Kiveris '14; O(log n) rounds, "
+    "diameter-proof) (dedup extension; oracle = recursive closure)",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")

@@ -80,6 +80,22 @@ def test_dedup_pipeline_stays_jvm_side(spark):
         assert a.cartesian_products == 0, name
 
 
+def test_dedup_components_dispatches_to_star_kernel(spark):
+    """The registry dedup path (`dedup_components` / `dedup_cluster_stats`
+    → `dd.connected_components`) must run the O(log n) large-star/small-star
+    kernel, not O(diameter) propagation: a 400-link chain has to close
+    within 12 alternating rounds — propagation would need 400 and the
+    star kernel raises rather than silently under-converging."""
+    from osmesa_spark.operators import dedup as dd
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "id_a long, id_b long"
+    )
+    out = dd.connected_components(chain, max_iterations=12)
+    assert out.where("component_id != 0").count() == 0
+    assert out.count() == 401
+
+
 def test_python_only_where_defined(spark):
     for name in sorted(PYTHON_OK):
         df = Q.registry()[name].spark(spark, SF_CORRECT)

@@ -187,8 +187,8 @@ def test_zorder_bijective(spark):
 
 
 def test_connected_components_chain_and_cliques(spark):
-    """Min-label propagation must close long chains (worst case for the
-    iteration count) and keep disjoint cliques separate."""
+    """connected_components (star kernel since r5) must close chains and
+    keep disjoint cliques separate."""
     from osmesa_spark.operators.dedup import connected_components
 
     # chain 0-1-2-...-9 (diameter 9), disjoint pair (100,101), triangle
@@ -244,6 +244,10 @@ def test_connected_components_matches_union_find(spark):
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
     expect = {v: find(v) for v in nodes}
+    # contract: self-loop-only nodes label themselves
+    for a, b in edges:
+        expect.setdefault(a, a)
+        expect.setdefault(b, b)
 
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
@@ -679,6 +683,10 @@ def test_connected_components_star_differential(spark):
     for n, r in truth.items():
         comp_min[r] = min(comp_min.get(r, n), n)
     truth = {n: comp_min[find(n)] for n in parent}
+    # contract: self-loop-only nodes (8000 above) label themselves
+    for a, b in edges:
+        truth.setdefault(a, a)
+        truth.setdefault(b, b)
 
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
@@ -686,3 +694,23 @@ def test_connected_components_star_differential(spark):
         for r in connected_components_star(df).collect()
     }
     assert got == truth
+
+
+def test_connected_components_star_round_bound_and_raise(spark):
+    """O(log n): a 400-link chain must close within 12 alternating
+    rounds (propagation would need 400); exhausting max_iterations
+    without reaching the star fixpoint must raise, not silently return
+    non-star edges."""
+    import pytest
+
+    from osmesa_spark.operators.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(400)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {
+        r.node: r.component_id
+        for r in connected_components_star(df, max_iterations=12).collect()
+    }
+    assert got == {i: 0 for i in range(401)}
+    with pytest.raises(RuntimeError, match="star fixpoint"):
+        connected_components_star(df, max_iterations=1)
