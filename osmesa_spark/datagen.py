@@ -490,7 +490,8 @@ def write_changes_osc_dropdir(
                 ts = (T0 + timedelta(minutes=seq)).strftime("%Y-%m-%dT%H:%M:%SZ")
                 parts.append(
                     f'<node id="{eid}" version="{rng.randint(1, 3)}" '
-                    f'timestamp="{ts}" uid="{rng.randint(2, 101)}" '
+                    f'timestamp="{ts}" changeset="{rng.randint(1, 80)}" '
+                    f'uid="{rng.randint(2, 101)}" '
                     f'user="user_x" lat="{lat:.7f}" lon="{lon:.7f}">'
                     '<tag k="building" v="yes"/></node>'
                 )

@@ -116,11 +116,17 @@ def pyramid(
     return out
 
 
-def with_tile_coords(raster: DataFrame, cells: int = BASE_CELLS) -> DataFrame:
+def with_tile_coords(
+    raster: DataFrame,
+    cells: int = BASE_CELLS,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
     """Split absolute cell coords into (tx, ty, ccol, crow). cells must be a
-    power of two; tiles coarser than one cell collapse to tile (0,0)."""
+    power of two; tiles coarser than one cell collapse to tile (0,0).
+    `key_cols` carries facet/entity columns through unchanged."""
     bits = int(math.log2(cells))
     return raster.select(
+        *(key_cols or []),
         "zoom",
         F.shiftrightunsigned("abs_col", bits).alias("tx"),
         F.shiftrightunsigned("abs_row", bits).alias("ty"),
@@ -130,12 +136,18 @@ def with_tile_coords(raster: DataFrame, cells: int = BASE_CELLS) -> DataFrame:
     )
 
 
-def vectorize(raster: DataFrame, cells: int = BASE_CELLS) -> DataFrame:
+def vectorize(
+    raster: DataFrame,
+    cells: int = BASE_CELLS,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
     """G6: non-zero cells → features with Z-order `__id` per tile
-    (Implicits.scala:222-244; z-index :228-238)."""
+    (Implicits.scala:222-244; z-index :228-238). `key_cols` carries
+    facet/entity columns through unchanged (faceted pyramid shape)."""
     bits = int(math.log2(cells))
-    tiled = with_tile_coords(raster, cells)
+    tiled = with_tile_coords(raster, cells, key_cols=key_cols)
     return tiled.select(
+        *(key_cols or []),
         "zoom",
         "tx",
         "ty",

@@ -84,6 +84,7 @@ CHANGES = T.StructType(
         T.StructField("nds", T.ArrayType(T.LongType())),
         T.StructField("tags", TAGS),
         T.StructField("timestamp", T.TimestampType()),
+        T.StructField("changeset", T.LongType()),
         T.StructField("uid", T.LongType()),
         T.StructField("user", T.StringType()),
         T.StructField("visible", T.BooleanType()),

@@ -319,6 +319,78 @@ def _sequence_layer(seqs: list[int]) -> list[MvtFeature]:
     ]
 
 
+def _merge_features(
+    merged: dict[int, "MvtFeature"], features: list["MvtFeature"]
+) -> None:
+    """Merge features into the per-__id accumulator: numeric tag values
+    sum, non-numeric overwrite, new ids append (EditHistogram.scala:181-212
+    `aggregateValues` semantics)."""
+    for f in features:
+        fid = int(f.tags["__id"])
+        if fid in merged:
+            old = merged[fid]
+            tags = dict(old.tags)
+            for k, v in f.tags.items():
+                if k != "__id" and isinstance(v, int):
+                    tags[k] = int(tags.get(k, 0)) + v
+                elif k != "__id":
+                    tags[k] = v
+            merged[fid] = MvtFeature(
+                fid=old.fid, geom_type=old.geom_type, points=old.points,
+                tags=tags,
+            )
+        else:
+            merged[fid] = f
+
+
+def upsert_tile_multi(
+    root: str,
+    zoom: int,
+    tx: int,
+    ty: int,
+    features_by_seq: dict[int, list["MvtFeature"]],
+    layer_name: str,
+    extent: int = DEFAULT_EXTENT,
+) -> str:
+    """Multi-sequence tile upsert — `getUncommittedTiles` semantics
+    (EditHistogram.scala:285-305): drop sequences already committed in the
+    tile, merge ALL remaining sequences' features in one read-modify-write,
+    commit every new sequence atomically. One tile IO per tile per batch
+    regardless of how many replication sequences the batch spans (catch-up
+    batches), where the per-sequence `upsert_tile` loop would re-read and
+    re-write the tile once per sequence."""
+    existing = read_tile(root, zoom, tx, ty)
+    committed = set(committed_sequences(existing)) if existing else set()
+    pending = {
+        int(s): feats
+        for s, feats in features_by_seq.items()
+        if int(s) not in committed
+    }
+    if not pending:
+        return "skipped"
+    merged: dict[int, MvtFeature] = {}
+    if existing is not None:
+        for f in existing.get(layer_name, []):
+            merged[int(f.tags["__id"])] = f
+    for s in sorted(pending):
+        _merge_features(merged, pending[s])
+    seqs = sorted(committed | set(pending))
+    layers = {
+        layer_name: [merged[k] for k in sorted(merged)],
+        SEQUENCES_LAYER: _sequence_layer(seqs),
+    }
+    payload = gzip.compress(encode_tile(layers, extent))
+    from osmesa_spark.sources.objectstore import join_key, open_store
+
+    store, prefix = open_store(root)
+    store.put(
+        join_key(prefix, _tile_key(zoom, tx, ty)),
+        payload,
+        content_encoding="gzip",
+    )
+    return "written" if existing is None else "updated"
+
+
 def upsert_tile(
     root: str,
     zoom: int,
@@ -344,22 +416,7 @@ def upsert_tile(
     if existing is not None:
         for f in existing.get(layer_name, []):
             merged[int(f.tags["__id"])] = f
-    for f in features:
-        fid = int(f.tags["__id"])
-        if fid in merged:
-            old = merged[fid]
-            tags = dict(old.tags)
-            for k, v in f.tags.items():
-                if k != "__id" and isinstance(v, int):
-                    tags[k] = int(tags.get(k, 0)) + v
-                elif k != "__id":
-                    tags[k] = v
-            merged[fid] = MvtFeature(
-                fid=old.fid, geom_type=old.geom_type, points=old.points,
-                tags=tags,
-            )
-        else:
-            merged[fid] = f
+    _merge_features(merged, features)
     seqs = committed_sequences(existing) if existing else []
     if sequence is not None:
         seqs.append(sequence)
@@ -439,6 +496,104 @@ def write_tile_pyramid(
 
     tiles.foreachPartition(write_partition)
     # count touched tiles (cheap second agg over the same lineage)
+    return tiles.count()
+
+
+def write_tile_pyramid_grouped(
+    vectorized: DataFrame,
+    root: str,
+    layer_name: str = "density",
+    cells: int = 128,
+    value_col: str = "value",
+    sequence_col: str = "sequence",
+    key_col: str | None = None,
+    facet_col: str | None = None,
+    extent: int = DEFAULT_EXTENT,
+    io_threads: int = 8,
+) -> int:
+    """Multi-sequence, optionally keyed/faceted pyramid sink — the
+    single-plan replacement for the per-sequence driver loop
+    (EditHistogram.scala:238-281 `update`: group by tile, split features by
+    sequence INSIDE the plan, filter committed per tile, one IO per tile).
+
+    `vectorized` is the `vectorize` output plus a `sequence` column (tile
+    the batch with key_cols=[sequence] so per-sequence cells survive the
+    rasterize agg). `key_col` (user id, hashtag, …) routes each entity to
+    its own tile tree `root/<key>/` — the reference's keyed Footprints URI
+    (Footprints.scala:42-53). `facet_col` renames the density tag to
+    `<layer_name>:<facet>` per facet, the faceted-histogram tag shape
+    (EditHistogram.scala:183-211). Returns number of tiles touched."""
+    from osmesa_spark.session import ship_package
+
+    ship_package(vectorized.sparkSession)
+    scale = extent // cells
+    cell_fields = [
+        F.col(sequence_col).cast("long").alias("seq"),
+        "__id",
+        "ccol",
+        "crow",
+        F.col(value_col).alias("value"),
+    ]
+    if facet_col is not None:
+        cell_fields.append(F.col(facet_col).cast("string").alias("facet"))
+    group_keys = ([F.col(key_col).cast("string").alias("__key")] if key_col else []) + [
+        F.col("zoom"), F.col("tx"), F.col("ty")
+    ]
+    tiles = (
+        vectorized.select(
+            *group_keys, F.struct(*cell_fields).alias("cell")
+        )
+        .groupBy(*[c for c in (["__key"] if key_col else []) + ["zoom", "tx", "ty"]])
+        .agg(F.collect_list("cell").alias("cells"))
+    )
+
+    def write_partition(rows):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(row):
+            by_seq: dict[int, dict[int, MvtFeature]] = {}
+            for c in row["cells"]:
+                seq = int(c["seq"])
+                fid = int(c["__id"])
+                tag = (
+                    f"{layer_name}:{c['facet']}"
+                    if facet_col is not None
+                    else layer_name
+                )
+                acc = by_seq.setdefault(seq, {})
+                _merge_features(
+                    acc,
+                    [
+                        MvtFeature(
+                            fid=fid,
+                            geom_type=_GEOM_POINT,
+                            points=[
+                                (
+                                    int(c["ccol"]) * scale + scale // 2,
+                                    int(c["crow"]) * scale + scale // 2,
+                                )
+                            ],
+                            tags={tag: int(c["value"]), "__id": fid},
+                        )
+                    ],
+                )
+            tile_root = (
+                f"{root.rstrip('/')}/{row['__key']}" if key_col else root
+            )
+            upsert_tile_multi(
+                tile_root,
+                row["zoom"],
+                row["tx"],
+                row["ty"],
+                {s: list(feats.values()) for s, feats in by_seq.items()},
+                layer_name,
+                extent=extent,
+            )
+
+        with ThreadPoolExecutor(max_workers=io_threads) as pool:
+            list(pool.map(one, rows))
+
+    tiles.foreachPartition(write_partition)
     return tiles.count()
 
 

@@ -121,6 +121,7 @@ def _parse_osc_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             "timestamp": pd.Timestamp(el.get("timestamp"))
                             if el.get("timestamp")
                             else None,
+                            "changeset": int(el.get("changeset", "0")),
                             "uid": int(el.get("uid", "0")),
                             "user": el.get("user", ""),
                             "visible": visible,

@@ -205,6 +205,163 @@ def test_streaming_tile_updater_idempotent(spark, dirs, tmp_path):
     assert z0_total() == expected
 
 
+def test_streaming_faceted_tile_updater(spark, dirs, tmp_path):
+    """StreamingFacetedEditHistogramTileUpdater twin: augdiff stream →
+    per-facet tiles; per-facet z-base totals must equal a bounded recompute,
+    and a full replay with a fresh checkpoint must be a no-op."""
+    import glob
+    import gzip
+    from collections import defaultdict
+
+    from osmesa_spark.sinks import mvt
+    from osmesa_spark.streaming.tiles_stream import (
+        faceted_edit_tiles_for_batch,
+        run_streaming_faceted_tile_updater,
+    )
+
+    root = str(tmp_path / "ftiles")
+
+    def facet_totals(zoom):
+        tot = defaultdict(int)
+        for p in glob.glob(f"{root}/{zoom}/*/*.mvt.gz"):
+            layers = mvt.decode_tile(gzip.decompress(open(p, "rb").read()))
+            for f in layers["density"]:
+                for k, v in f.tags.items():
+                    if k.startswith("density:"):
+                        tot[k.split(":", 1)[1]] += v
+        return dict(tot)
+
+    diffs, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"), streaming=True)
+    )
+    q = run_streaming_faceted_tile_updater(
+        diffs, root, str(tmp_path / "fckpt1"), zoom=6, cells=16
+    )
+    q.awaitTermination(120)
+
+    bounded, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"))
+    )
+    expected = {
+        r["facet"]: r["total"]
+        for r in faceted_edit_tiles_for_batch(bounded, 6, 16)
+        .where(F.col("zoom") == 6)
+        .groupBy("facet")
+        .agg(F.sum("value").alias("total"))
+        .collect()
+    }
+    got = facet_totals(6)
+    assert got == expected
+    assert got.get("building", 0) > 0 and got.get("deleted", 0) > 0
+    # fresh-checkpoint replay: all sequences already committed -> unchanged
+    diffs2, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"), streaming=True)
+    )
+    q2 = run_streaming_faceted_tile_updater(
+        diffs2, root, str(tmp_path / "fckpt2"), zoom=6, cells=16
+    )
+    q2.awaitTermination(120)
+    assert facet_totals(6) == expected
+
+
+def test_streaming_hashtag_footprint(spark, dirs, tmp_path):
+    """HashtagFootprintUpdater twin: changes ⋈ changeset hashtags →
+    per-hashtag keyed tile trees, idempotent on replay."""
+    import glob
+    import gzip
+
+    from osmesa_spark.sinks import mvt
+    from osmesa_spark.streaming.tiles_stream import (
+        hashtag_footprint_points,
+        run_streaming_hashtag_footprint,
+    )
+
+    root = str(tmp_path / "htiles")
+
+    def hashtag_totals(zoom):
+        tot = {}
+        for p in glob.glob(f"{root}/*/{zoom}/*/*.mvt.gz"):
+            tag = p[len(root) + 1:].split("/", 1)[0]
+            layers = mvt.decode_tile(gzip.decompress(open(p, "rb").read()))
+            tot[tag] = tot.get(tag, 0) + sum(
+                f.tags["density"] for f in layers["density"]
+            )
+        return tot
+
+    changes = R.read_changes_xml(spark, str(dirs / "changes"), streaming=True)
+    meta = R.read_changeset_metadata(
+        spark, str(dirs / "csmeta"), streaming=True
+    )
+    q = run_streaming_hashtag_footprint(
+        changes, meta, root, str(tmp_path / "hckpt1"), zoom=6, cells=16
+    )
+    q.awaitTermination(180)
+
+    bounded_pts = hashtag_footprint_points(
+        R.read_changes_xml(spark, str(dirs / "changes")),
+        R.read_changeset_metadata(spark, str(dirs / "csmeta")),
+    )
+    expected = {
+        r["hashtag"]: r["n"]
+        for r in bounded_pts.groupBy("hashtag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = hashtag_totals(6)
+    assert got == expected and len(got) > 1
+    # replay with a fresh checkpoint: committed sequences -> unchanged
+    q2 = run_streaming_hashtag_footprint(
+        R.read_changes_xml(spark, str(dirs / "changes"), streaming=True),
+        R.read_changeset_metadata(spark, str(dirs / "csmeta"), streaming=True),
+        root,
+        str(tmp_path / "hckpt2"),
+        zoom=6,
+        cells=16,
+    )
+    q2.awaitTermination(180)
+    assert hashtag_totals(6) == expected
+
+
+def test_grouped_sink_multi_sequence_batch(spark, dirs, tmp_path):
+    """Task: de-drivered sink. A single bounded 'batch' spanning ALL
+    sequences must write every sequence's cells in one grouped plan (no
+    per-sequence driver loop) and commit every sequence id in the tiles;
+    re-upserting any individual sequence afterwards is a no-op."""
+    import glob
+    import gzip
+
+    from osmesa_spark.sinks import mvt
+    from osmesa_spark.streaming.tiles_stream import edit_tiles_for_batch
+
+    root = str(tmp_path / "mtiles")
+    bounded = R.read_changes_xml(spark, str(dirs / "changes"))
+    vec = edit_tiles_for_batch(bounded, 6, 16)
+    mvt.write_tile_pyramid_grouped(vec, root, cells=16)
+
+    def z6_total():
+        tot = 0
+        for p in glob.glob(f"{root}/6/*/*.mvt.gz"):
+            layers = mvt.decode_tile(gzip.decompress(open(p, "rb").read()))
+            tot += sum(f.tags["density"] for f in layers["density"])
+        return tot
+
+    expected = (
+        vec.where(F.col("zoom") == 6).agg(F.sum("value")).first()[0]
+    )
+    assert z6_total() == expected
+    # all three sequences committed in the touched tiles
+    some_tile = glob.glob(f"{root}/6/*/*.mvt.gz")[0]
+    layers = mvt.decode_tile(gzip.decompress(open(some_tile, "rb").read()))
+    committed = set(mvt.committed_sequences(layers))
+    assert committed <= {2000, 2001, 2002} and committed
+    # replaying one sequence alone is skipped
+    one_seq = edit_tiles_for_batch(
+        bounded.where(F.col("sequence") == 2000), 6, 16
+    )
+    mvt.write_tile_pyramid_grouped(one_seq, root, cells=16)
+    assert z6_total() == expected
+
+
 def test_streaming_exact_dedup(spark, tmp_path):
     """dropDuplicatesWithinWatermark keeps only first-seen content on an
     unbounded stream; the bounded twin returns the same distinct set."""
