@@ -93,6 +93,103 @@ def merge_changesets(
     )
 
 
+def changeset_metadata_creator(
+    spark: SparkSession,
+    changesets_csv: str,
+    comments_csv: str,
+    tags_csv: str,
+    users_csv: str,
+) -> DataFrame:
+    """ChangesetMetadataCreator.scala:107-231: assemble the authoritative
+    changesets table from OSM-DB CSV dumps (changesets, changeset_tags,
+    changeset_comments, users).
+
+    Parity notes:
+      * CSV option set is the reference's exactly (scala:107-112): header,
+        inferSchema, multiLine, quote='"', escape='"' — comment bodies
+        contain quoted newlines/commas.
+      * tags: k/v rows → map per changeset (scala:122-133, 200-208); we
+        assemble via sorted map_from_entries so output is deterministic
+        (the reference's zip order is collect_list order).
+      * comments: rows → array<struct<date,user,uid,body>> + commentsCount
+        (scala:135-153, 210-231), author name left-joined from users;
+        array_sort by (date, uid, body) for determinism.
+      * changesets: bbox ints decode ÷1e7 (scala:156-171), open=false,
+        user name left-joined, sequence=-1 (scala:179-184).
+
+    Result columns match the CHANGESETS table shape used everywhere else
+    (merge_changesets, stats), so this is the from-scratch bootstrap path.
+    """
+    csv_opts = {
+        "header": "true",
+        "inferSchema": "true",
+        "multiLine": "true",
+        "quote": '"',
+        "escape": '"',
+    }
+    users = (
+        spark.read.options(**csv_opts).csv(users_csv)
+        .select(F.col("id").cast("long").alias("uid"),
+                F.col("display_name").alias("name"))
+    )
+    tags = (
+        spark.read.options(**csv_opts).csv(tags_csv)
+        .select(
+            F.col("changeset_id").cast("long").alias("id"),
+            F.struct(F.col("k"), F.col("v")).alias("kv"),
+        )
+        .groupBy("id")
+        .agg(
+            F.map_from_entries(F.array_sort(F.collect_list("kv"))).alias(
+                "tags"
+            )
+        )
+    )
+    comments = (
+        spark.read.options(**csv_opts).csv(comments_csv)
+        .select(
+            F.col("changeset_id").cast("long").alias("id"),
+            F.col("author_id").cast("long").alias("uid"),
+            F.col("body"),
+            F.col("created_at").cast("timestamp").alias("date"),
+        )
+        .join(users, "uid", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("commentsCount"),
+            F.array_sort(
+                F.collect_list(F.struct("date", F.col("name").alias("user"),
+                                        "uid", "body"))
+            ).alias("comments"),
+        )
+    )
+    changesets = (
+        spark.read.options(**csv_opts).csv(changesets_csv)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("created_at").cast("timestamp").alias("createdAt"),
+            F.lit(False).alias("open"),
+            F.col("closed_at").cast("timestamp").alias("closedAt"),
+            (F.col("min_lat").cast("double") / 1e7).alias("minLat"),
+            (F.col("min_lon").cast("double") / 1e7).alias("minLon"),
+            (F.col("max_lat").cast("double") / 1e7).alias("maxLat"),
+            (F.col("max_lon").cast("double") / 1e7).alias("maxLon"),
+            F.col("num_changes").cast("int").alias("numChanges"),
+            F.col("user_id").cast("long").alias("uid"),
+        )
+    )
+    return (
+        changesets.join(users, "uid", "left")
+        .withColumnRenamed("name", "user")
+        .join(comments, "id", "left")
+        .join(tags, "id", "left")
+        .withColumn(
+            "commentsCount", F.coalesce("commentsCount", F.lit(0))
+        )
+        .withColumn("sequence", F.lit(-1))
+    )
+
+
 def footprint(
     spark: SparkSession,
     history: DataFrame,

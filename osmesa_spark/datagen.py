@@ -472,6 +472,97 @@ def write_augdiff_dropdir(
     return total
 
 
+def write_changeset_db_csvs(
+    out_dir: str, n_changesets: int = 300, seed: int = 42
+) -> dict:
+    """OSM-DB CSV dumps in the exact shapes ChangesetMetadataCreator
+    expects (ChangesetMetadataCreator.scala:30-56 schema comments):
+    changesets (bbox as int ×1e7), changeset_tags (changeset_id,k,v rows),
+    changeset_comments (multiline quoted bodies — exercises the
+    header/inferSchema/multiline/quote/escape CSV option set, scala:107-112),
+    users (id, display_name; some authors deliberately missing so the
+    left joins produce nulls)."""
+    import csv
+
+    rng = random.Random(seed + 5)
+    os.makedirs(out_dir, exist_ok=True)
+    user_ids = list(range(2, 90))
+    known_users = user_ids[:70]  # the rest are missing from the users dump
+    with open(os.path.join(out_dir, "users.csv"), "w", newline="") as f:
+        w = csv.writer(f, quoting=csv.QUOTE_MINIMAL)
+        w.writerow(["id", "display_name"])
+        for u in known_users:
+            w.writerow([u, f"user_{u}"])
+
+    bodies = [
+        "looks good",
+        'please fix the "tagging", thanks',
+        "multi\nline comment, with commas",
+        "reverted — see changeset 12",
+    ]
+    n_tags = n_comments = 0
+    with open(os.path.join(out_dir, "changesets.csv"), "w", newline="") as fc, \
+         open(os.path.join(out_dir, "changeset_tags.csv"), "w", newline="") as ft, \
+         open(os.path.join(out_dir, "changeset_comments.csv"), "w", newline="") as fm:
+        wc = csv.writer(fc, quoting=csv.QUOTE_MINIMAL)
+        wt = csv.writer(ft, quoting=csv.QUOTE_MINIMAL)
+        wm = csv.writer(fm, quoting=csv.QUOTE_MINIMAL)
+        wc.writerow(["id", "user_id", "created_at", "min_lat", "max_lat",
+                     "min_lon", "max_lon", "closed_at", "num_changes"])
+        wt.writerow(["changeset_id", "k", "v"])
+        wm.writerow(["id", "changeset_id", "author_id", "body",
+                     "created_at", "visible"])
+        comment_id = 1
+        for cs_id in range(1, n_changesets + 1):
+            created = T0 + timedelta(minutes=rng.randint(0, 50_000))
+            closed = created + timedelta(minutes=rng.randint(1, 24 * 60))
+            lat0 = rng.randint(-800_000_000, 790_000_000)
+            lon0 = rng.randint(-1_700_000_000, 1_690_000_000)
+            wc.writerow([
+                cs_id,
+                rng.choice(user_ids),
+                created.strftime("%Y-%m-%d %H:%M:%S"),
+                lat0,
+                lat0 + rng.randint(0, 10_000_000),
+                lon0,
+                lon0 + rng.randint(0, 10_000_000),
+                "" if rng.random() < 0.03 else
+                closed.strftime("%Y-%m-%d %H:%M:%S"),
+                rng.randint(1, 500),
+            ])
+            if rng.random() < 0.85:  # some changesets have no tags at all
+                wt.writerow([cs_id, "created_by", rng.choice(EDITORS)])
+                wt.writerow([
+                    cs_id, "comment",
+                    f"work #{rng.choice(HASHTAG_WORDS)}",
+                ])
+                n_tags += 2
+                if rng.random() < 0.3:
+                    wt.writerow([
+                        cs_id, "hashtags",
+                        ";".join(rng.sample(HASHTAG_WORDS, 2)),
+                    ])
+                    n_tags += 1
+            for _ in range(rng.choice([0, 0, 0, 1, 1, 2, 3])):
+                wm.writerow([
+                    comment_id,
+                    cs_id,
+                    rng.choice(user_ids),
+                    rng.choice(bodies),
+                    (created + timedelta(minutes=rng.randint(1, 600)))
+                    .strftime("%Y-%m-%d %H:%M:%S"),
+                    "t" if rng.random() < 0.95 else "f",
+                ])
+                comment_id += 1
+                n_comments += 1
+    return {
+        "changesets": n_changesets,
+        "tags": n_tags,
+        "comments": n_comments,
+        "users": len(known_users),
+    }
+
+
 def write_changes_osc_dropdir(
     out_dir: str, n_sequences: int = 3, per_seq: int = 20, seed: int = 42
 ) -> int:

@@ -916,6 +916,129 @@ OSM_COUNTRY_STATISTICS_SQL = f"""
 """
 
 
+_CSDUMP_DIR = os.path.join(FIXTURE_DIR, "csdump")
+
+
+def ensure_csdump_fixtures() -> None:
+    if not os.path.exists(os.path.join(_CSDUMP_DIR, "changesets.csv")):
+        datagen.write_changeset_db_csvs(_CSDUMP_DIR, n_changesets=300, seed=42)
+
+
+def osm_changeset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChangesetMetadataCreator end-to-end (scala:107-231): 4 CSV dumps →
+    assembled changesets table, projected to a deterministic flattening
+    (tags as sorted k=v string, comments as a sorted signature string,
+    timestamps as formatted strings) so the cross-engine hash is stable."""
+    from osmesa_spark import apps as A
+
+    ensure_csdump_fixtures()
+    full = A.changeset_metadata_creator(
+        spark,
+        os.path.join(_CSDUMP_DIR, "changesets.csv"),
+        os.path.join(_CSDUMP_DIR, "changeset_comments.csv"),
+        os.path.join(_CSDUMP_DIR, "changeset_tags.csv"),
+        os.path.join(_CSDUMP_DIR, "users.csv"),
+    )
+    tags_kv = F.coalesce(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_keys("tags")),
+                lambda k: F.concat(k, F.lit("="), F.col("tags")[k]),
+            ),
+            "|",
+        ),
+        F.lit(""),
+    )
+    comment_sig = F.coalesce(
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    "comments",
+                    lambda c: F.concat_ws(
+                        "~",
+                        F.date_format(c["date"], "yyyy-MM-dd HH:mm:ss"),
+                        c["uid"].cast("string"),
+                        F.coalesce(c["user"], F.lit("?")),
+                        c["body"],
+                    ),
+                )
+            ),
+            ";",
+        ),
+        F.lit(""),
+    )
+    return full.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("uid").cast("bigint").alias("uid"),
+        F.col("user"),
+        F.date_format("createdAt", "yyyy-MM-dd HH:mm:ss").alias("created_s"),
+        F.coalesce(
+            F.date_format("closedAt", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("closed_s"),
+        "minLat",
+        "minLon",
+        "maxLat",
+        "maxLon",
+        F.col("numChanges").cast("int").alias("numChanges"),
+        F.col("commentsCount").cast("int").alias("commentsCount"),
+        tags_kv.alias("tags_kv"),
+        comment_sig.alias("comments_sig"),
+        F.col("sequence").cast("int").alias("sequence"),
+    )
+
+
+def _csdump_sql() -> str:
+    ensure_csdump_fixtures()
+    cs = os.path.join(_CSDUMP_DIR, "changesets.csv")
+    cm = os.path.join(_CSDUMP_DIR, "changeset_comments.csv")
+    tg = os.path.join(_CSDUMP_DIR, "changeset_tags.csv")
+    us = os.path.join(_CSDUMP_DIR, "users.csv")
+    return f"""
+    WITH users AS (
+        SELECT id::BIGINT AS uid, display_name AS name
+        FROM read_csv('{us}', header=true)),
+    tg AS (
+        SELECT changeset_id::BIGINT AS id,
+               string_agg(k || '=' || v, '|' ORDER BY k, v) AS tags_kv
+        FROM read_csv('{tg}', header=true) GROUP BY changeset_id),
+    cm AS (
+        SELECT c.changeset_id::BIGINT AS id,
+               COUNT(*)::INT AS commentsCount,
+               string_agg(
+                   strftime(c.created_at, '%Y-%m-%d %H:%M:%S') || '~' ||
+                   c.author_id::BIGINT || '~' ||
+                   COALESCE(u.name, '?') || '~' || c.body,
+                   ';'
+                   ORDER BY strftime(c.created_at, '%Y-%m-%d %H:%M:%S')
+                            || '~' || c.author_id::BIGINT || '~' ||
+                            COALESCE(u.name, '?') || '~' || c.body
+               ) AS comments_sig
+        FROM read_csv('{cm}', header=true) c
+        LEFT JOIN users u ON c.author_id::BIGINT = u.uid
+        GROUP BY c.changeset_id),
+    cs AS (SELECT * FROM read_csv('{cs}', header=true))
+    SELECT cs.id::BIGINT AS id,
+           cs.user_id::BIGINT AS uid,
+           u.name AS "user",
+           strftime(cs.created_at, '%Y-%m-%d %H:%M:%S') AS created_s,
+           COALESCE(strftime(cs.closed_at, '%Y-%m-%d %H:%M:%S'), '')
+               AS closed_s,
+           cs.min_lat::DOUBLE / 1e7 AS minLat,
+           cs.min_lon::DOUBLE / 1e7 AS minLon,
+           cs.max_lat::DOUBLE / 1e7 AS maxLat,
+           cs.max_lon::DOUBLE / 1e7 AS maxLon,
+           cs.num_changes::INT AS numChanges,
+           COALESCE(cm.commentsCount, 0)::INT AS commentsCount,
+           COALESCE(tg.tags_kv, '') AS tags_kv,
+           COALESCE(cm.comments_sig, '') AS comments_sig,
+           -1::INT AS sequence
+    FROM cs
+    LEFT JOIN users u ON cs.user_id::BIGINT = u.uid
+    LEFT JOIN cm ON cm.id = cs.id::BIGINT
+    LEFT JOIN tg ON tg.id = cs.id::BIGINT
+    """
+
+
 def register_osm_queries(register) -> None:
     register(
         "osm_node_validity",
@@ -1003,6 +1126,14 @@ def register_osm_queries(register) -> None:
         OSM_HASHTAG_USER_STATISTICS_SQL,
         doc="hashtag_user_statistics materialized view (A15): per (hashtag, user) rollup",
     )(osm_hashtag_user_statistics)
+    register(
+        "osm_changeset_metadata",
+        _csdump_sql(),
+        doc="ChangesetMetadataCreator end-to-end app (scala:107-231): 4 "
+        "OSM-DB CSV dumps (multiline-quoted comment bodies) → assembled "
+        "changesets table — tags k/v→map, comments→sorted struct array + "
+        "count, bbox ÷1e7, user names left-joined, sequence=-1",
+    )(osm_changeset_metadata)
     register(
         "osm_relation_members",
         OSM_RELATION_MEMBERS_SQL,

@@ -193,3 +193,62 @@ def test_generate_vt_zips_end_to_end(spark, tmp_path):
     # read-back helper agrees byte-for-byte
     _, ztx, zty = name.removesuffix(".mvt").split("/")
     assert mvt.read_zip_tile(root, 4, int(ztx), int(zty)) == raw
+
+
+def test_changeset_metadata_creator_e2e(spark):
+    """ChangesetMetadataCreator app over the CSV-dump fixtures: the full
+    assembled table (before the registry query's hash flattening) must
+    carry the reference shapes — tags as map, comments as sorted struct
+    array with joined author names, bbox ints decoded ÷1e7, left-join
+    nulls where the users dump is incomplete, sequence=-1."""
+    import csv
+    import os
+
+    from osmesa_spark.queries_osm import _CSDUMP_DIR, ensure_csdump_fixtures
+
+    ensure_csdump_fixtures()
+    full = A.changeset_metadata_creator(
+        spark,
+        os.path.join(_CSDUMP_DIR, "changesets.csv"),
+        os.path.join(_CSDUMP_DIR, "changeset_comments.csv"),
+        os.path.join(_CSDUMP_DIR, "changeset_tags.csv"),
+        os.path.join(_CSDUMP_DIR, "users.csv"),
+    )
+    rows = {r["id"]: r for r in full.collect()}
+    with open(os.path.join(_CSDUMP_DIR, "changesets.csv")) as f:
+        raw_cs = {int(r["id"]): r for r in csv.DictReader(f)}
+    assert set(rows) == set(raw_cs)  # one output row per changeset
+    # bbox decode
+    some = rows[1]
+    assert some["minLat"] == int(raw_cs[1]["min_lat"]) / 1e7
+    assert some["sequence"] == -1 and some["open"] is False
+    # tags map assembled from k/v rows
+    with open(os.path.join(_CSDUMP_DIR, "changeset_tags.csv")) as f:
+        by_cs = {}
+        for r in csv.DictReader(f):
+            by_cs.setdefault(int(r["changeset_id"]), {})[r["k"]] = r["v"]
+    for cid, tags in list(by_cs.items())[:20]:
+        assert rows[cid]["tags"] == tags
+    untagged = set(raw_cs) - set(by_cs)
+    assert untagged and all(rows[c]["tags"] is None for c in untagged)
+    # comments: counts match, arrays sorted by date, multiline body survives
+    with open(os.path.join(_CSDUMP_DIR, "changeset_comments.csv")) as f:
+        n_by_cs = {}
+        multiline_cs = set()
+        for r in csv.DictReader(f):
+            n_by_cs[int(r["changeset_id"])] = (
+                n_by_cs.get(int(r["changeset_id"]), 0) + 1
+            )
+            if "\n" in r["body"]:
+                multiline_cs.add(int(r["changeset_id"]))
+    for cid, n in n_by_cs.items():
+        assert rows[cid]["commentsCount"] == n
+        dates = [c["date"] for c in rows[cid]["comments"]]
+        assert dates == sorted(dates)
+    assert multiline_cs and any(
+        "\n" in c["body"]
+        for cid in multiline_cs
+        for c in rows[cid]["comments"]
+    )
+    # incomplete users dump -> null author/user names, never dropped rows
+    assert any(r["user"] is None for r in rows.values())
