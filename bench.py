@@ -3,9 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed once with a small warm-up (session + JVM init) and
-timed wall-clock including the collect-equivalent action (count on the
-result), which forces the full plan.
+Each query runs 3 times after a warm-up (session + JVM init, parquet
+footers, Python worker pool); "queries" records per-query MEDIANS and
+"spread" the max−min across the 3 reps, so round-over-round deltas can be
+read against each query's own noise floor. Timing is wall-clock including
+the collect-equivalent action (count on the result), which forces the
+full plan.
 """
 
 from __future__ import annotations
@@ -66,8 +69,10 @@ HEADLINE = [
     "multimodal_features",
     "building_match_volume",
     "building_match_support",
+    "building_match",
     "osm_geocode",
     "osm_geocode_grid",
+    "osm_geocode_realworld",
     "osm_utm_area",
     "osm_changeset_stats",
     "osm_way_reconstruction",
@@ -109,13 +114,14 @@ def main() -> None:
         _preload, schema="id long"
     ).count()
 
-    # best-of-2 per query: the second run measures steady-state plan
-    # execution; min() filters scheduler/JIT/page-cache noise that would
-    # otherwise dominate sub-second entries on a shared machine. When the
-    # two runs disagree wildly (GC pause / external load hit both), one
-    # extra rep arbitrates so a transient spike isn't recorded as the
-    # query's cost.
+    # 3 reps per query, report the MEDIAN plus the spread (max − min):
+    # sub-second entries on a shared local[32] machine swing ±30% run to
+    # run, and a single-rep (or best-of) number can't distinguish a real
+    # plan regression from scheduler/GC/page-cache jitter. The median is
+    # robust to one bad rep in either direction; the recorded spread says
+    # how much to trust a round-over-round delta for that query.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
 
@@ -124,10 +130,9 @@ def main() -> None:
             spec.spark(spark, sf_dir).count()
             return time.perf_counter() - t0
 
-        reps = [run_once(), run_once()]
-        if max(reps) > 3 * min(reps) or (min(reps) > 2.0 and max(reps) > min(reps) + 2.0):
-            reps.append(run_once())
-        timings[name] = round(min(reps), 3)
+        reps = sorted(run_once() for _ in range(3))
+        timings[name] = round(reps[1], 3)
+        spreads[name] = round(reps[-1] - reps[0], 3)
     total = round(sum(timings.values()), 3)
     streaming_sec = measure_streaming_minutely_batch(spark)
     print(
@@ -137,6 +142,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "streaming_minutely_batch": streaming_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -94,6 +94,166 @@ def _grid_fixture_countries(n: int = 40) -> dict[str, list[tuple[float, float]]]
 COUNTRY_POLYGONS_GRID = _grid_fixture_countries()
 
 
+def _rw_code(i: int) -> str:
+    """3-letter code from index: 0 → 'AAA', 1 → 'AAB', …"""
+    return (
+        chr(65 + i // 676) + chr(65 + (i // 26) % 26) + chr(65 + i % 26)
+    )
+
+
+def write_realworld_countries(out_dir: str, n: int = 311) -> str:
+    """Generate a realistic-complexity `countries.geojson` — the shape the
+    reference ships as a 311-country resource (Countries.scala:17-33,
+    deployment/sql/01-countries.sql) — plus a `country_edges.parquet` the
+    DuckDB oracle ray-casts from (data-driven: inlining ~140k edge literals
+    into SQL is not viable at this fan-out).
+
+    Deterministic (pure arithmetic in the feature index, no RNG):
+    - n countries tiled on a 25×13 world grid (lon −180…180, lat −78…78),
+      each a concave star-harmonic blob r(θ) = R(0.62 + 0.30 sin(kθ+φ))
+      with 48…1208 vertices (every 50th country gets the thousand-vertex
+      mainland real borders have);
+    - every 3rd country carries an interior lake (hole ring), every 2nd an
+      archipelago of 2 islands (MultiPolygon parts) — both fold through
+      the loader's keyhole construction;
+    - property-chain edge cases: every 7th feature has ISO_A3='-99' beside
+      a valid ADM0_A3; every 11th omits ADM0_A3 and relies on the 'code'
+      property past the '-99' sentinel; one feature has ONLY ISO_A3='-99'
+      (dropped by the loader); one country's islands arrive as a SECOND
+      feature under the same code (duplicate-code ring merge).
+
+    The edges parquet is derived from `load_countries_geojson`'s OUTPUT, so
+    oracle doubles are bit-identical to what the engine ray-casts.
+    Returns the geojson path."""
+    import math
+
+    cols, rows_ = 25, 13
+    cw, ch = 360.0 / cols, 156.0 / rows_
+
+    def ring_points(cx, cy, rr_fn, nv):
+        pts = []
+        for v in range(nv):
+            th = 2.0 * math.pi * v / nv
+            rr = rr_fn(th)
+            pts.append(
+                [round(cx + rr * math.cos(th), 7), round(cy + rr * math.sin(th), 7)]
+            )
+        pts.append(pts[0])
+        return pts
+
+    features = []
+    for i in range(n):
+        code = _rw_code(i)
+        ci, ri = i % cols, i // cols
+        cx = -180.0 + (ci + 0.5) * cw + 0.0137
+        cy = -78.0 + (ri + 0.5) * ch + 0.0071
+        R = 4.3
+        k = 3 + i % 6
+        phi = 0.61 * i
+        nv = 48 + ((i * 137) % 16) * 56
+        if i % 50 == 0:
+            nv = 1208
+        mainland = ring_points(
+            cx, cy, lambda th: R * (0.62 + 0.30 * math.sin(k * th + phi)), nv
+        )
+        rings = [mainland]
+        if i % 3 == 0:  # lake: fully inside min mainland radius 0.32R
+            rings.append(
+                ring_points(cx + 0.1 * R, cy - 0.05 * R, lambda th: 0.1 * R, 24)
+            )
+        islands = []
+        if i % 2 == 1:  # archipelago beyond max mainland radius 0.92R
+            for s, ang in ((0, 0.9), (1, 3.7)):
+                ic = cx + (1.08 + 0.04 * s) * R * math.cos(ang + i)
+                jc = cy + (1.08 + 0.04 * s) * R * math.sin(ang + i)
+                islands.append(ring_points(ic, jc, lambda th: 0.08 * R, 16))
+        props = {"ADM0_A3": code, "ISO_A3": code}
+        if i % 7 == 0:
+            props["ISO_A3"] = "-99"
+        if i % 11 == 0:
+            props = {"ISO_A3": "-99", "code": code}
+        if i == 5 and islands:
+            # split: islands come as a second feature under the same code
+            features.append(
+                {
+                    "type": "Feature",
+                    "properties": dict(props),
+                    "geometry": {
+                        "type": "MultiPolygon",
+                        "coordinates": [[isl] for isl in islands],
+                    },
+                }
+            )
+            islands = []
+        if islands:
+            geom = {
+                "type": "MultiPolygon",
+                "coordinates": [rings] + [[isl] for isl in islands],
+            }
+        else:
+            geom = {"type": "Polygon", "coordinates": rings}
+        features.append(
+            {"type": "Feature", "properties": props, "geometry": geom}
+        )
+    # sentinel-only feature: no usable code — the loader must drop it
+    features.append(
+        {
+            "type": "Feature",
+            "properties": {"ISO_A3": "-99"},
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [
+                    [[170.1, -85.1], [170.9, -85.1], [170.9, -84.6], [170.1, -85.1]]
+                ],
+            },
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    gj_path = os.path.join(out_dir, "countries_realworld.geojson")
+    with open(gj_path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": features}, f)
+
+    from osmesa_spark.operators.geocode import load_countries_geojson
+
+    countries = load_countries_geojson(gj_path)
+    assert len(countries) == n, f"loader kept {len(countries)} of {n}"
+    codes, xi, yi, xj, yj, bx0, bx1, by0, by1 = ([] for _ in range(9))
+    for code in sorted(countries):
+        ring = countries[code]
+        xs = [float(x) for x, _ in ring]
+        ys = [float(y) for _, y in ring]
+        lo_x, hi_x, lo_y, hi_y = min(xs), max(xs), min(ys), max(ys)
+        m = len(ring)
+        for a in range(m):
+            b = (a + 1) % m
+            codes.append(code)
+            xi.append(xs[a])
+            yi.append(ys[a])
+            xj.append(xs[b])
+            yj.append(ys[b])
+            bx0.append(lo_x)
+            bx1.append(hi_x)
+            by0.append(lo_y)
+            by1.append(hi_y)
+    pq.write_table(
+        pa.table(
+            {
+                "code": pa.array(codes, pa.string()),
+                "xi": pa.array(xi, pa.float64()),
+                "yi": pa.array(yi, pa.float64()),
+                "xj": pa.array(xj, pa.float64()),
+                "yj": pa.array(yj, pa.float64()),
+                "bx0": pa.array(bx0, pa.float64()),
+                "bx1": pa.array(bx1, pa.float64()),
+                "by0": pa.array(by0, pa.float64()),
+                "by1": pa.array(by1, pa.float64()),
+            }
+        ),
+        os.path.join(out_dir, "country_edges.parquet"),
+    )
+    return gj_path
+
+
 def _ts(minutes: float) -> datetime:
     return T0 + timedelta(minutes=minutes)
 

@@ -151,11 +151,15 @@ def lookup_codes_polygon(
 #            cand:  packed (code, xs, ys, envelope) polygons whose ring
 #                   BOUNDARY may cross the cell — ray-cast only these)
 #
-# shipped as a small broadcast DataFrame (vertices are DATA, not plan
-# literals) and equi-joined on the point's cell id: one broadcast hash join,
-# no row fan-out (candidates ride in one array column), no re-aggregation
-# shuffle, and interior points resolve with zero vertex work. Lookup cost is
-# O(vertices of boundary-crossing candidates) instead of O(all countries).
+# shipped as two small broadcast DataFrames (vertices are DATA, not plan
+# literals; cells → candidate-set id, set id → packed rings, so each ring
+# ships once per distinct country combination rather than once per boundary
+# cell) and equi-joined on the point's cell id then the set id: two
+# broadcast hash joins, no row fan-out (candidates ride in one array
+# column), no re-aggregation shuffle, and interior points resolve with zero
+# vertex work. Lookup cost is O(vertices of boundary-crossing candidates)
+# instead of O(all countries); the parquet-backed index is memoized by
+# content fingerprint (build once per country-set version).
 
 
 def _pnpoly_np(px: float, py: float, xs, ys) -> bool:
@@ -220,28 +224,128 @@ def build_grid_index(
     return {"nx": nx, "ny": ny, "cells": cells}
 
 
-_GRID_INDEX_SCHEMA = (
-    "cell bigint, sure array<string>, "
-    "cand array<struct<code:string, xs:array<double>, ys:array<double>, "
-    "xmin:double, ymin:double, xmax:double, ymax:double>>"
-)
+def _index_fingerprint(
+    countries: PolygonCountries, nx: int, ny: int
+) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(f"{nx}x{ny}|v2".encode())
+    for code in sorted(countries):
+        h.update(code.encode())
+        h.update(repr(countries[code]).encode())
+    return h.hexdigest()[:20]
 
 
-def grid_index_frame(spark, countries: PolygonCountries, index: dict):
-    """The broadcast side: one row per non-empty grid cell, candidates
-    packed (vertices as column data, not plan literals)."""
-    rows = []
-    for cell, entry in sorted(index["cells"].items()):
-        cand = []
-        for code in entry["cand"]:
-            ring = countries[code]
-            xs = [float(x) for x, _ in ring]
-            ys = [float(y) for _, y in ring]
-            cand.append(
-                (code, xs, ys, min(xs), min(ys), max(xs), max(ys))
+def grid_index_frames(spark, countries: PolygonCountries, index: dict):
+    """The broadcast side of the grid geocode, two-level and
+    parquet-backed:
+
+      cells: (cell, sure: array<string>, set_id)  — tiny
+      cands: (set_id, cand: array<struct<code, xs, ys, envelope>>)
+
+    Cells sharing the same candidate-country combination share one
+    `set_id`, so each ring ships ONCE per distinct combination instead of
+    once per boundary cell (~6× less broadcast payload at real-world
+    fan-out). The frames are written as parquet under a content
+    fingerprint and read back, which (a) skips the py4j row pickling a
+    createDataFrame of ~1M vertices costs (measured 5.6 s for the
+    311-country index) and (b) memoizes across invocations and sessions —
+    the build-once driver cost a real deployment would pay once per
+    country-set version."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    fp = _index_fingerprint(countries, index["nx"], index["ny"])
+    base = os.path.join(tempfile.gettempdir(), "osmesa_grid_index")
+    d = os.path.join(base, fp)
+    if not os.path.exists(os.path.join(d, "cands.parquet")):
+        set_ids: dict[tuple, int] = {}
+        cell_rows = []
+        for cell, entry in sorted(index["cells"].items()):
+            key = tuple(sorted(entry["cand"]))
+            sid = set_ids.setdefault(key, len(set_ids))
+            cell_rows.append((cell, sorted(entry["sure"]), sid))
+        cand_type = pa.list_(
+            pa.struct(
+                [
+                    ("code", pa.string()),
+                    ("xs", pa.list_(pa.float64())),
+                    ("ys", pa.list_(pa.float64())),
+                    ("xmin", pa.float64()),
+                    ("ymin", pa.float64()),
+                    ("xmax", pa.float64()),
+                    ("ymax", pa.float64()),
+                ]
             )
-        rows.append((cell, sorted(entry["sure"]), cand))
-    return spark.createDataFrame(rows, _GRID_INDEX_SCHEMA)
+        )
+
+        def packed(codes: tuple) -> list[dict]:
+            out = []
+            for code in codes:
+                ring = countries[code]
+                xs = [float(x) for x, _ in ring]
+                ys = [float(y) for _, y in ring]
+                out.append(
+                    {
+                        "code": code, "xs": xs, "ys": ys,
+                        "xmin": min(xs), "ymin": min(ys),
+                        "xmax": max(xs), "ymax": max(ys),
+                    }
+                )
+            return out
+
+        tmp = d + ".tmp" + str(os.getpid())
+        os.makedirs(tmp, exist_ok=True)
+        _pq.write_table(
+            pa.table(
+                {
+                    "cell": pa.array(
+                        [c for c, _, _ in cell_rows], pa.int64()
+                    ),
+                    "sure": pa.array(
+                        [s for _, s, _ in cell_rows],
+                        pa.list_(pa.string()),
+                    ),
+                    "set_id": pa.array(
+                        [i for _, _, i in cell_rows], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(tmp, "cells.parquet"),
+        )
+        _pq.write_table(
+            pa.table(
+                {
+                    "set_id": pa.array(
+                        sorted(set_ids.values()), pa.int64()
+                    ),
+                    "cand": pa.array(
+                        [
+                            packed(k)
+                            for k, _ in sorted(
+                                set_ids.items(), key=lambda kv: kv[1]
+                            )
+                        ],
+                        cand_type,
+                    ),
+                }
+            ),
+            os.path.join(tmp, "cands.parquet"),
+        )
+        try:
+            os.replace(tmp, d)
+        except OSError:  # concurrent builder won the race — use theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.read.parquet(os.path.join(d, "cells.parquet")),
+        spark.read.parquet(os.path.join(d, "cands.parquet")),
+    )
 
 
 def lookup_cell(lon: Column, lat: Column, nx: int, ny: int) -> Column:
@@ -267,9 +371,16 @@ def geocode_grid(
     plan: broadcast cell-index join + ray-cast over the cell's candidate
     array only. Zero shuffles beyond the broadcast; interior cells skip
     vertex work entirely."""
+    from osmesa_spark.util import ensure_parallelism
+
     spark = features.sparkSession
+    # the ray-cast over boundary-cell candidates is the CPU-heavy stage,
+    # and broadcast joins preserve the probe side's splits — a one-file
+    # input would run it as a single task (measured 6.8 s -> 0.9 s on the
+    # 311-country / 100k-point bench when spread over local[32])
+    features = ensure_parallelism(features)
     index = build_grid_index(countries, nx, ny)
-    idx = grid_index_frame(spark, countries, index)
+    cells_df, cands_df = grid_index_frames(spark, countries, index)
 
     n = F.greatest(F.size(geom_col), F.lit(1)).cast("double")
     cx = (
@@ -304,13 +415,23 @@ def geocode_grid(
         .withColumn("__cell", lookup_cell(F.col("__gx"), F.col("__gy"), nx, ny))
         .join(
             F.broadcast(
-                idx.select(
+                cells_df.select(
                     F.col("cell").alias("__cell"),
                     F.col("sure").alias("__sure"),
-                    F.col("cand").alias("__cand"),
+                    F.col("set_id").alias("__set"),
                 )
             ),
             "__cell",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                cands_df.select(
+                    F.col("set_id").alias("__set"),
+                    F.col("cand").alias("__cand"),
+                )
+            ),
+            "__set",
             "left",
         )
         .withColumn(
@@ -325,7 +446,7 @@ def geocode_grid(
                 )
             ),
         )
-        .drop("__gx", "__gy", "__cell", "__sure", "__cand")
+        .drop("__gx", "__gy", "__cell", "__set", "__sure", "__cand")
     )
 
 
@@ -465,17 +586,29 @@ def load_countries_geojson(path: str) -> PolygonCountries:
     the literal and the grid path with no special cases."""
     import json as _json
 
+    def _pick_code(props: dict, feat: dict) -> str | None:
+        # Natural Earth marks disputed/unassigned codes as "-99"; treat
+        # those (and blanks) as missing so the chain falls through instead
+        # of collapsing several features onto one sentinel key.
+        for cand in (
+            props.get("ADM0_A3"),
+            props.get("ISO_A3"),
+            props.get("code"),
+            feat.get("id"),
+        ):
+            if cand is None:
+                continue
+            cand = str(cand).strip()
+            if cand and cand != "-99":
+                return cand
+        return None
+
     with open(path) as f:
         fc = _json.load(f)
-    out: PolygonCountries = {}
+    raw: dict[str, list] = {}
     for feat in fc.get("features", []):
         props = feat.get("properties") or {}
-        code = (
-            props.get("ADM0_A3")
-            or props.get("ISO_A3")
-            or props.get("code")
-            or feat.get("id")
-        )
+        code = _pick_code(props, feat)
         geom = feat.get("geometry") or {}
         gtype, coords = geom.get("type"), geom.get("coordinates")
         if not code or not coords:
@@ -486,9 +619,15 @@ def load_countries_geojson(path: str) -> PolygonCountries:
             rings = [ring for poly in coords for ring in poly]
         else:
             continue
-        out[str(code)] = keyhole_ring(
+        # duplicate codes (several features sharing one admin code) merge:
+        # keyhole parity is XOR over rings, so concatenating both features'
+        # ring lists before the fold yields the union of disjoint parts
+        raw.setdefault(str(code), []).extend(
             [[(p[0], p[1]) for p in ring] for ring in rings]
         )
+    out: PolygonCountries = {
+        code: keyhole_ring(rings) for code, rings in raw.items()
+    }
     if not out:
         raise ValueError(f"no polygon features in {path}")
     return out

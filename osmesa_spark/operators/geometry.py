@@ -344,7 +344,9 @@ def reconstruct_relation_geometries(
         F.first("uid").alias("uid"),
         F.first("user").alias("user"),
         F.first("version").alias("version"),
-        F.collect_list(F.struct("pos", "role", "way_geom")).alias("ms"),
+        F.collect_list(
+            F.struct("pos", "sub_pos", "ref", "role", "way_geom")
+        ).alias("ms"),
     )
     schema = T.StructType(
         [
@@ -387,11 +389,32 @@ def reconstruct_relation_geometries(
                 pdf["relId"], pdf["updated"], pdf["tags"], pdf["changeset"],
                 pdf["uid"], pdf["user"], pdf["version"], pdf["ms"],
             ):
+                # A way reached both directly and through a nested
+                # relation member (or listed twice) enters the stitch
+                # ONCE per (ref, role): duplicates would emit duplicate
+                # rings. First occurrence by (pos, sub_pos) wins — the
+                # direct membership (sub_pos null) outranks the nested
+                # one at the same position. Kernel-side, so dedup costs
+                # no extra shuffle.
+                def _ord(m):
+                    sp = m["sub_pos"]
+                    if sp is None or (isinstance(sp, float) and sp != sp):
+                        sp = -1
+                    return (m["pos"], sp)
+
+                seen: set = set()
+                mdedup = []
+                for m in sorted(ms, key=_ord):
+                    k = (m["ref"], m["role"])
+                    if k in seen:
+                        continue
+                    seen.add(k)
+                    mdedup.append(m)
                 rings = []
                 for role in ("outer", "inner"):
                     segs = [
                         [(p["lon"], p["lat"]) for p in m["way_geom"]]
-                        for m in sorted(ms, key=lambda m: m["pos"])
+                        for m in mdedup
                         if m["role"] == role
                     ]
                     for ring in _stitch_rings(segs):

@@ -313,17 +313,40 @@ def q_window_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_cardinality_approx",
-    None,  # HLL++ estimates differ from exact COUNT(DISTINCT) by design —
-    # rows-only driver check; the ±5% accuracy bound is unit-tested
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n_events,
+           COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type
+    """,
     doc="approx_count_distinct (HLL++) per event_type — the sketch-based "
     "cardinality path for 100 TB (constant memory vs exact distinct's "
-    "shuffle); survey §2.4 lists it as free-in-Spark, absent in reference",
+    "shuffle); survey §2.4 lists it as free-in-Spark, absent in reference. "
+    "The raw estimate is inherently un-hashable (engine-specific sketch), "
+    "so the row emits the INVARIANT instead: |HLL − exact| ≤ 5%·exact per "
+    "group, which the oracle asserts as a literal TRUE against its own "
+    "exact distinct — a sketch regression flips the boolean and fails the "
+    "hash. The exact countDistinct alongside is the sf-scale ground truth "
+    "only; at 100 TB the sketch column is the one you'd keep",
 )
 def q_user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+        )
     )
 
 
@@ -2286,7 +2309,19 @@ def _bm_rects(spark: SparkSession, sf_dir: str, side: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id")
     x0 = (F.col("event_id") % 90000) * 0.002
     y0 = ((F.col("event_id") * 13) % 45000) * 0.002
-    if side == "t":
+    if side in ("ia", "it"):
+        # ISOLATED twin layout (building_match end-to-end fixture): an
+        # injective 0.05°-spaced grid, so distinct ids sit ≥ 0.047 apart
+        # (> the 0.01 centroid gate) and the ONLY candidate pairs the cell
+        # join can emit are the (i, i) twins — whose DLT homography is
+        # analytically the pure translation dx = (id % 4) * 2e-4. That
+        # makes the FULL match pipeline (candidates → SVD kernel →
+        # threshold) closed-form, hence hash-oracle-checkable.
+        x0 = (F.col("event_id") % 300) * 0.05
+        y0 = F.floor(F.col("event_id") / 300) * 0.05
+        if side == "it":
+            x0 = x0 + (F.col("event_id") % 4) * 0.0002
+    elif side == "t":
         # translated twin (building_match_blend fixture, see _BM_T_SQL)
         x0 = x0 + (F.col("event_id") % 4) * 0.0002
     elif side == "b":
@@ -2530,16 +2565,53 @@ def q_building_match_support(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "building_match",
-    None,  # homography SVD is not SQL-expressible — rows-only driver check
-    doc="full building match incl. DLT-homography vertex score "
-    "(§2.12, bm/VertexMatching.scala:10-93, bm/Homography.scala:28-42)",
+    """
+    WITH r AS (
+        SELECT event_id AS id, (event_id % 4) * 0.0002 AS dx,
+               ((event_id % 13) + 7) * 0.00037 AS w,
+               ((event_id % 11) + 5) * 0.00041 AS h
+        FROM events)
+    SELECT id AS id_a, id AS id_b,
+           ROUND((w - dx) * h * 1e12)::BIGINT AS inter_e12,
+           ROUND(w * h * 1e12)::BIGINT AS area_a_e12,
+           ROUND(w * h * 1e12)::BIGINT AS area_b_e12,
+           ROUND(1.0 / (1.0 + dx) * 1e6)::BIGINT AS pv_e6,
+           ROUND(1.0 / (1.0 + dx / 2.0) * 1e6)::BIGINT AS pj_e6,
+           ROUND(GREATEST((w - dx) / w, 1.0 / (1.0 + dx),
+                          1.0 / (1.0 + dx / 2.0)) * 1e6)::BIGINT AS p_e6
+    FROM r
+    WHERE GREATEST((w - dx) / w, 1.0 / (1.0 + dx),
+                   1.0 / (1.0 + dx / 2.0)) > 0.5
+    """,
+    doc="full end-to-end building match — candidate cell join + Arrow "
+    "kernel (convex clip + DLT-homography SVD + vertex projection) + "
+    "p-threshold (§2.12, bm/BuildingMatching.scala:160-332, "
+    "bm/VertexMatching.scala:10-93, bm/Homography.scala:28-42) — on the "
+    "isolated-twin fixture: ids sit on an injective 0.05° grid (min "
+    "cross-pair centroid distance 0.047 > the 0.01 gate), so the emitted "
+    "pairs are EXACTLY the (i,i) twins, where the homography is the pure "
+    "translation dx and every score is closed-form (vol = (w−dx)/w, "
+    "vertex = 1/(1+dx), projection = 1/(1+dx/2)). The oracle replays those "
+    "closed forms; a fixture or candidate-logic error surfaces as extra/"
+    "missing rows. Arbitrary-pair generality stays covered by "
+    "tests/test_buildings.py; this row covers the composed operator the "
+    "rows-only registration could not",
 )
 def q_building_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmesa_spark.operators import buildings as bm
 
-    a = _bm_rects(spark, sf_dir, "a")
-    b = _bm_rects(spark, sf_dir, "b")
-    return bm.building_match(a, b, threshold=0.5)
+    a = _bm_rects(spark, sf_dir, "ia")
+    b = _bm_rects(spark, sf_dir, "it")
+    return bm.building_match(a, b, threshold=0.5).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("inter_area") * 1e12).cast("bigint").alias("inter_e12"),
+        F.round(F.col("area_a") * 1e12).cast("bigint").alias("area_a_e12"),
+        F.round(F.col("area_b") * 1e12).cast("bigint").alias("area_b_e12"),
+        F.round(F.col("p_vertex") * 1e6).cast("bigint").alias("pv_e6"),
+        F.round(F.col("p_proj") * 1e6).cast("bigint").alias("pj_e6"),
+        F.round(F.col("p") * 1e6).cast("bigint").alias("p_e6"),
+    )
 
 
 @register(
@@ -3505,18 +3577,19 @@ register_osm_queries(register)
 
 
 # The driver's per-round correctness file records the FIRST 50 registry
-# entries; local tests cover all of them identically. Round-4 window: the
-# osm_* parity pipelines stay (window-integrity test requires them), then
-# (a) queries NEW or CHANGED this round (building_match_blend — the
-# SVD-path hash oracle replacing the rows-only building_match row —
-# doc_quality_bins threshold rounding, the two kernel-materialization
-# rewrites), (b) the two queries never driver-checked in any round
-# (dedup_cluster_stats, neardup_containment), and (c) queries whose only
-# driver evidence is rounds 1-2 (stale) rotated back in. Triple-green
-# flagships (changeset_stats, pricing_summary, …) rotate out; everything
-# stays covered by tests/test_queries_oracle.py.
+# entries; local tests cover all of them identically. Round-5 window: the
+# osm_* parity pipelines stay (window-integrity test requires them — now
+# 18 with the new osm_changeset_metadata and osm_geocode_realworld), then
+# (a) queries NEW or CHANGED this round (building_match now end-to-end on
+# the isolated-twin fixture, user_cardinality_approx's HLL invariant
+# oracle, the hybrid star-CC wiring behind dedup_components /
+# dedup_cluster_stats, the relation-member stitch dedup), and (b) the
+# stalest cohort rotated back in — everything whose only driver evidence
+# is round 2, plus the oldest round-3 names (asof, tfidf, kmeans, the
+# multimodal trio, LSH/cosine dedup). Triple-green r4 rows rotate out;
+# everything stays covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
-    # reference-parity pipelines (r3-green; must stay in the window)
+    # reference-parity pipelines (must stay in the window)
     "osm_node_validity",
     "osm_snapshot_asof",
     "osm_way_reconstruction",
@@ -3524,6 +3597,7 @@ DRIVER_PRIORITY = [
     "osm_changeset_stats",
     "osm_geocode",
     "osm_geocode_grid",
+    "osm_geocode_realworld",
     "osm_hashtags",
     "osm_tile_pyramid",
     "osm_user_footprint",
@@ -3531,46 +3605,44 @@ DRIVER_PRIORITY = [
     "osm_hashtag_statistics",
     "osm_country_statistics",
     "osm_hashtag_user_statistics",
+    "osm_changeset_metadata",
     "osm_relation_members",
     "osm_relation_assembly",
     # new or changed this round — need fresh driver evidence
-    "building_match_blend",
-    "doc_quality_bins",
-    "semdedup_prune",
-    "building_match_support",
-    "building_match_volume",
-    # never driver-checked in any round
+    "building_match",
+    "user_cardinality_approx",
+    "dedup_components",
     "dedup_cluster_stats",
-    "neardup_containment",
-    # new this round
-    "doc_dedup_spans",
-    "incremental_new_docs",
-    "doc_lm_nll",
-    "doc_c4_line_filter",
-    # driver evidence is rounds 1-2 only — rotate back in
-    "semi_join_active",
-    "anti_join_inactive",
-    "earliest_event_type",
-    "topk_per_group",
-    "window_prev_value",
-    "minor_version_assignment",
-    "union_merge",
-    "full_outer_stats_merge",
-    "range_temporal_join",
-    "top_revenue_orders",
-    "event_sessions",
-    "day_key_histogram",
-    "exact_dedup_docs",
-    "neardup_jaccard",
-    "simhash_pairs",
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_lsh",
-    "knn_quantized",
-    "doc_quality",
-    "doc_repetition_stats",
-    "lang_id",
-    "doc_token_stats",
+    # driver evidence is round 2 only — rotate back in
+    "price_quantiles",
+    "rollup_pricing",
+    "event_tumbling_rollup",
+    "event_sliding_rollup",
+    "distinct_user_types",
+    "explode_membership_join",
+    "sequence_rollup",
+    "doc_bpe_tokens",
+    "doc_tfidf_top_terms",
+    "dataset_split",
+    "stratified_sample",
+    "dedup_keep_best",
+    "doc_pack_assignment",
+    "pii_scrub",
+    "embedding_label_stats",
+    "word_frequencies",
+    # oldest round-3 cohort
+    "asof_click_attribution",
+    "kmeans_clusters",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "minhash_lsh_pairs",
+    "neardup_cosine",
+    "decontaminate_overlap",
+    "doc_dup_ngram_fraction",
+    "ann_recall_lsh",
+    "changeset_stats",
+    "supplier_region_rollup",
 ]
 
 

@@ -356,7 +356,7 @@ OSM_RELATION_ASSEMBLY_SQL = f"""
         FROM read_parquet('{_HISTORY}') WHERE type = 'relation'),
     rel_m AS (
         SELECT r.id, r.version AS rel_version, r.timestamp AS rts,
-               (u.pos - 1)::INT AS pos, u.m.ref AS ref
+               (u.pos - 1)::INT AS pos, u.m.ref AS ref, u.m.role AS role
         FROM read_parquet('{_HISTORY}') r,
              LATERAL (SELECT unnest(r.members) AS m,
                              generate_subscripts(r.members, 1) AS pos) u
@@ -372,7 +372,8 @@ OSM_RELATION_ASSEMBLY_SQL = f"""
           AND (r.tags['type'])[1] = 'multipolygon'
           AND u.m.type = 'relation'),
     nested_m AS (
-        SELECT rr.id, rr.rel_version, rr.rts, rr.pos, s.m.ref AS ref
+        SELECT rr.id, rr.rel_version, rr.rts, rr.pos,
+               s.m.ref AS ref, s.m.role AS role
         FROM rel_rm rr
         JOIN rval ON rr.via_ref = rval.r_id AND rval.r_vis
              AND rval.r_ts <= rr.rts
@@ -381,12 +382,15 @@ OSM_RELATION_ASSEMBLY_SQL = f"""
              LATERAL (SELECT unnest(rval.r_members) AS m,
                              generate_subscripts(rval.r_members, 1) AS pos) s
         WHERE s.m.type = 'way'),
+    -- a way reached both directly and via a nested relation member
+    -- stitches ONCE per (ref, role) — mirrors the engine kernel's dedup
     all_m AS (
-        SELECT id, rel_version, rts, pos, ref FROM rel_m
-        UNION ALL
-        SELECT id, rel_version, rts, pos, ref FROM nested_m),
+        SELECT DISTINCT id, rel_version, rts, ref, role FROM (
+            SELECT id, rel_version, rts, ref, role FROM rel_m
+            UNION ALL
+            SELECT id, rel_version, rts, ref, role FROM nested_m)),
     mem AS (
-        SELECT all_m.id, all_m.rel_version, all_m.pos, wv.nverts,
+        SELECT all_m.id, all_m.rel_version, wv.nverts,
                wv.flon::VARCHAR || ',' || wv.flat::VARCHAR AS ep_a,
                wv.llon::VARCHAR || ',' || wv.llat::VARCHAR AS ep_b,
                (wv.nverts >= 4 AND wv.flon = wv.llon AND wv.flat = wv.llat)
@@ -654,6 +658,75 @@ OSM_GEOCODE_GRID_SQL = f"""
         WHERE type = 'node' AND lat IS NOT NULL AND lon IS NOT NULL)
     SELECT DISTINCT * FROM ({_geocode_grid_raycast_sql()})
 """
+
+
+# --- real-complexity geocode: 311 generated countries through the GeoJSON
+# loader (keyhole multiring folding) and the grid index — the fan-out the
+# reference actually runs (Countries.scala:17-33 loads a 311-country
+# resource; :43-67 STRtree-indexes it). Probe points are a world-spanning
+# 0.5° lattice derived from event_id, so the oracle replays them exactly.
+_RW_GEOJSON = os.path.join(FIXTURE_DIR, "countries_realworld.geojson")
+_COUNTRY_EDGES = os.path.join(FIXTURE_DIR, "country_edges.parquet")
+_rw_countries_cache: dict | None = None
+
+
+def _realworld_countries() -> dict:
+    global _rw_countries_cache
+    if _rw_countries_cache is None:
+        if not (os.path.exists(_RW_GEOJSON) and os.path.exists(_COUNTRY_EDGES)):
+            datagen.write_realworld_countries(FIXTURE_DIR)
+        from osmesa_spark.operators.geocode import load_countries_geojson
+
+        _rw_countries_cache = load_countries_geojson(_RW_GEOJSON)
+    return _rw_countries_cache
+
+
+def osm_geocode_realworld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.geocode import geocode_polygons_auto
+
+    from osmesa_spark import queries as _q
+
+    countries = _realworld_countries()
+    # events.parquet carries NANOsecond timestamps — _t sets nanosAsLong
+    # (a vanilla driver session doesn't), even though only event_id is read
+    ev = _q._t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        F.array(
+            F.struct(
+                ((F.col("event_id") % 720) * 0.5 - 179.75).alias("lon"),
+                (((F.col("event_id") * 7) % 320) * 0.5 - 79.75).alias("lat"),
+            )
+        ).alias("geom"),
+    )
+    coded = geocode_polygons_auto(pts, countries)
+    return coded.select("id", F.explode("countries").alias("code"))
+
+
+def _rw_geocode_sql() -> str:
+    # the edges parquet is written from load_countries_geojson's OUTPUT at
+    # fixture-generation time, so every double here is bit-identical to the
+    # folded ring the engine ray-casts; the crossing expression replays
+    # point_in_ring term-for-term (envelope gate, half-open span, strict x)
+    _realworld_countries()  # ensure the fixture (and edges file) exist
+    return f"""
+    WITH pts AS (
+        SELECT event_id AS id,
+               (event_id % 720) * 0.5 - 179.75 AS lon,
+               ((event_id * 7) % 320) * 0.5 - 79.75 AS lat
+        FROM events),
+    cr AS (
+        SELECT p.id, e.code,
+               SUM(CASE WHEN ((e.yi > p.lat) <> (e.yj > p.lat))
+                        AND p.lon < (e.xj - e.xi) * (p.lat - e.yi)
+                                    / (e.yj - e.yi) + e.xi
+                   THEN 1 ELSE 0 END) AS crossings
+        FROM pts p JOIN read_parquet('{_COUNTRY_EDGES}') e
+          ON p.lon >= e.bx0 AND p.lon <= e.bx1
+         AND p.lat >= e.by0 AND p.lat <= e.by1
+        GROUP BY p.id, e.code)
+    SELECT id, code FROM cr WHERE crossings % 2 = 1
+    """
 
 
 def osm_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,6 +1161,18 @@ def register_osm_queries(register) -> None:
         "runs — interior-cell short-circuit, candidate-only ray-cast — "
         "and must agree with the 40-way literal ray-cast oracle",
     )(osm_geocode_grid)
+    register(
+        "osm_geocode_realworld",
+        _rw_geocode_sql(),
+        doc="geocode at the reference's REAL fan-out (Countries.scala:17-33 "
+        "311-country resource): generated realistic countries.geojson "
+        "(concave thousand-vertex mainlands, lakes as holes, archipelago "
+        "MultiPolygons, '-99'/duplicate-code property edge cases) through "
+        "load_countries_geojson's keyhole fold into the broadcast grid "
+        "index, probed by an sf-scaled world lattice of points; oracle "
+        "ray-casts a data-driven edges parquet derived from the loader's "
+        "own output (bit-identical doubles)",
+    )(osm_geocode_realworld)
     register(
         "osm_hashtags",
         OSM_HASHTAGS_SQL,

@@ -629,7 +629,12 @@ def save_tiles_in_zips(
             F.shiftrightunsigned(F.col("tx").cast("bigint"), offset).alias("atx"),
             F.shiftrightunsigned(F.col("ty").cast("bigint"), offset).alias("aty"),
             F.struct(
-                zorder(F.col("tx"), F.col("ty")).alias("z"),
+                # bits must cover the full tile-index range at this zoom
+                # (indices reach 2^zoom - 1; the default 16 would wrap
+                # beyond zoom 16 and break the guaranteed Z2 entry order)
+                zorder(F.col("tx"), F.col("ty"), bits=max(1, min(31, zoom))).alias(
+                    "z"
+                ),
                 F.col("tx").cast("bigint").alias("tx"),
                 F.col("ty").cast("bigint").alias("ty"),
                 F.col("data").alias("data"),
@@ -797,7 +802,9 @@ def save_pyramid_in_zips(
             F.expr("shiftrightunsigned(CAST(ty AS BIGINT), CAST(pmod(zoom, 8) AS INT))").alias("aty"),
             F.struct(
                 F.col("zoom").cast("int").alias("zoom"),
-                zorder(F.col("tx"), F.col("ty")).alias("z"),
+                # zoom is a column here, so use the widest safe static
+                # width: 31 interleaved bit-pairs stay within a bigint
+                zorder(F.col("tx"), F.col("ty"), bits=31).alias("z"),
                 F.col("tx").cast("bigint").alias("tx"),
                 F.col("ty").cast("bigint").alias("ty"),
                 F.col("data").alias("data"),
