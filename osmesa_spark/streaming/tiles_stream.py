@@ -239,6 +239,57 @@ def run_streaming_faceted_tile_updater(
     )
 
 
+def run_streaming_user_footprint(
+    changes: DataFrame,
+    tile_root: str,
+    checkpoint_dir: str,
+    zoom: int = 6,
+    cells: int = 16,
+    layer_name: str = "density",
+):
+    """StreamingUserFootprintTileUpdater twin
+    (StreamingUserFootprintTileUpdater.scala:108-118): located changed
+    nodes keyed by uid → per-user footprint pyramid under
+    `tile_root/<uid>/` (Footprints.update keyed URIs), idempotent per
+    sequence. Same keyed-pyramid chain as the hashtag footprint, minus
+    the metadata join — the key comes off the element itself."""
+    nodes = changes.where(
+        (F.col("type") == "node")
+        & F.col("lat").isNotNull()
+        & F.col("lon").isNotNull()
+    ).select(
+        "sequence",
+        F.col("uid").cast("string").alias("key"),
+        "lon",
+        "lat",
+    )
+
+    def tiles_for_batch(batch: DataFrame, z: int, c: int) -> DataFrame:
+        keys = ["key", "sequence"]
+        base = vg.tile_points(batch, zoom=z, cells=c, key_cols=keys)
+        return vg.vectorize(
+            vg.pyramid(base, base_zoom=z, key_cols=keys),
+            cells=c,
+            key_cols=keys,
+        )
+
+    return (
+        nodes.writeStream.foreachBatch(
+            _grouped_tile_sink(
+                tile_root,
+                zoom,
+                cells,
+                layer_name,
+                tiles_for_batch,
+                key_col="key",
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_streaming_hashtag_footprint(
     changes: DataFrame,
     changeset_meta: DataFrame,

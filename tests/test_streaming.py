@@ -322,6 +322,61 @@ def test_streaming_hashtag_footprint(spark, dirs, tmp_path):
     assert hashtag_totals(6) == expected
 
 
+def test_streaming_user_footprint(spark, dirs, tmp_path):
+    """StreamingUserFootprintTileUpdater twin: located nodes keyed by uid
+    → per-user keyed tile trees, idempotent on replay."""
+    import glob
+    import gzip
+
+    from osmesa_spark.sinks import mvt
+    from osmesa_spark.streaming.tiles_stream import (
+        run_streaming_user_footprint,
+    )
+
+    root = str(tmp_path / "utiles")
+
+    def user_totals(zoom):
+        tot = {}
+        for p in glob.glob(f"{root}/*/{zoom}/*/*.mvt.gz"):
+            uid = p[len(root) + 1:].split("/", 1)[0]
+            layers = mvt.decode_tile(gzip.decompress(open(p, "rb").read()))
+            tot[uid] = tot.get(uid, 0) + sum(
+                f.tags["density"] for f in layers["density"]
+            )
+        return tot
+
+    changes = R.read_changes_xml(spark, str(dirs / "changes"), streaming=True)
+    q = run_streaming_user_footprint(
+        changes, root, str(tmp_path / "uckpt1"), zoom=6, cells=16
+    )
+    q.awaitTermination(180)
+
+    bounded = R.read_changes_xml(spark, str(dirs / "changes"))
+    expected = {
+        str(r["uid"]): r["n"]
+        for r in bounded.where(
+            (F.col("type") == "node")
+            & F.col("lat").isNotNull()
+            & F.col("lon").isNotNull()
+        )
+        .groupBy("uid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = user_totals(6)
+    assert got == expected and len(got) > 1
+    # replay with a fresh checkpoint: committed sequences -> unchanged
+    q2 = run_streaming_user_footprint(
+        R.read_changes_xml(spark, str(dirs / "changes"), streaming=True),
+        root,
+        str(tmp_path / "uckpt2"),
+        zoom=6,
+        cells=16,
+    )
+    q2.awaitTermination(180)
+    assert user_totals(6) == expected
+
+
 def test_grouped_sink_multi_sequence_batch(spark, dirs, tmp_path):
     """Task: de-drivered sink. A single bounded 'batch' spanning ALL
     sequences must write every sequence's cells in one grouped plan (no
