@@ -133,6 +133,13 @@ def main() -> None:
         reps = sorted(run_once() for _ in range(3))
         timings[name] = round(reps[1], 3)
         spreads[name] = round(reps[-1] - reps[0], 3)
+        # release py4j refs so ContextCleaner can drop the previous
+        # query's localCheckpoint blocks / broadcasts — 54 queries × 3
+        # reps of retained state otherwise turns late entries into GC
+        # noise (observed 10 s+ spreads on ~1 s queries)
+        import gc
+
+        gc.collect()
     total = round(sum(timings.values()), 3)
     streaming_sec = measure_streaming_minutely_batch(spark)
     print(

