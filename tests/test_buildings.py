@@ -177,3 +177,51 @@ def test_support_matrix_semantics(spark):
     # the anchor pair itself: support counted against itself → dot·dist with
     # v=u → 1.0 → also normalized ≤ 1
     assert rows[(1, 11)]["p_sup"] >= 0.5
+
+
+def test_scores_batch_matches_scalar():
+    """The batched DLT/projection kernel must reproduce the scalar
+    per-pair functions on ragged random polygons (incl. degenerate <4 and
+    <2 vertex shapes) to float precision — same greedy pairing order, same
+    Hartley conditioning, same SVD nullspace."""
+    import random
+
+    import numpy as np
+
+    from osmesa_spark.operators import buildings as bm
+
+    rng = random.Random(11)
+    polys_a, polys_b = [], []
+    for i in range(120):
+        na = rng.choice([1, 2, 3, 4, 4, 4, 5, 6, 8])
+        nb = rng.choice([1, 2, 3, 4, 4, 4, 5, 6, 8])
+        cx, cy = rng.uniform(-50, 50), rng.uniform(-30, 30)
+        polys_a.append(
+            np.array(
+                [
+                    [
+                        cx + rng.uniform(0.5, 2.0) * np.cos(2 * np.pi * k / na),
+                        cy + rng.uniform(0.5, 2.0) * np.sin(2 * np.pi * k / na),
+                    ]
+                    for k in range(na)
+                ]
+            )
+        )
+        dx, dy = rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3)
+        polys_b.append(
+            np.array(
+                [
+                    [
+                        cx + dx + rng.uniform(0.5, 2.0) * np.cos(2 * np.pi * k / nb),
+                        cy + dy + rng.uniform(0.5, 2.0) * np.sin(2 * np.pi * k / nb),
+                    ]
+                    for k in range(nb)
+                ]
+            )
+        )
+    pv_b, pj_b = bm.scores_batch(polys_a, polys_b, scale=1.0)
+    for i, (a, b) in enumerate(zip(polys_a, polys_b)):
+        pv_s = bm.vertex_score(a, b, scale=1.0)
+        pj_s = bm.projection_score(a, b, scale=1.0)
+        assert abs(pv_b[i] - pv_s) < 1e-9, (i, pv_b[i], pv_s, len(a), len(b))
+        assert abs(pj_b[i] - pj_s) < 1e-9, (i, pj_b[i], pj_s, len(a), len(b))
