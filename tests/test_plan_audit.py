@@ -190,6 +190,24 @@ def test_extension_plans_stay_jvm_side(spark, name):
     assert_scaleable(df, allow_python=False)
 
 
+def test_realworld_geocode_plan_shape(spark):
+    """The 311-country grid geocode must stay all-JVM with EXACTLY the
+    two-level broadcast index shape: cell → set_id → packed rings (two
+    BroadcastHashJoins), no Python stage, no cartesian, a pruned
+    single-column events scan, and no exchanges beyond the single-split
+    parallelism guard — a third broadcast or a shuffle here means the
+    index design regressed and every probe row pays for it at scale."""
+    df = Q.registry()["osm_geocode_realworld"].spark(spark, SF_CORRECT)
+    a = assert_scaleable(df, allow_python=False)
+    assert a.broadcast_joins == 2, f"expected 2 bcast joins, got {a.broadcast_joins}"
+    assert a.sort_merge_joins == 0 and a.shuffled_hash_joins == 0
+    # broadcasts count as Exchange in the plan string; only ONE
+    # partitioning exchange (the REPARTITION guard) is allowed on top
+    assert a.exchanges <= 3, f"unexpected exchanges: {a.exchanges}"
+    scan_cols = [s.get("schema", []) for s in a.scans if "schema" in s]
+    assert ["event_id"] in scan_cols, f"probe scan not pruned: {scan_cols}"
+
+
 def test_driver_priority_window_integrity():
     """Every DRIVER_PRIORITY name must exist (a typo silently wastes one of
     the external checker's 50 slots), and the first 50 registry entries
