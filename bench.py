@@ -142,6 +142,7 @@ def main() -> None:
         gc.collect()
     total = round(sum(timings.values()), 3)
     streaming_sec = measure_streaming_minutely_batch(spark)
+    tile_sec = measure_streaming_tile_batch(spark)
     print(
         json.dumps(
             {
@@ -151,6 +152,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spreads,
                 "streaming_minutely_batch": streaming_sec,
+                "streaming_tile_batch": tile_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -209,6 +211,45 @@ def measure_streaming_minutely_batch(spark) -> float:
         stored = ParquetUpsertTable(table_path).read(spark)
         if stored is None or stored.count() == 0:
             return -1.0  # sentinel: stream drained without committing
+        return round(elapsed, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def measure_streaming_tile_batch(spark) -> float:
+    """The OTHER minutely consumer (StreamingFacetedEditHistogramTileUpdater
+    chain): one 4000-feature augmented-diff sequence → facet-map points →
+    per-(facet, sequence) pyramid → idempotent MVT tile upsert, measured as
+    an actual availableNow stream. Together with
+    `streaming_minutely_batch` this covers both reference streaming sinks
+    (DB stats + tile trees) against the < 60 s keep-up bar."""
+    import glob
+    import shutil
+    import tempfile
+
+    from osmesa_spark.datagen import write_augdiff_dropdir
+    from osmesa_spark.sources import replication as R
+    from osmesa_spark.streaming.tiles_stream import (
+        run_streaming_faceted_tile_updater,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_tiles_")
+    try:
+        drop = os.path.join(base, "augdiffs")
+        write_augdiff_dropdir(drop, n_sequences=1, per_seq=4000, corrupt_every=97)
+        root = os.path.join(base, "tiles")
+        t0 = time.perf_counter()
+        good, _ = R.split_errors(
+            R.read_augmented_diffs(spark, drop, streaming=True)
+        )
+        q = run_streaming_faceted_tile_updater(
+            good, root, os.path.join(base, "ckpt"), zoom=10, cells=16
+        )
+        q.processAllAvailable()
+        q.stop()
+        elapsed = time.perf_counter() - t0
+        if not glob.glob(f"{root}/*/*/*.mvt.gz"):
+            return -1.0  # sentinel: stream drained without writing tiles
         return round(elapsed, 3)
     finally:
         shutil.rmtree(base, ignore_errors=True)

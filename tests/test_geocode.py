@@ -263,3 +263,94 @@ def test_keyhole_multiring_holes_and_parts(spark):
                     x, y, [p[0] for p in ring], [p[1] for p in ring]
                 )
             assert parity == (code in want), (i, code)
+
+
+def test_grid_index_keyhole_fuzz():
+    """Hypothesis-style fuzz (seeded sweep, driver-side only): for random
+    multi-ring countries (concave star mainland, optional hole, optional
+    island) folded through `keyhole_ring`, the grid index's cell decision
+    (sure-membership OR candidate envelope+PNPOLY on the folded ring) must
+    equal the per-ring XOR ground truth at every probe point. This fuzzes
+    the two classification layers with real risk — the conservative
+    touched-cell marking and the keyhole parity equivalence — across
+    geometry the fixed fixtures don't enumerate."""
+    import math
+    import random
+
+    from osmesa_spark.operators.geocode import (
+        _pnpoly_np,
+        build_grid_index,
+        keyhole_ring,
+    )
+
+    for seed in range(25):
+        rng = random.Random(971 + seed)
+        countries = {}
+        raw_rings: dict[str, list] = {}
+        for c in range(3):
+            cx = rng.uniform(-140.0, 140.0)
+            cy = rng.uniform(-55.0, 55.0)
+            R = rng.uniform(2.0, 9.0)
+            k = rng.randint(2, 7)
+            phi = rng.uniform(0, 6.28)
+            nv = rng.randint(6, 40)
+            mainland = [
+                (
+                    cx + R * (0.6 + 0.35 * math.sin(k * t + phi)) * math.cos(t),
+                    cy + R * (0.6 + 0.35 * math.sin(k * t + phi)) * math.sin(t),
+                )
+                for t in [2 * math.pi * v / nv for v in range(nv)]
+            ]
+            rings = [mainland]
+            if rng.random() < 0.5:  # lake inside the min mainland radius
+                hr = 0.12 * R
+                rings.append(
+                    [
+                        (cx + hr * math.cos(t), cy + hr * math.sin(t))
+                        for t in [2 * math.pi * v / 12 for v in range(12)]
+                    ]
+                )
+            if rng.random() < 0.5:  # island beyond the max mainland radius
+                ang = rng.uniform(0, 6.28)
+                ix_, iy_ = cx + 1.2 * R * math.cos(ang), cy + 1.2 * R * math.sin(ang)
+                ir = 0.1 * R
+                rings.append(
+                    [
+                        (ix_ + ir * math.cos(t), iy_ + ir * math.sin(t))
+                        for t in [2 * math.pi * v / 10 for v in range(10)]
+                    ]
+                )
+            code = f"C{c}"
+            raw_rings[code] = rings
+            countries[code] = keyhole_ring(rings)
+        nx, ny = 72, 36
+        idx = build_grid_index(countries, nx, ny)
+        dx, dy = 360.0 / nx, 180.0 / ny
+        for _ in range(60):
+            px = rng.uniform(-179.0, 179.0)
+            py = rng.uniform(-70.0, 70.0)
+            ix = min(max(int((px + 180.0) // dx), 0), nx - 1)
+            iy = min(max(int((py + 90.0) // dy), 0), ny - 1)
+            entry = idx["cells"].get(ix * ny + iy)
+            got = set(entry["sure"]) if entry else set()
+            for code in entry["cand"] if entry else []:
+                ring = countries[code]
+                xs = [x for x, _ in ring]
+                ys = [y for _, y in ring]
+                if (
+                    min(xs) <= px <= max(xs)
+                    and min(ys) <= py <= max(ys)
+                    and _pnpoly_np(px, py, xs, ys)
+                ):
+                    got.add(code)
+            want = set()
+            for code, rings in raw_rings.items():
+                inside = False
+                for r in rings:
+                    if _pnpoly_np(
+                        px, py, [x for x, _ in r], [y for _, y in r]
+                    ):
+                        inside = not inside
+                if inside:
+                    want.add(code)
+            assert got == want, (seed, px, py, got, want)
