@@ -260,7 +260,15 @@ def grid_index_frames(spark, countries: PolygonCountries, index: dict):
     import pyarrow.parquet as _pq
 
     fp = _index_fingerprint(countries, index["nx"], index["ny"])
-    base = os.path.join(tempfile.gettempdir(), "osmesa_grid_index")
+    # per-user cache root: a fixed shared /tmp path would be owned by the
+    # first user to run and unwritable (or poisonable) for every other
+    try:
+        import getpass
+
+        user = getpass.getuser()
+    except Exception:  # pragma: no cover - no passwd entry
+        user = str(os.getuid()) if hasattr(os, "getuid") else "anon"
+    base = os.path.join(tempfile.gettempdir(), f"osmesa_grid_index_{user}")
     d = os.path.join(base, fp)
     if not os.path.exists(os.path.join(d, "cands.parquet")):
         set_ids: dict[tuple, int] = {}
@@ -377,8 +385,11 @@ def geocode_grid(
     # the ray-cast over boundary-cell candidates is the CPU-heavy stage,
     # and broadcast joins preserve the probe side's splits — a one-file
     # input would run it as a single task (measured 6.8 s -> 0.9 s on the
-    # 311-country / 100k-point bench when spread over local[32])
-    features = ensure_parallelism(features)
+    # 311-country / 100k-point bench when spread over local[32]). Batch
+    # only: the guard inspects df.rdd, which streaming DataFrames forbid
+    # (and a micro-batch already arrives with the source's split count)
+    if not features.isStreaming:
+        features = ensure_parallelism(features)
     index = build_grid_index(countries, nx, ny)
     cells_df, cands_df = grid_index_frames(spark, countries, index)
 

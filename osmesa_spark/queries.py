@@ -40,8 +40,18 @@ from osmesa_spark.operators import textops
 @dataclass
 class QuerySpec:
     spark: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
+    # DuckDB SQL, a zero-arg callable producing it (for oracles whose SQL
+    # needs a generated fixture on disk — resolved lazily on first access
+    # so importing the registry never pays fixture generation), or None
+    # (driver runs the weaker rows-only check)
+    oracle_src: str | Callable[[], str] | None
     doc: str = ""
+
+    @property
+    def oracle(self) -> str | None:
+        if callable(self.oracle_src):
+            self.oracle_src = self.oracle_src()
+        return self.oracle_src
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -73,9 +83,11 @@ EVENTS_MICRO_CTE = (
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(
+    name: str, oracle: str | Callable[[], str] | None, doc: str = ""
+):
     def wrap(fn):
-        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = QuerySpec(spark=fn, oracle_src=oracle, doc=doc)
         return fn
 
     return wrap

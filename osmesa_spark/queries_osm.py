@@ -1163,7 +1163,7 @@ def register_osm_queries(register) -> None:
     )(osm_geocode_grid)
     register(
         "osm_geocode_realworld",
-        _rw_geocode_sql(),
+        _rw_geocode_sql,  # callable: fixture generation deferred to first use
         doc="geocode at the reference's REAL fan-out (Countries.scala:17-33 "
         "311-country resource): generated realistic countries.geojson "
         "(concave thousand-vertex mainlands, lakes as holes, archipelago "
@@ -1213,7 +1213,7 @@ def register_osm_queries(register) -> None:
     )(osm_hashtag_user_statistics)
     register(
         "osm_changeset_metadata",
-        _csdump_sql(),
+        _csdump_sql,  # callable: CSV-dump fixture deferred to first use
         doc="ChangesetMetadataCreator end-to-end app (scala:107-231): 4 "
         "OSM-DB CSV dumps (multiline-quoted comment bodies) → assembled "
         "changesets table — tags k/v→map, comments→sorted struct array + "

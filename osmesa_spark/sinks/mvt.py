@@ -407,22 +407,28 @@ def upsert_tile(
     keyed by `__id`; numeric tag values (the densities) sum; new ids append.
     Idempotence: if `sequence` is already committed in the tile, skip
     (returns "skipped"); afterwards the sequence joins the committed list.
+    The sequenced path is exactly the 1-sequence case of
+    `upsert_tile_multi` and delegates to it (one read-merge-commit-encode
+    body to maintain); only the unsequenced no-bookkeeping variant keeps
+    its own body.
     """
+    if sequence is not None:
+        return upsert_tile_multi(
+            root,
+            zoom,
+            tx,
+            ty,
+            {int(sequence): features},
+            layer_name,
+            extent=extent,
+        )
     existing = read_tile(root, zoom, tx, ty)
-    if existing is not None and sequence is not None:
-        if sequence in committed_sequences(existing):
-            return "skipped"
     merged: dict[int, MvtFeature] = {}
     if existing is not None:
         for f in existing.get(layer_name, []):
             merged[int(f.tags["__id"])] = f
     _merge_features(merged, features)
-    seqs = committed_sequences(existing) if existing else []
-    if sequence is not None:
-        seqs.append(sequence)
     layers = {layer_name: [merged[k] for k in sorted(merged)]}
-    if sequence is not None:
-        layers[SEQUENCES_LAYER] = _sequence_layer(seqs)
     payload = gzip.compress(encode_tile(layers, extent))
     # scheme-routed write, labeled Content-Encoding: gzip like the
     # reference's S3 tile put (updater/package.scala:160-180); LocalStore
@@ -491,12 +497,18 @@ def write_tile_pyramid(
                 layer_name, sequence=sequence, extent=extent,
             )
 
+        rows = list(rows)
         with ThreadPoolExecutor(max_workers=io_threads) as pool:
             list(pool.map(one, rows))
+        touched.add(len(rows))
 
+    # tile count rides an accumulator out of the ONE write pass —
+    # a `tiles.count()` afterwards would re-execute the whole vectorgrid
+    # + collect_list lineage just to report a number (action-side
+    # accumulator updates are applied exactly once per successful task)
+    touched = tiles.sparkSession.sparkContext.accumulator(0)
     tiles.foreachPartition(write_partition)
-    # count touched tiles (cheap second agg over the same lineage)
-    return tiles.count()
+    return touched.value
 
 
 def write_tile_pyramid_grouped(
@@ -590,11 +602,17 @@ def write_tile_pyramid_grouped(
                 extent=extent,
             )
 
+        rows = list(rows)
         with ThreadPoolExecutor(max_workers=io_threads) as pool:
             list(pool.map(one, rows))
+        touched.add(len(rows))
 
+    # single execution: the count rides an accumulator instead of a
+    # second full run of the pyramid lineage (this is the streaming
+    # micro-batch hot path — doubling it would double the SLA)
+    touched = tiles.sparkSession.sparkContext.accumulator(0)
     tiles.foreachPartition(write_partition)
-    return tiles.count()
+    return touched.value
 
 
 def save_tiles_in_zips(
@@ -667,11 +685,15 @@ def save_tiles_in_zips(
                 buf.getvalue(),
             )
 
+        rows = list(rows)
         with ThreadPoolExecutor(max_workers=io_threads) as pool:
             list(pool.map(one, rows))
+        written.add(len(rows))
 
+    # archive count via accumulator: one pass, no lineage re-execution
+    written = grouped.sparkSession.sparkContext.accumulator(0)
     grouped.foreachPartition(write_partition)
-    return grouped.count()
+    return written.value
 
 
 def read_zip_tile(root: str, zoom: int, tx: int, ty: int) -> bytes | None:
@@ -837,8 +859,12 @@ def save_pyramid_in_zips(
                 buf.getvalue(),
             )
 
+        rows = list(rows)
         with ThreadPoolExecutor(max_workers=io_threads) as pool:
             list(pool.map(one, rows))
+        written.add(len(rows))
 
+    # archive count via accumulator: one pass, no lineage re-execution
+    written = grouped.sparkSession.sparkContext.accumulator(0)
     grouped.foreachPartition(write_partition)
-    return grouped.count()
+    return written.value

@@ -132,13 +132,19 @@ def hashtag_footprint_points(
     """HashtagFootprintUpdater.scala:169-190: changeset metadata explodes
     its hashtags (comment-derived ∪ dedicated tag, scala:179-181) and
     stream-stream joins the located nodes on `changeset`. Both sides
-    watermark 25h — changesets stay open ≤24h, bounding join state."""
+    watermark 25h AND the join carries an explicit event-time range
+    (node edits happen within the changeset's ≤24h open window; ±25h is
+    the conservative superset): Spark only evicts stream-stream join
+    state when the condition constrains the two event-time columns, so
+    without the range the state store grows without bound no matter what
+    the watermarks say."""
     cs = changeset_meta
     if cs.isStreaming:
         cs = cs.withWatermark("createdAt", "25 hours")
     cs = cs.select(
-        F.col("id").alias("changeset"),
+        F.col("id").alias("cs_changeset"),
         F.col("sequence").alias("cs_sequence"),
+        F.col("createdAt").alias("cs_createdAt"),
         F.explode(changeset_hashtags(F.col("tags"))).alias("hashtag"),
     )
     nodes = changes.where(
@@ -149,7 +155,12 @@ def hashtag_footprint_points(
     if nodes.isStreaming:
         nodes = nodes.withWatermark("timestamp", "25 hours")
     nodes = nodes.select("timestamp", "sequence", "changeset", "lat", "lon")
-    joined = nodes.join(cs, "changeset")
+    joined = nodes.join(
+        cs,
+        (nodes["changeset"] == cs["cs_changeset"])
+        & (nodes["timestamp"] >= cs["cs_createdAt"] - F.expr("INTERVAL 25 HOURS"))
+        & (nodes["timestamp"] <= cs["cs_createdAt"] + F.expr("INTERVAL 25 HOURS")),
+    ).drop("cs_changeset", "cs_createdAt")
     # idempotence key: a join row is attributed to the PAIR of replication
     # sequences that produced it. The stream-stream join emits one node
     # sequence's rows across SEVERAL micro-batches (each time a later
@@ -158,6 +169,17 @@ def hashtag_footprint_points(
     # would skip those later emissions as "already committed" and silently
     # lose counts. Each (node seq, meta seq) pair emits in exactly one
     # micro-batch — pack the pair into one bigint and commit that.
+    #
+    # Bookkeeping bound: the tile's committed list keeps the newest 1000
+    # entries (MAX_COMMITTED_SEQUENCES — the reference's identical
+    # takeRight(1000), VectorGrid.scala:48-49). Pair keys fill that
+    # window faster than plain sequences on pyramid-apex tiles (every
+    # pair touches zoom 0), so the idempotence guarantee is: checkpoint
+    # recovery (replays only the newest pairs, which takeRight always
+    # retains) is ALWAYS safe; a from-scratch replay of deep history
+    # against existing tiles is only deduplicated within the newest 1000
+    # pairs per tile — same recovery contract as the reference, reached
+    # sooner. A full rebuild should write to a fresh tile root.
     return joined.withColumn(
         "sequence",
         F.shiftleft(F.col("cs_sequence").cast("bigint"), 32)

@@ -755,3 +755,40 @@ def test_streaming_area_delta_flows_to_measurements(spark, dirs):
         .first()[0]
     )
     assert km2 is not None and km2 > 0
+
+
+def test_streaming_grid_geocode_dispatch(spark, dirs, tmp_path):
+    """Regression: the grid geocode path must work on a STREAMING input
+    (the single-split parallelism guard inspects df.rdd, which streaming
+    DataFrames forbid — it must be batch-gated). Drive the stats stream
+    with a country set big enough to trip the grid dispatch and compare
+    totals to the bounded run of the same chain."""
+    from osmesa_spark.datagen import COUNTRY_POLYGONS_GRID
+    from osmesa_spark.sinks.upsert import ParquetUpsertTable
+    from osmesa_spark.streaming.stats_stream import (
+        run_streaming_stats_to_upsert,
+        streaming_changeset_stats,
+    )
+
+    assert len(COUNTRY_POLYGONS_GRID) > 32  # grid-dispatch regime
+    good, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"), streaming=True)
+    )
+    table = str(tmp_path / "gstats")
+    q = run_streaming_stats_to_upsert(
+        good, table, str(tmp_path / "gckpt"), countries=COUNTRY_POLYGONS_GRID
+    )
+    q.processAllAvailable()
+    q.stop()
+    stored = ParquetUpsertTable(table).read(spark)
+    assert stored is not None
+    got = stored.agg(F.sum("total_edits")).first()[0]
+    bounded, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"))
+    )
+    want = (
+        streaming_changeset_stats(bounded, countries=COUNTRY_POLYGONS_GRID)
+        .agg(F.sum("total_edits"))
+        .first()[0]
+    )
+    assert got == want and got > 0
