@@ -385,11 +385,9 @@ def geocode_grid(
     # the ray-cast over boundary-cell candidates is the CPU-heavy stage,
     # and broadcast joins preserve the probe side's splits — a one-file
     # input would run it as a single task (measured 6.8 s -> 0.9 s on the
-    # 311-country / 100k-point bench when spread over local[32]). Batch
-    # only: the guard inspects df.rdd, which streaming DataFrames forbid
-    # (and a micro-batch already arrives with the source's split count)
-    if not features.isStreaming:
-        features = ensure_parallelism(features)
+    # 311-country / 100k-point bench when spread over local[32]); the
+    # guard no-ops on streaming inputs
+    features = ensure_parallelism(features)
     index = build_grid_index(countries, nx, ny)
     cells_df, cands_df = grid_index_frames(spark, countries, index)
 

@@ -17,6 +17,11 @@ def ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     a no-op, so the extra shuffle is only paid when it buys parallelism.
     Hash-partitioning on `cols` (e.g. the id) keeps placement deterministic.
     """
+    if df.isStreaming:
+        # df.rdd is illegal on a streaming DataFrame, and a micro-batch
+        # already arrives with its source's split count — no-op so every
+        # operator that guards its kernel stage stays stream-composable
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
