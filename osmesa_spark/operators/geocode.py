@@ -260,15 +260,20 @@ def grid_index_frames(spark, countries: PolygonCountries, index: dict):
     import pyarrow.parquet as _pq
 
     fp = _index_fingerprint(countries, index["nx"], index["ny"])
-    # per-user cache root: a fixed shared /tmp path would be owned by the
-    # first user to run and unwritable (or poisonable) for every other
-    try:
-        import getpass
-
-        user = getpass.getuser()
-    except Exception:  # pragma: no cover - no passwd entry
-        user = str(os.getuid()) if hasattr(os, "getuid") else "anon"
-    base = os.path.join(tempfile.gettempdir(), f"osmesa_grid_index_{user}")
+    # cache root under the user's HOME (falling back to a 0700 temp dir):
+    # a predictable world-writable /tmp path could be pre-created by
+    # another local user — either planting a crafted index at the
+    # fingerprint path or making the directory unwritable. A home-rooted
+    # cache (mode 0700 on first create) is owned by us by construction.
+    home = os.path.expanduser("~")
+    if home and home != "~" and os.access(home, os.W_OK):
+        base = os.path.join(home, ".cache", "osmesa_spark", "grid_index")
+    else:  # pragma: no cover - no usable home (some service accounts)
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"osmesa_grid_index_{os.getuid() if hasattr(os, 'getuid') else 'u'}",
+        )
+    os.makedirs(base, mode=0o700, exist_ok=True)
     d = os.path.join(base, fp)
     if not os.path.exists(os.path.join(d, "cands.parquet")):
         set_ids: dict[tuple, int] = {}

@@ -444,6 +444,38 @@ def upsert_tile(
     return "written" if existing is None else "updated"
 
 
+def _foreach_rows_counted(
+    df: DataFrame, make_one, io_threads: int, count: bool = True
+) -> int:
+    """Shared sink executor loop: per partition, materialize the rows,
+    build the per-row writer via the executor-side `make_one` factory
+    (store handles / imports live there), overlap IO with a small thread
+    pool, and ride the row count out on ONE accumulator so the caller
+    never re-executes the lineage just to report a number.
+
+    `count=False` skips the accumulator entirely and returns -1: a
+    long-running streaming sink calls this once per micro-batch, and
+    PySpark accumulators register permanently in the driver's
+    `_accumulatorRegistry` — one per batch would be an unbounded driver
+    leak for a return value foreachBatch never reads."""
+    counter = (
+        df.sparkSession.sparkContext.accumulator(0) if count else None
+    )
+
+    def write_partition(rows):
+        from concurrent.futures import ThreadPoolExecutor
+
+        one = make_one()
+        rows = list(rows)
+        with ThreadPoolExecutor(max_workers=io_threads) as pool:
+            list(pool.map(one, rows))
+        if counter is not None:
+            counter.add(len(rows))
+
+    df.foreachPartition(write_partition)
+    return counter.value if counter is not None else -1
+
+
 def write_tile_pyramid(
     vectorized: DataFrame,
     root: str,
@@ -474,9 +506,7 @@ def write_tile_pyramid(
         .agg(F.collect_list("cell").alias("cells"))
     )
 
-    def write_partition(rows):
-        from concurrent.futures import ThreadPoolExecutor
-
+    def make_one():
         def one(row):
             feats = [
                 MvtFeature(
@@ -497,18 +527,9 @@ def write_tile_pyramid(
                 layer_name, sequence=sequence, extent=extent,
             )
 
-        rows = list(rows)
-        with ThreadPoolExecutor(max_workers=io_threads) as pool:
-            list(pool.map(one, rows))
-        touched.add(len(rows))
+        return one
 
-    # tile count rides an accumulator out of the ONE write pass —
-    # a `tiles.count()` afterwards would re-execute the whole vectorgrid
-    # + collect_list lineage just to report a number (action-side
-    # accumulator updates are applied exactly once per successful task)
-    touched = tiles.sparkSession.sparkContext.accumulator(0)
-    tiles.foreachPartition(write_partition)
-    return touched.value
+    return _foreach_rows_counted(tiles, make_one, io_threads)
 
 
 def write_tile_pyramid_grouped(
@@ -522,6 +543,7 @@ def write_tile_pyramid_grouped(
     facet_col: str | None = None,
     extent: int = DEFAULT_EXTENT,
     io_threads: int = 8,
+    count_tiles: bool = True,
 ) -> int:
     """Multi-sequence, optionally keyed/faceted pyramid sink — the
     single-plan replacement for the per-sequence driver loop
@@ -534,7 +556,9 @@ def write_tile_pyramid_grouped(
     its own tile tree `root/<key>/` — the reference's keyed Footprints URI
     (Footprints.scala:42-53). `facet_col` renames the density tag to
     `<layer_name>:<facet>` per facet, the faceted-histogram tag shape
-    (EditHistogram.scala:183-211). Returns number of tiles touched."""
+    (EditHistogram.scala:183-211). Returns number of tiles touched, or -1
+    with `count_tiles=False` (what the streaming sink passes: one
+    accumulator per micro-batch would leak in the driver registry)."""
     from osmesa_spark.session import ship_package
 
     ship_package(vectorized.sparkSession)
@@ -559,9 +583,7 @@ def write_tile_pyramid_grouped(
         .agg(F.collect_list("cell").alias("cells"))
     )
 
-    def write_partition(rows):
-        from concurrent.futures import ThreadPoolExecutor
-
+    def make_one():
         def one(row):
             by_seq: dict[int, dict[int, MvtFeature]] = {}
             for c in row["cells"]:
@@ -602,17 +624,11 @@ def write_tile_pyramid_grouped(
                 extent=extent,
             )
 
-        rows = list(rows)
-        with ThreadPoolExecutor(max_workers=io_threads) as pool:
-            list(pool.map(one, rows))
-        touched.add(len(rows))
+        return one
 
-    # single execution: the count rides an accumulator instead of a
-    # second full run of the pyramid lineage (this is the streaming
-    # micro-batch hot path — doubling it would double the SLA)
-    touched = tiles.sparkSession.sparkContext.accumulator(0)
-    tiles.foreachPartition(write_partition)
-    return touched.value
+    return _foreach_rows_counted(
+        tiles, make_one, io_threads, count=count_tiles
+    )
 
 
 def save_tiles_in_zips(
@@ -662,10 +678,9 @@ def save_tiles_in_zips(
         .agg(F.array_sort(F.collect_list("t")).alias("entries"))
     )
 
-    def write_partition(rows):
+    def make_one():
         import io as _io
         import zipfile
-        from concurrent.futures import ThreadPoolExecutor
 
         from osmesa_spark.sources.objectstore import join_key, open_store
 
@@ -685,15 +700,9 @@ def save_tiles_in_zips(
                 buf.getvalue(),
             )
 
-        rows = list(rows)
-        with ThreadPoolExecutor(max_workers=io_threads) as pool:
-            list(pool.map(one, rows))
-        written.add(len(rows))
+        return one
 
-    # archive count via accumulator: one pass, no lineage re-execution
-    written = grouped.sparkSession.sparkContext.accumulator(0)
-    grouped.foreachPartition(write_partition)
-    return written.value
+    return _foreach_rows_counted(grouped, make_one, io_threads)
 
 
 def read_zip_tile(root: str, zoom: int, tx: int, ty: int) -> bytes | None:
@@ -836,10 +845,9 @@ def save_pyramid_in_zips(
         .agg(F.array_sort(F.collect_list("t")).alias("entries"))
     )
 
-    def write_partition(rows):
+    def make_one():
         import io as _io
         import zipfile
-        from concurrent.futures import ThreadPoolExecutor
 
         from osmesa_spark.sources.objectstore import join_key, open_store
 
@@ -859,12 +867,6 @@ def save_pyramid_in_zips(
                 buf.getvalue(),
             )
 
-        rows = list(rows)
-        with ThreadPoolExecutor(max_workers=io_threads) as pool:
-            list(pool.map(one, rows))
-        written.add(len(rows))
+        return one
 
-    # archive count via accumulator: one pass, no lineage re-execution
-    written = grouped.sparkSession.sparkContext.accumulator(0)
-    grouped.foreachPartition(write_partition)
-    return written.value
+    return _foreach_rows_counted(grouped, make_one, io_threads)

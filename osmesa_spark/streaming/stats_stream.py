@@ -153,9 +153,16 @@ def run_streaming_stats_to_upsert(
 def merged_changeset_stream(
     diffs: DataFrame, changeset_meta: DataFrame
 ) -> DataFrame:
-    """Watermarked stream-stream inner join (J9/T5):
-    element stream (watermark 0s on sequence time) ⋈ changeset metadata
-    (watermark 25h on createdAt) on `changeset`."""
+    """Watermarked stream-stream inner join (J9/T5): element stream ⋈
+    changeset metadata on `changeset`, with an explicit event-time range
+    between the two REPLICATION-sequence times. Both sides derive their
+    event time from the same sequence clock (`sequence_to_timestamp`), so
+    the range condition is commensurable; a changeset's metadata
+    replicates within the same window its element edits do (≤24h open +
+    feed lag), and ±48h is the conservative superset. Without a
+    range/window constraint between the event-time columns Spark cannot
+    evict stream-stream join state — equality-only conditions keep every
+    row in the state store forever regardless of the watermarks."""
     left = diffs.withColumn(
         "event_time", sequence_to_timestamp("sequence")
     )
@@ -163,12 +170,17 @@ def merged_changeset_stream(
         left = left.withWatermark("event_time", "0 seconds")
     right = changeset_meta.select(
         F.col("id").alias("changeset_id"),
+        sequence_to_timestamp("sequence").alias("meta_time"),
         F.col("createdAt"),
         F.col("tags").getItem("created_by").alias("editor"),
         F.col("uid").alias("cs_uid"),
     )
     if right.isStreaming:
-        right = right.withWatermark("createdAt", "25 hours")
+        right = right.withWatermark("meta_time", "25 hours")
     return left.join(
-        right, left.changeset == right.changeset_id, "inner"
-    ).drop("changeset_id")
+        right,
+        (left["changeset"] == right["changeset_id"])
+        & (left["event_time"] >= right["meta_time"] - F.expr("INTERVAL 48 HOURS"))
+        & (left["event_time"] <= right["meta_time"] + F.expr("INTERVAL 48 HOURS")),
+        "inner",
+    ).drop("changeset_id", "meta_time")
