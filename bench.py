@@ -47,6 +47,7 @@ HEADLINE = [
     "knn_ivf",
     "knn_lsh",
     "knn_quantized",
+    "knn_pq",
     "ann_recall_lsh",
     "neardup_sparse_cosine",
     "neardup_containment",

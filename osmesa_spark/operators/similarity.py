@@ -482,3 +482,222 @@ def semdedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's fine quantizer): train / encode / ADC probe
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 29,
+    round_to: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train product-quantization codebooks: split dim-D vectors into `m`
+    contiguous sub-vectors of dim/m components and run deterministic Lloyd
+    rounds independently per subspace (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"). PQ is the fine quantizer of
+    the IVF-PQ family — the standard billion-vector ANN layout: codes
+    compress a dim-D float32 vector to `m` small integers, and query
+    distances are m table lookups instead of dim multiplies.
+
+    Determinism mirrors `kmeans_lloyd` exactly (portable-hash seeding with
+    the SAME k seed rows for every subspace, distances and centroid means
+    rounded to `round_to` decimals, cluster-id tie-breaks) so a SQL oracle
+    can replay the whole training per subspace.
+
+    Scale shape: ONE Arrow-batched kernel pass per Lloyd round computes the
+    per-subspace partial (count, sum) rows for ALL m subspaces together —
+    per batch that is ≤ m·k bounded rows out, never the data; the driver
+    combines m·k·(dim/m) doubles. `iters` follows kmeans_lloyd semantics:
+    iters-1 update rounds (iters=2 ⇒ codebook after one update, the
+    _KMEANS_SQL c1 stage).
+
+    Returns, per subspace, the (cluster_id, centroid) list sorted by
+    cluster id — empty clusters drop, ids stay stable for oracle replay."""
+    import numpy as np
+    import pandas as pd
+
+    from osmesa_spark.operators.dedup import _portable_hash
+
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    ds = dim // m
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    seeds = (
+        v.select(
+            "v", _portable_hash(F.col("vid").cast("string"), seed).alias("h"),
+            "vid",
+        )
+        .orderBy("h", "vid")
+        .limit(k)
+        .collect()
+    )
+    cents = np.array([list(r["v"]) for r in seeds], dtype=np.float64)
+    # books[s]: (cids array, centroid matrix) — same k seed rows everywhere
+    books = [
+        (np.arange(len(seeds), dtype=np.int64), cents[:, s * ds:(s + 1) * ds])
+        for s in range(m)
+    ]
+
+    for _ in range(iters - 1):
+        B = [(cid.copy(), C.copy()) for cid, C in books]
+
+        def partial(batches, B=B, m=m, ds=ds):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf["v"].tolist(), dtype=np.float64)
+                rows = {"sub": [], "cluster": [], "n": [], "s": []}
+                for s in range(m):
+                    Xs = X[:, s * ds:(s + 1) * ds]
+                    cid_arr, C = B[s]
+                    D = np.round(
+                        ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1),
+                        round_to,
+                    )
+                    a = D.argmin(1)
+                    for i, cid in enumerate(cid_arr):
+                        msk = a == i
+                        if msk.any():
+                            rows["sub"].append(s)
+                            rows["cluster"].append(int(cid))
+                            rows["n"].append(int(msk.sum()))
+                            rows["s"].append(Xs[msk].sum(0).tolist())
+                yield pd.DataFrame(rows)
+
+        parts = v.mapInPandas(
+            partial, schema="sub int, cluster int, n long, s array<double>"
+        ).collect()
+        sums: dict[tuple[int, int], np.ndarray] = {}
+        ns: dict[tuple[int, int], int] = {}
+        for r in parts:
+            key = (r["sub"], r["cluster"])
+            sums[key] = sums.get(key, np.zeros(ds)) + np.array(r["s"])
+            ns[key] = ns.get(key, 0) + r["n"]
+        books = []
+        for s in range(m):
+            cids = sorted(c for (ss, c) in ns if ss == s)
+            books.append(
+                (
+                    np.array(cids, dtype=np.int64),
+                    np.array(
+                        [
+                            np.round(sums[(s, c)] / ns[(s, c)], round_to)
+                            for c in cids
+                        ]
+                    ),
+                )
+            )
+    return [
+        [(int(c), C[i].tolist()) for i, c in enumerate(cids)]
+        for cids, C in books
+    ]
+
+
+def _pq_subdist(sub: Column, centroid: list[float], round_to: int = 6) -> Column:
+    """Rounded squared-L2 from a sub-vector Column to a literal centroid —
+    pure Column fold, replayed term-for-term by the SQL oracle."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(sub, lit, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        round_to,
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    k_centroids: int = 4,
+    iters: int = 2,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by PQ asymmetric distance computation (ADC): corpus vectors are
+    encoded to m codebook indices; each query precomputes one lookup row of
+    rounded sub-distances per subspace, and a candidate's distance is the
+    sum of m table lookups — the probe arithmetic of a billion-scale IVF-PQ
+    index (Jégou et al. 2011 §IV).
+
+    Spark shape: training collapses to literals at plan-build time (driver
+    holds m·k·(dim/m) doubles — same boundedness as kmeans centroids), so
+    the executed plan is PURE Column work: encode is a literal-fold argmin
+    on the corpus side, the query side (small) broadcasts its lookup rows,
+    and ADC is an m-element zip-fold — no Python stage, no shuffle of the
+    corpus beyond the parallelism spread. At 100 TB the same plan streams
+    the corpus once; codes can be precomputed and stored, turning the probe
+    into a scan of m-byte codes instead of dim-float vectors.
+
+    Output: (query_id, neighbor_id, rank) — rank 1..k by ascending ADC
+    (squared-L2 approximation), self excluded, id tie-breaks."""
+    from osmesa_spark.util import ensure_parallelism
+
+    books = pq_train(
+        corpus, m=m, k=k_centroids, iters=iters, id_col=id_col,
+        vec_col=vec_col, seed=seed,
+    )
+    first = corpus.select(vec_col).first()
+    ds = len(first[0]) // m
+
+    def sub(vec: Column, s: int) -> Column:
+        return F.slice(vec, s * ds + 1, ds)
+
+    def code(vec: Column, s: int) -> Column:
+        # 1-based position of the first minimal distance — centroids are in
+        # ascending-cid order, so ties break to the smallest cluster id,
+        # matching the oracle's ORDER BY (dist, cid)
+        dists = F.array(*[_pq_subdist(sub(vec, s), c) for _, c in books[s]])
+        # array_position yields BIGINT; element_at's index wants INT
+        return F.array_position(dists, F.array_min(dists)).cast("int")
+
+    def lut(vec: Column, s: int) -> Column:
+        return F.array(*[_pq_subdist(sub(vec, s), c) for _, c in books[s]])
+
+    vcast = lambda df: F.col(vec_col).cast("array<double>")  # noqa: E731
+    cs = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array(*[code(vcast(corpus), s) for s in range(m)]).alias("codes"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.array(*[lut(vcast(queries), s) for s in range(m)]).alias("luts"),
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("luts"),
+                lambda c, row: F.element_at(row, c),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        6,
+    )
+    scored = cs.join(
+        F.broadcast(qs), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", adc.alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

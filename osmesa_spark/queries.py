@@ -1507,6 +1507,88 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_quantized(e, e.where(F.col("vec_id") < 8), k=5)
 
 
+def _pq_sql(m: int = 4, ds: int = 16, k: int = 4, seed: int = 29,
+            nq: int = 8, topk: int = 5) -> str:
+    """Generated oracle for knn_pq: replays pq_train per subspace (the
+    _KMEANS_SQL seed/assign/update chain over list-sliced sub-vectors),
+    then encodes the corpus, builds per-query lookup rows, and ranks by
+    the summed ADC — every stage term-for-term against similarity.pq_train
+    / knn_pq, at the fixture's dim=64, m=4, k=4, iters=2 configuration."""
+    dist = lambda a, b: (  # noqa: E731
+        f"round(list_sum(list_transform(range(1, {ds + 1}), "
+        f"j -> ({a}[j]-{b}[j])*({a}[j]-{b}[j]))), 6)"
+    )
+    parts = []
+    for s in range(m):
+        a, b = s * ds + 1, (s + 1) * ds
+        parts.append(f"""
+    vs{s} AS (SELECT vec_id, v[{a}:{b}] AS v FROM v),
+    sd{s} AS (SELECT cid, v[{a}:{b}] AS v FROM seeds),
+    a1_{s} AS (SELECT vec_id, v, cid FROM (
+        SELECT t.vec_id, t.v, s.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   {dist('t.v', 's.v')}, s.cid) AS rn
+        FROM vs{s} t, sd{s} s) z WHERE rn = 1),
+    c1_{s} AS (SELECT cid, list(rv ORDER BY pos) AS v FROM (
+        SELECT cid, pos, round(avg(val), 6) AS rv FROM (
+            SELECT cid, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM a1_{s}) u
+        GROUP BY cid, pos) g GROUP BY cid),
+    codes_{s} AS (SELECT vec_id, cid FROM (
+        SELECT t.vec_id, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   {dist('t.v', 'c.v')}, c.cid) AS rn
+        FROM vs{s} t, c1_{s} c) z WHERE rn = 1),
+    lut_{s} AS (SELECT qq.vec_id AS qid, c.cid, {dist('qq.v', 'c.v')} AS d
+                FROM (SELECT vec_id, v FROM vs{s} WHERE vec_id < {nq}) qq,
+                     c1_{s} c)""")
+    codes_union = " UNION ALL ".join(
+        f"SELECT {s} AS sub, vec_id, cid FROM codes_{s}" for s in range(m)
+    )
+    lut_union = " UNION ALL ".join(
+        f"SELECT {s} AS sub, qid, cid, d FROM lut_{s}" for s in range(m)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    seeds AS (
+        SELECT v, row_number() OVER (ORDER BY
+                 ('0x' || substr(md5('{seed}:' || vec_id::VARCHAR), 1, 15))::BIGINT,
+                 vec_id) - 1 AS cid
+        FROM v QUALIFY cid <= {k - 1}),{','.join(parts)},
+    codes AS ({codes_union}),
+    lut AS ({lut_union}),
+    adc AS (
+        SELECT l.qid, x.vec_id, round(SUM(l.d), 6) AS adc
+        FROM codes x JOIN lut l ON x.sub = l.sub AND x.cid = l.cid
+        WHERE x.vec_id <> l.qid
+        GROUP BY l.qid, x.vec_id),
+    ranked AS (
+        SELECT qid AS query_id, vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc, vec_id)::INT AS rank
+        FROM adc)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {topk}
+    """
+
+
+@register(
+    "knn_pq",
+    _pq_sql(),
+    doc="top-k ANN by product-quantization ADC (Jégou et al. 2011): "
+    "deterministic per-subspace Lloyd codebooks (same portable-hash "
+    "seeding as kmeans_clusters) collapse to plan literals, corpus rows "
+    "encode to m codes via a literal-fold argmin, queries broadcast one "
+    "rounded sub-distance lookup row per subspace, and the probe distance "
+    "is an m-element zip-fold of table lookups — the billion-vector "
+    "IVF-PQ probe arithmetic with a zero-Python executed plan "
+    "(similarity extension)",
+)
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.knn_pq(e, e.where(F.col("vec_id") < 8), k=5)
+
+
 # shared SQL fragment: shingles + base hash + 16 affine minhashes, mirroring
 # dedup.minhash_signatures exactly (same md5 base, same (a,b) coefficients)
 _MINHASH_CTE = """
@@ -3621,6 +3703,7 @@ DRIVER_PRIORITY = [
     "osm_relation_members",
     "osm_relation_assembly",
     # new or changed this round — need fresh driver evidence
+    "knn_pq",
     "building_match",
     "user_cardinality_approx",
     "dedup_components",

@@ -124,8 +124,11 @@ def test_materialized_kernels_run_once(spark):
 def test_similarity_broadcasts_and_spreads(spark):
     """knn broadcasts the (small) query side; the probe side must carry an
     Exchange so per-pair dot products don't inherit a 1-split scan."""
-    for name in ("knn_bruteforce", "knn_ivf", "neardup_cosine"):
+    for name in ("knn_bruteforce", "knn_ivf", "neardup_cosine", "knn_pq"):
         df = Q.registry()[name].spark(spark, SF_CORRECT)
+        # knn_pq trains its codebooks eagerly at plan-build time (bounded
+        # driver literals, kmeans-style); the EXECUTED plan must be pure
+        # Column — encode/ADC as literal folds, zero Python stages
         a = assert_scaleable(df, allow_python=False)
         assert a.broadcast_joins >= 1, f"{name}: query side not broadcast"
         assert a.exchanges >= 1, f"{name}: probe side never repartitioned"

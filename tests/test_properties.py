@@ -719,3 +719,79 @@ def test_connected_components_star_round_bound_and_raise(spark):
     assert got == {i: 0 for i in range(401)}
     with pytest.raises(RuntimeError, match="star fixpoint"):
         connected_components_star(df, max_iterations=1)
+
+
+def test_pq_train_matches_per_subspace_kmeans(spark):
+    """pq_train's multi-subspace kernel must produce, per subspace, exactly
+    the codebook kmeans_lloyd trains on the sliced sub-vectors (same seeds,
+    same rounding, same update rounds) — the property the SQL oracle's
+    per-subspace _KMEANS_SQL replay relies on."""
+    import random as _random
+
+    import numpy as np
+
+    from osmesa_spark.operators.dedup import _portable_hash
+    from osmesa_spark.operators.similarity import pq_train
+
+    from pyspark.sql import functions as F
+
+    rng = _random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m, k, iters, seed = 2, 3, 3, 29
+    books = pq_train(df, m=m, k=k, iters=iters, seed=seed)
+    assert len(books) == m
+
+    # reference: run the scalar recurrence in numpy off the same seed rows
+    seeds = (
+        df.select(
+            "embedding",
+            _portable_hash(F.col("vec_id").cast("string"), seed).alias("h"),
+            "vec_id",
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()])
+    ds = 8 // m
+    for s in range(m):
+        C = np.array([r["embedding"][s * ds:(s + 1) * ds] for r in seeds])
+        cids = np.arange(k)
+        for _ in range(iters - 1):
+            Xs = X[:, s * ds:(s + 1) * ds]
+            D = np.round(((Xs[:, None] - C[None]) ** 2).sum(-1), 6)
+            a = D.argmin(1)
+            keep = sorted(set(a.tolist()))
+            C = np.array([np.round(Xs[a == i].mean(0), 6) for i in keep])
+            cids = cids[keep]
+        got = books[s]
+        assert [c for c, _ in got] == [int(c) for c in cids], f"sub {s} cids"
+        np.testing.assert_allclose(
+            np.array([v for _, v in got]), C, rtol=0, atol=1e-12,
+            err_msg=f"sub {s} centroids",
+        )
+
+
+def test_knn_pq_beats_random_on_blobs(spark):
+    """ADC ranking must be a genuine approximation of L2: on two separated
+    blobs every query's PQ top-3 stays inside its own blob."""
+    import random as _random
+
+    from osmesa_spark.operators.similarity import knn_pq
+
+    rng = _random.Random(5)
+    rows = []
+    for i in range(40):
+        center = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [center + rng.uniform(-0.5, 0.5) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where("vec_id < 4")
+    out = knn_pq(df, qs, k=3, m=2, k_centroids=4, iters=3).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["query_id"] % 2 == r["neighbor_id"] % 2, (
+            "PQ neighbor crossed blobs"
+        )
