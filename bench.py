@@ -53,6 +53,7 @@ HEADLINE = [
     "neardup_containment",
     "doc_token_entropy",
     "doc_bm25_topk",
+    "doc_bpe_train",
     "doc_quality_bins",
     "multimodal_resize",
     "curation_pipeline",

@@ -1027,6 +1027,68 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """Generated oracle for doc_bpe_train: unrolls every merge round as a
+    CTE chain — pair counts from the vocab, argmax with (cnt DESC, a, b)
+    tie-break, then the greedy left-to-right merge replayed via a
+    list_reduce over a chr(31)-separator string encoding of the symbol
+    list (acc ends with sep||a ⇔ last symbol is EXACTLY a, so appending b
+    splices the merged symbol in place) — fold-for-fold against
+    textops.bpe_train_merges' array aggregate."""
+    rounds = []
+    prev = "vocab0"
+    for r in range(n_merges):
+        rounds.append(f"""
+    pairs{r} AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt)::BIGINT AS c
+        FROM {prev}, UNNEST(range(1, len(syms))) AS t(i)
+        GROUP BY a, b),
+    best{r} AS (SELECT a, b, c FROM pairs{r} ORDER BY c DESC, a, b LIMIT 1),
+    vocab{r + 1} AS (
+        SELECT cnt,
+               string_split(
+                 list_reduce(syms, (acc, x) -> CASE
+                   WHEN (acc = bb.a OR ends_with(acc, chr(31) || bb.a))
+                        AND x = bb.b
+                   THEN acc || bb.b
+                   ELSE acc || chr(31) || x END),
+                 chr(31)) AS syms
+        FROM {prev}, best{r} bb)""")
+        prev = f"vocab{r + 1}"
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, c AS pair_count "
+        f"FROM best{r}"
+        for r in range(n_merges)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS w
+        FROM documents),
+    vocab0 AS (
+        SELECT count(*)::BIGINT AS cnt,
+               list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+        FROM toks GROUP BY w),{','.join(rounds)}
+    SELECT merge_rank::INT AS merge_rank, lhs, rhs, pair_count
+    FROM ({union}) ORDER BY merge_rank
+    """
+
+
+@register(
+    "doc_bpe_train",
+    _bpe_train_sql(),
+    doc="distributed BPE tokenizer TRAINING (Sennrich 2016): one corpus "
+    "pass collapses the text to its word-count vocabulary, then each of 8 "
+    "merge rounds is a row-local pair transform + partial-agg argmax (one "
+    "driver row) + row-local greedy merge fold on the vocab frame only — "
+    "the fastBPE iteration shape at 100 TB; oracle unrolls all rounds as "
+    "CTEs with the merge fold replayed via list_reduce "
+    "(training-data extension)",
+)
+def q_doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return textops.bpe_train_merges(d, n_merges=8)
+
+
 @register(
     "doc_quality",
     """
@@ -3704,6 +3766,7 @@ DRIVER_PRIORITY = [
     "osm_relation_assembly",
     # new or changed this round — need fresh driver evidence
     "knn_pq",
+    "doc_bpe_train",
     "building_match",
     "user_cardinality_approx",
     "dedup_components",

@@ -795,3 +795,52 @@ def test_knn_pq_beats_random_on_blobs(spark):
         assert r["query_id"] % 2 == r["neighbor_id"] % 2, (
             "PQ neighbor crossed blobs"
         )
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """bpe_train_merges must replay the classic Sennrich dynamics: pair
+    counting (overlapping adjacents, weighted by word count), argmax with
+    (count, lhs, rhs) tie-break, greedy left-to-right merge — checked
+    against a transparent pure-Python trainer on a corpus whose repeated
+    runs ('aaaa') exercise the overlap edge the fold must get right."""
+    from collections import Counter
+
+    from osmesa_spark.operators.textops import bpe_train_merges
+
+    docs = [
+        "low low lower lowest newer new",
+        "wider wide new newer newer aaaa aaa",
+        "banana bandana aaaa",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "doc_id long, text string")
+
+    # reference trainer
+    words = Counter(w for t in docs for w in t.split())
+    vocab = {w: list(w) for w in words}
+
+    def merge(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    expected = []
+    for r in range(8):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((r, a, b, c))
+        vocab = {w: merge(s, a, b) for w, s in vocab.items()}
+
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train_merges(df, n_merges=8)
+        .orderBy("merge_rank").collect()
+    ]
+    assert got == expected
