@@ -109,9 +109,14 @@ def candidate_pairs(
     # probe side before the join: cheaper than re-shuffling the (larger)
     # pair output afterwards.
     a = ensure_parallelism(a, "id")
+    # flatten vertices to x/y double arrays BEFORE the cell join: the
+    # shuffle then moves two flat double arrays per row instead of an
+    # array of structs (lighter serialization, and Arrow later hands the
+    # scoring kernel contiguous numerics without a post-join transform)
     aa = _with_cells(with_bbox(a), zoom).select(
         F.col("id").alias("id_a"),
-        F.col("vertices").alias("va"),
+        F.transform("vertices", lambda p: p["x"]).alias("va_x"),
+        F.transform("vertices", lambda p: p["y"]).alias("va_y"),
         F.col("cx").alias("cxa"),
         F.col("cy").alias("cya"),
         F.col("cells").alias("cells_a"),
@@ -119,7 +124,8 @@ def candidate_pairs(
     )
     bb = _with_cells(with_bbox(b), zoom).select(
         F.col("id").alias("id_b"),
-        F.col("vertices").alias("vb"),
+        F.transform("vertices", lambda p: p["x"]).alias("vb_x"),
+        F.transform("vertices", lambda p: p["y"]).alias("vb_y"),
         F.col("cx").alias("cxb"),
         F.col("cy").alias("cyb"),
         F.col("cells").alias("cells_b"),
@@ -134,8 +140,6 @@ def candidate_pairs(
     canonical = F.col("cell") == F.array_min(
         F.array_intersect("cells_a", "cells_b")
     )
-    # ship vertices as flat x/y double arrays: Arrow hands the Python kernel
-    # contiguous numeric arrays instead of one dict per vertex
     return (
         aa.join(bb, "cell")
         .where(dist2 < max_dist * max_dist)
@@ -143,10 +147,10 @@ def candidate_pairs(
         .select(
             "id_a",
             "id_b",
-            F.transform("va", lambda p: p["x"]).alias("va_x"),
-            F.transform("va", lambda p: p["y"]).alias("va_y"),
-            F.transform("vb", lambda p: p["x"]).alias("vb_x"),
-            F.transform("vb", lambda p: p["y"]).alias("vb_y"),
+            "va_x",
+            "va_y",
+            "vb_x",
+            "vb_y",
             # neighborhood context for the support matrix: canonical cell
             # + both centroids ride along (tiny vs the vertex payload)
             "cell",
