@@ -49,6 +49,7 @@ HEADLINE = [
     "knn_quantized",
     "knn_pq",
     "ann_recall_lsh",
+    "ann_recall_pq",
     "neardup_sparse_cosine",
     "neardup_containment",
     "doc_token_entropy",

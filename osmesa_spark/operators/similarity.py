@@ -701,3 +701,62 @@ def knn_pq(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def knn_pq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 4,
+    k_centroids: int = 16,
+    iters: int = 2,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ shortlist + exact re-rank (the IVFADC+R layout, Jégou et al.
+    2011b "Searching in one billion vectors"): the compressed-domain ADC
+    probe trims the corpus to `shortlist` candidates per query, then ONLY
+    those candidates pay an exact squared-L2 against the full vectors.
+    This is the production answer to PQ's ranking coarseness — recall is
+    set by the shortlist depth while the full-precision work stays
+    O(|Q|·shortlist), not O(|Q|·N).
+
+    Spark shape: the shortlist output (|Q|·shortlist rows — bounded by the
+    probe set, not the corpus) BROADCASTS into an equi-join against the
+    corpus scan to fetch full vectors; the re-rank window runs on that
+    bounded frame. At 100 TB the corpus is streamed once by the ADC stage
+    and only shortlisted ids are re-materialized.
+
+    Output: (query_id, neighbor_id, rank) — rank 1..k by exact rounded
+    squared-L2, id tie-breaks."""
+    short = knn_pq(
+        corpus, queries, k=shortlist, m=m, k_centroids=k_centroids,
+        iters=iters, seed=seed, id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    cs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2"), "neighbor_id")
+    return (
+        cs.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -3641,6 +3641,110 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_recall_pq",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    bq AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+    bscored AS (
+        SELECT bq.query_id, v.vec_id AS neighbor_id,
+               round(list_sum(list_transform(range(1, 65),
+                     j -> (qv[j]-v.v[j])*(qv[j]-v.v[j]))), 6) AS d2
+        FROM bq JOIN v ON bq.query_id <> v.vec_id),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2, neighbor_id) AS rank
+            FROM bscored) WHERE rank <= 5),
+    short AS (SELECT query_id, neighbor_id
+              FROM ({_pq_sql(k=16, topk=50)}) t),
+    rescored AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_sum(list_transform(range(1, 65),
+                     j -> (bq.qv[j]-v.v[j])*(bq.qv[j]-v.v[j]))), 6) AS d2
+        FROM short s
+        JOIN v ON v.vec_id = s.neighbor_id
+        JOIN bq ON bq.query_id = s.query_id),
+    pq AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2, neighbor_id) AS rank
+            FROM rescored) WHERE rank <= 5),
+    hits AS (
+        SELECT bf.query_id, COUNT(*)::BIGINT AS hits
+        FROM bf JOIN pq USING (query_id, neighbor_id)
+        GROUP BY bf.query_id)
+    SELECT q.query_id,
+           ROUND(COALESCE(h.hits, 0) / 5.0, 2) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    LEFT JOIN hits h USING (query_id)
+    ORDER BY query_id
+    """,
+    doc="ANN quality evaluation: recall@5 of the PQ shortlist-50 + exact "
+    "re-rank pipeline (knn_pq_rerank, the IVFADC+R layout) against the "
+    "exact squared-L2 brute-force top-k — PQ approximates L2, so L2, not "
+    "cosine, is the honest baseline. Random fixture embeddings are PQ's "
+    "worst case (no cluster structure), so the measured ~0.5 recall at a "
+    "10%-of-corpus shortlist is the floor, not the typical; the oracle "
+    "replays codebook training (k=16), ADC shortlist and re-rank "
+    "end-to-end (similarity extension)",
+)
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    # exact squared-L2 top-k baseline (same broadcast/probe shape as
+    # knn_bruteforce; ADC approximates L2, so the reference metric is L2)
+    from osmesa_spark.util import ensure_parallelism
+
+    qs = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    cs = ensure_parallelism(e, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2"), "neighbor_id")
+    bf = (
+        cs.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    pq = sim.knn_pq_rerank(
+        e, q, k=5, shortlist=50, k_centroids=16
+    ).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(pq, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("hits", F.lit(0)) / 5.0, 2).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 # BM25 constants (Robertson/Okapi defaults) and the fixed query-term set —
 # literals shared by engine and oracle.
 _BM25_K1, _BM25_B = 1.2, 0.75
@@ -3766,6 +3870,7 @@ DRIVER_PRIORITY = [
     "osm_relation_assembly",
     # new or changed this round — need fresh driver evidence
     "knn_pq",
+    "ann_recall_pq",
     "doc_bpe_train",
     "building_match",
     "user_cardinality_approx",
