@@ -212,3 +212,55 @@ def pack_assignment(
             + F.floor(before / F.lit(budget))
         ).alias("pack_id"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Sample the LARGEST corpus achievable at a TARGET mixture: given
+    domain weights w_s (the DoReMi / Pile-style mixture spec), find the
+    binding stratum T = min_s n_s / w_s and keep each stratum at rate
+    r_s = w_s·T / n_s — the stratum that runs out first is kept whole and
+    every other stratum downsamples to match the target proportions.
+    (`stratified_sample` takes per-stratum rates as given; this DERIVES
+    them from the composition goal.)
+
+    Scale shape: one #strata-row count aggregate, a 1-row global min that
+    broadcasts back (the bounded crossJoin pattern), then the keep decision
+    is the same pure-projection hash-threshold as `stratified_sample` — no
+    per-stratum sort or window, so no single-reducer stratum at 100 TB.
+    Achieved counts are binomial around r_s·n_s (±√n noise, the standard
+    threshold-sampling tradeoff — documented, not hidden); the KEPT SET is
+    fully deterministic in (id, seed). Strata not in `weights` drop.
+
+    Thresholds quantize to 1/10000ths with a 9dp rounding guard before
+    floor so the integer compare can't flip on cross-engine ULP noise."""
+    w_map = F.create_map(
+        *[
+            c
+            for k, v in sorted(weights.items())
+            for c in (F.lit(k), F.lit(float(v)))
+        ]
+    )
+    counts = (
+        df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .withColumn("w", F.element_at(w_map, F.col("s")))
+        .where(F.col("w").isNotNull())
+    )
+    tmin = counts.agg(F.min(F.col("n") / F.col("w")).alias("tmin"))
+    rates = counts.crossJoin(F.broadcast(tmin)).select(
+        "s",
+        F.floor(
+            F.round(
+                F.col("w") * F.col("tmin") / F.col("n") * _BUCKETS, 9
+            )
+        ).cast("int").alias("thr"),
+    )
+    return df.join(
+        F.broadcast(rates), df[strata_col] == rates["s"]
+    ).where(split_bucket(id_col, seed) < F.col("thr")).drop("s", "thr")

@@ -1362,6 +1362,37 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_sample",
+    """
+    WITH counts AS (
+        SELECT lang AS s, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+    w AS (SELECT * FROM (VALUES ('de', 0.2), ('en', 0.5), ('es', 0.1),
+                                ('fr', 0.2)) t(s, w)),
+    cw AS (SELECT counts.s, n, w.w FROM counts JOIN w USING (s)),
+    tmin AS (SELECT MIN(n / w) AS tmin FROM cw),
+    rates AS (SELECT s, floor(round(w * tmin / n * 10000, 9))::INT AS thr
+              FROM cw, tmin)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.s
+    WHERE ('0x' || substr(md5('11:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+            % 10000 < r.thr
+    """,
+    doc="largest corpus at a TARGET domain mixture (DoReMi/Pile-style "
+    "composition spec): binding stratum T = min n_s/w_s kept whole, every "
+    "other stratum hash-threshold-downsampled to rate w_s*T/n_s — rates "
+    "DERIVED from the composition goal, not given. One #strata-row count "
+    "agg + 1-row broadcast min; the keep decision stays a pure projection "
+    "(no per-stratum sort at 100 TB); 9dp rounding guard before the "
+    "threshold floor (curation extension)",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return cur.mixture_sample(
+        d, "lang", {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+    ).select("doc_id", "lang")
+
+
+@register(
     "dedup_keep_best",
     """
     WITH f AS (
@@ -3872,6 +3903,7 @@ DRIVER_PRIORITY = [
     "knn_pq",
     "ann_recall_pq",
     "doc_bpe_train",
+    "mixture_sample",
     "building_match",
     "user_cardinality_approx",
     "dedup_components",

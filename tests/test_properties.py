@@ -844,3 +844,33 @@ def test_bpe_train_matches_python_reference(spark):
         .orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+def test_mixture_sample_binding_stratum_and_determinism(spark):
+    """mixture_sample keeps the binding stratum (min n_s/w_s) WHOLE, holds
+    every other stratum near its target proportion of the achieved corpus,
+    drops unlisted strata, and is rerun-deterministic."""
+    from osmesa_spark.operators.curation import mixture_sample
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "small") for i in range(40)]
+        + [(2000 + i, "other") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # T = min(400/0.5, 40/0.5) = 80 -> 'small' binding (kept whole),
+    # 'big' sampled at 0.5*80/400 = 10%
+    from pyspark.sql import functions as F
+
+    out = mixture_sample(df, "lang", {"big": 0.5, "small": 0.5})
+    got = {r["lang"]: r["cnt"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert "other" not in got, "unlisted stratum must drop"
+    assert got["small"] == 40, "binding stratum must be kept whole"
+    # binomial tolerance around 40: ±3σ ≈ ±18
+    assert 22 <= got["big"] <= 58, got
+    again = sorted(r["doc_id"] for r in out.collect())
+    assert again == sorted(r["doc_id"] for r in
+                           mixture_sample(df, "lang",
+                                          {"big": 0.5, "small": 0.5})
+                           .collect())
