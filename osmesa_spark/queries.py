@@ -362,6 +362,73 @@ def q_user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_sql(depth: int = 4, width: int = 512, min_count: int = 80) -> str:
+    """Generated oracle for cms_heavy_users: replays the count-min build
+    (portable-hash positions, integer counter sums) and the min-over-rows
+    estimate cell-for-cell against operators/sketches.py."""
+    h = lambda i: (  # noqa: E731
+        f"('0x' || substr(md5('{_CMS_SEED_BASE + i}:' || user_id::VARCHAR),"
+        f" 1, 15))::BIGINT % {width}"
+    )
+    cell_union = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS row, {h(i)} AS pos FROM ev"
+        for i in range(depth)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS row, {h(i)} AS pos FROM keys"
+        for i in range(depth)
+    )
+    return f"""
+    WITH ev AS (SELECT user_id FROM events),
+    cells AS ({cell_union}),
+    sketch AS (SELECT row, pos, count(*)::BIGINT AS cnt
+               FROM cells GROUP BY row, pos),
+    keys AS (SELECT DISTINCT user_id FROM ev),
+    probes AS ({probe_union}),
+    est AS (SELECT user_id, MIN(cnt) AS est_count
+            FROM probes JOIN sketch USING (row, pos) GROUP BY user_id),
+    exact AS (SELECT user_id, count(*)::BIGINT AS exact_count
+              FROM ev GROUP BY user_id)
+    SELECT est.user_id, est_count, exact_count,
+           est_count >= exact_count AS never_undercounts
+    FROM est JOIN exact USING (user_id)
+    WHERE est_count >= {min_count}
+    """
+
+
+from osmesa_spark.operators.sketches import _CMS_SEED_BASE  # noqa: E402
+
+
+@register(
+    "cms_heavy_users",
+    _cms_sql(),
+    doc="count-min-sketch heavy hitters (Cormode 2005): depth×width "
+    "integer counters — build is one bounded-output shuffle (≤ d·w rows "
+    "out regardless of corpus size), probe joins the distinct-key frame "
+    "against the BROADCAST sketch, est = min over rows. The sketch path "
+    "for when the KEY SPACE dwarfs memory (URLs/n-grams at 100 TB) — "
+    "complements exact hot_keys; portable hashing makes the counters and "
+    "estimates bit-replayable, and the emitted never_undercounts column "
+    "is the one-sided-error law (sketch extension)",
+)
+def q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    hh = sk.cms_heavy_hitters(ev, "user_id", min_count=80)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return hh.join(exact, "user_id").select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias(
+            "never_undercounts"
+        ),
+    )
+
+
 @register(
     "asof_click_attribution",
     f"""
@@ -3904,6 +3971,7 @@ DRIVER_PRIORITY = [
     "ann_recall_pq",
     "doc_bpe_train",
     "mixture_sample",
+    "cms_heavy_users",
     "building_match",
     "user_cardinality_approx",
     "dedup_components",

@@ -874,3 +874,32 @@ def test_mixture_sample_binding_stratum_and_determinism(spark):
                            mixture_sample(df, "lang",
                                           {"big": 0.5, "small": 0.5})
                            .collect())
+
+
+def test_cms_never_undercounts_and_supersets(spark):
+    """Count-min law on a skewed corpus: every key's estimate >= its true
+    count, and the heavy-hitter set is a SUPERSET of the true heavy
+    hitters (one-sided error)."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators import sketches as sk
+
+    rows = (
+        [(f"hot{i % 3}",) for i in range(300)]
+        + [(f"cold{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    sketch = sk.cms_build(df, "k", depth=4, width=64)
+    est = sk.cms_estimate(
+        df.select("k").distinct(), sketch, "k", depth=4, width=64
+    )
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    j = est.join(exact, "k")
+    assert j.where(F.col("est_count") < F.col("true_cnt")).count() == 0
+    hh = {
+        r["k"]
+        for r in sk.cms_heavy_hitters(df, "k", min_count=100,
+                                      depth=4, width=64).collect()
+    }
+    true_hh = {r["k"] for r in exact.where("true_cnt >= 100").collect()}
+    assert true_hh <= hh
