@@ -1,0 +1,68 @@
+"""Scale-transition parity: a curated slice of the registry re-checked
+against DuckDB at sf0.1 (10× the driver's correctness gate). Plan shapes
+legitimately CHANGE at this size — broadcast joins cross the autoThreshold
+into sort-merge, AQE re-coalesces, bucket caps and skew paths start firing
+— and a query can be hash-green at sf0.01 while a scale-dependent branch
+(wrong join side, lost rows at the broadcast→SMJ switch, a cap that
+truncates results) only shows at sf0.1. The slice picks one query per
+plan-shape family rather than re-running all 105.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from osmesa_spark import queries as Q
+from tests.oracle_utils import compare_spark_duckdb
+
+SF_01 = "/root/testdata/sf0.1"
+
+# one representative per family whose PHYSICAL shape is size-dependent:
+#   minhash_lsh_pairs    — banded self-join + degenerate-bucket cap
+#   dedup_components     — iterative star kernel over LSH output
+#   doc_dedup_spans      — gram-keyed shuffle + checkpoint subtree
+#   osm_changeset_stats  — multi-way outer joins over dims that outgrow
+#                          the broadcast threshold
+#   knn_pq               — literal-fold encode over a corpus 10× the
+#                          trained fixture
+#   mixture_sample       — rates derived from counts (counts change w/ SF)
+#   cms_heavy_users      — collision density shifts with corpus size
+SCALE_SLICE = [
+    "minhash_lsh_pairs",
+    "dedup_components",
+    "doc_dedup_spans",
+    "osm_changeset_stats",
+    "knn_pq",
+    "mixture_sample",
+    "cms_heavy_users",
+]
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    import duckdb
+
+    from tests.conftest import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_01, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SCALE_SLICE)
+def test_scale_slice_matches_oracle_at_sf01(spark, duck01, name):
+    spec = Q.registry()[name]
+    df = spec.spark(spark, SF_01)
+    res = compare_spark_duckdb(df, duck01, spec.oracle)
+    assert res["schema_match"], f"{name}: {res['spark_cols']} vs {res['duck_cols']}"
+    assert res["rows_match"], f"{name}: rows {res['spark_rows']} vs {res['duck_rows']}"
+    assert res["values_match"], f"{name}: first diffs {res.get('first_diffs')}"
