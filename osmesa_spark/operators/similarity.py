@@ -760,3 +760,41 @@ def knn_pq_rerank(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector to its m PQ codebook indices — the
+    persistable compressed representation (m small ints instead of dim
+    floats, a 32-64× storage cut at dim=64/m=4) that `knn_pq`-style ADC
+    probes can scan WITHOUT touching the raw vectors. Pure Column
+    literal-fold argmin per subspace (same expression knn_pq builds
+    inline); codes are 1-based positions into each subspace's
+    ascending-cid codebook.
+
+    Output: (id, codes: array<int>) — each code is the assigned CLUSTER ID
+    (stable under codebook reordering, directly replayable by the SQL
+    oracle's per-subspace assignment). Write this next to the corpus once,
+    and every subsequent probe job reads m-byte codes, not vectors."""
+    first = corpus.select(vec_col).first()
+    m = len(books)
+    ds = len(first[0]) // m
+    vec = F.col(vec_col).cast("array<double>")
+
+    def code(s: int) -> Column:
+        dists = F.array(
+            *[_pq_subdist(F.slice(vec, s * ds + 1, ds), c)
+              for _, c in books[s]]
+        )
+        pos = F.array_position(dists, F.array_min(dists)).cast("int")
+        cids = F.array(*[F.lit(int(c)) for c, _ in books[s]])
+        return F.element_at(cids, pos)
+
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.array(*[code(s) for s in range(m)]).alias("codes"),
+    )

@@ -1668,7 +1668,7 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_sql(m: int = 4, ds: int = 16, k: int = 4, seed: int = 29,
-            nq: int = 8, topk: int = 5) -> str:
+            nq: int = 8, topk: int = 5, emit: str = "topk") -> str:
     """Generated oracle for knn_pq: replays pq_train per subspace (the
     _KMEANS_SQL seed/assign/update chain over list-sliced sub-vectors),
     then encodes the corpus, builds per-query lookup rows, and ranks by
@@ -1708,6 +1708,22 @@ def _pq_sql(m: int = 4, ds: int = 16, k: int = 4, seed: int = 29,
     lut_union = " UNION ALL ".join(
         f"SELECT {s} AS sub, qid, cid, d FROM lut_{s}" for s in range(m)
     )
+    if emit == "codes":
+        # the persisted-codes surface: one row per vector, subspace codes
+        # (cluster ids) joined sub-order into a CSV string
+        return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    seeds AS (
+        SELECT v, row_number() OVER (ORDER BY
+                 ('0x' || substr(md5('{seed}:' || vec_id::VARCHAR), 1, 15))::BIGINT,
+                 vec_id) - 1 AS cid
+        FROM v QUALIFY cid <= {k - 1}),{','.join(parts)},
+    codes AS ({codes_union})
+    SELECT vec_id AS id,
+           array_to_string(list(cid ORDER BY sub), ',') AS codes
+    FROM codes GROUP BY vec_id
+    """
     return f"""
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                FROM embeddings),
@@ -1747,6 +1763,26 @@ def _pq_sql(m: int = 4, ds: int = 16, k: int = 4, seed: int = 29,
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return sim.knn_pq(e, e.where(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "embedding_pq_codes",
+    _pq_sql(emit="codes"),
+    doc="persisted PQ code column: every vector encoded to its m subspace "
+    "cluster ids (CSV string for cross-engine canonicalization, like "
+    "embedding_quantize) — the 32-64x-smaller representation ADC probes "
+    "scan instead of raw vectors; oracle replays training + per-subspace "
+    "assignment (similarity extension)",
+)
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    books = sim.pq_train(e, m=4, k=4, iters=2, seed=29)
+    return sim.pq_encode(e, books).select(
+        "id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes"
+        ),
+    )
 
 
 # shared SQL fragment: shingles + base hash + 16 affine minhashes, mirroring
@@ -3972,6 +4008,7 @@ DRIVER_PRIORITY = [
     "doc_bpe_train",
     "mixture_sample",
     "cms_heavy_users",
+    "embedding_pq_codes",
     "building_match",
     "user_cardinality_approx",
     "dedup_components",
