@@ -48,6 +48,7 @@ HEADLINE = [
     "knn_lsh",
     "knn_quantized",
     "knn_pq",
+    "knn_ivfpq",
     "ann_recall_lsh",
     "ann_recall_pq",
     "neardup_sparse_cosine",

@@ -322,6 +322,7 @@ def kmeans_lloyd(
     seed: int = 29,
     round_to: int = 6,
     emit_vector: bool = False,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column — the IVF
     coarse-quantizer trainer (`knn_ivf` consumes its `cluster` output) and
@@ -433,9 +434,16 @@ def kmeans_lloyd(
                 if emit_vector
                 else "vid long, cluster int"
             )
-            return v.mapInPandas(assign, schema=schema).withColumnRenamed(
+            out = v.mapInPandas(assign, schema=schema).withColumnRenamed(
                 "vid", id_col
             )
+            if return_centroids:
+                # the codebook the final assignment used, as (cid, centroid)
+                # pairs — residual encoders (IVF-PQ) subtract exactly these
+                return out, [
+                    (int(c), cents[i].tolist()) for i, c in enumerate(cids)
+                ]
+            return out
 
 
 def semdedup(
@@ -797,4 +805,156 @@ def pq_encode(
     return corpus.select(
         F.col(id_col).alias("id"),
         F.array(*[code(s) for s in range(m)]).alias("codes"),
+    )
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse_k: int = 4,
+    m: int = 4,
+    pq_k: int = 4,
+    iters: int = 2,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRUE IVF-PQ (Jégou et al. 2011 §V, the billion-vector layout):
+    a coarse k-means partitions the corpus; PQ codebooks are trained on
+    the RESIDUALS r = x − centroid(cluster(x)) (residuals are smaller and
+    better-centered than raw vectors, so the same code budget quantizes
+    finer); each query coarse-assigns itself, forms ITS residual, and
+    probes only its own inverted list via an EQUI-join on the coarse
+    cluster id — the O(N/coarse_k) probe surface that broadcast-everything
+    ADC (`knn_pq`) does not have.
+
+    Spark shape: the coarse assignment is the kmeans Arrow kernel run ONCE
+    and localCheckpointed (the materialized-kernel house pattern — the
+    residual frame feeds PQ training, encoding AND the probe join without
+    re-running Python); PQ training collapses to literals; the probe is a
+    broadcast-query equi-join on `cluster`, so at scale each corpus
+    partition only ever meets the queries assigned to its clusters.
+    PQ seeds use seed+1 so the fine codebook's seed rows decorrelate from
+    the coarse seeds.
+
+    Output: (query_id, neighbor_id, rank) — rank 1..k by ascending
+    residual-ADC within the query's coarse cluster, self excluded."""
+    from osmesa_spark.util import ensure_parallelism
+
+    assigned, coarse = kmeans_lloyd(
+        ensure_parallelism(corpus, id_col), k=coarse_k, iters=iters,
+        id_col=id_col, vec_col=vec_col, seed=seed, emit_vector=True,
+        return_centroids=True,
+    )
+
+    def cent_lookup(cluster: Column) -> Column:
+        expr = None
+        for cid, c in coarse:
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            expr = (
+                F.when(cluster == cid, arr)
+                if expr is None
+                else expr.when(cluster == cid, arr)
+            )
+        return expr
+
+    resid = assigned.select(
+        F.col(id_col),
+        "cluster",
+        F.zip_with(
+            "v", cent_lookup(F.col("cluster")), lambda x, c: x - c
+        ).alias("r"),
+    ).localCheckpoint()
+
+    books = pq_train(
+        resid, m=m, k=pq_k, iters=iters, id_col=id_col, vec_col="r",
+        seed=seed + 1,
+    )
+    dim = len(coarse[0][1])
+    ds = dim // m
+
+    def sub(vec: Column, s: int) -> Column:
+        return F.slice(vec, s * ds + 1, ds)
+
+    def code(vec: Column, s: int) -> Column:
+        dists = F.array(*[_pq_subdist(sub(vec, s), c) for _, c in books[s]])
+        return F.array_position(dists, F.array_min(dists)).cast("int")
+
+    def lut(vec: Column, s: int) -> Column:
+        return F.array(*[_pq_subdist(sub(vec, s), c) for _, c in books[s]])
+
+    cs = resid.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cluster",
+        F.array(*[code(F.col("r"), s) for s in range(m)]).alias("codes"),
+    )
+
+    # query side: coarse-assign via the same rounded-L2 + cid tie-break,
+    # then residualize against the chosen centroid — all Column literals
+    qv = F.col(vec_col).cast("array<double>")
+    coarse_dists = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        qv,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, cc: (x - cc) * (x - cc),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+                6,
+            )
+            for _, c in coarse
+        ]
+    )
+    qpos = F.array_position(coarse_dists, F.array_min(coarse_dists))
+    qcid = F.element_at(
+        F.array(*[F.lit(int(cid)) for cid, _ in coarse]), qpos.cast("int")
+    )
+    qs0 = queries.select(
+        F.col(id_col).alias("query_id"), qcid.alias("cluster"), qv.alias("qv")
+    )
+    qs = qs0.select(
+        "query_id",
+        "cluster",
+        F.array(
+            *[
+                lut(
+                    F.zip_with(
+                        F.col("qv"),
+                        cent_lookup(F.col("cluster")),
+                        lambda x, c: x - c,
+                    ),
+                    s,
+                )
+                for s in range(m)
+            ]
+        ).alias("luts"),
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("luts"),
+                lambda c, row: F.element_at(row, c),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        6,
+    )
+    scored = (
+        cs.join(F.broadcast(qs), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
     )

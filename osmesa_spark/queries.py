@@ -1765,6 +1765,130 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_pq(e, e.where(F.col("vec_id") < 8), k=5)
 
 
+def _ivfpq_sql(m: int = 4, ds: int = 16, coarse_k: int = 4, pq_k: int = 4,
+               seed: int = 29, nq: int = 8, topk: int = 5) -> str:
+    """Generated oracle for knn_ivfpq: the coarse _KMEANS_SQL chain (seed
+    29) assigns corpus AND queries, residuals subtract the assignment
+    centroid, per-subspace PQ chains (seed 30) train/encode over residuals,
+    and the probe sums lookup distances WITHIN the query's coarse cluster —
+    stage-for-stage against similarity.knn_ivfpq."""
+    dim = m * ds
+    dfull = lambda a, b: (  # noqa: E731
+        f"round(list_sum(list_transform(range(1, {dim + 1}), "
+        f"j -> ({a}[j]-{b}[j])*({a}[j]-{b}[j]))), 6)"
+    )
+    dsub = lambda a, b: (  # noqa: E731
+        f"round(list_sum(list_transform(range(1, {ds + 1}), "
+        f"j -> ({a}[j]-{b}[j])*({a}[j]-{b}[j]))), 6)"
+    )
+    parts = []
+    for s in range(m):
+        a, b = s * ds + 1, (s + 1) * ds
+        parts.append(f"""
+    rvs{s} AS (SELECT vec_id, cluster, r[{a}:{b}] AS v FROM resid),
+    psd{s} AS (SELECT cid, v[{a}:{b}] AS v FROM pseeds),
+    pa1_{s} AS (SELECT vec_id, v, cid FROM (
+        SELECT t.vec_id, t.v, s.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   {dsub('t.v', 's.v')}, s.cid) AS rn
+        FROM rvs{s} t, psd{s} s) z WHERE rn = 1),
+    pc1_{s} AS (SELECT cid, list(rv ORDER BY pos) AS v FROM (
+        SELECT cid, pos, round(avg(val), 6) AS rv FROM (
+            SELECT cid, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM pa1_{s}) u
+        GROUP BY cid, pos) g GROUP BY cid),
+    codes_{s} AS (SELECT vec_id, cid FROM (
+        SELECT t.vec_id, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   {dsub('t.v', 'c.v')}, c.cid) AS rn
+        FROM rvs{s} t, pc1_{s} c) z WHERE rn = 1),
+    lut_{s} AS (SELECT qr.qid, c.cid, {dsub('qs', 'c.v')} AS d
+                FROM (SELECT qid, qr[{a}:{b}] AS qs FROM qresid) qr,
+                     pc1_{s} c)""")
+    codes_union = " UNION ALL ".join(
+        f"SELECT {s} AS sub, vec_id, cid FROM codes_{s}" for s in range(m)
+    )
+    lut_union = " UNION ALL ".join(
+        f"SELECT {s} AS sub, qid, cid, d FROM lut_{s}" for s in range(m)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    cseeds AS (
+        SELECT v, row_number() OVER (ORDER BY
+                 ('0x' || substr(md5('{seed}:' || vec_id::VARCHAR), 1, 15))::BIGINT,
+                 vec_id) - 1 AS cid
+        FROM v QUALIFY cid <= {coarse_k - 1}),
+    ca1 AS (SELECT vec_id, v, cid FROM (
+        SELECT t.vec_id, t.v, s.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   {dfull('t.v', 's.v')}, s.cid) AS rn
+        FROM v t, cseeds s) z WHERE rn = 1),
+    cc1 AS (SELECT cid, list(rv ORDER BY pos) AS v FROM (
+        SELECT cid, pos, round(avg(val), 6) AS rv FROM (
+            SELECT cid, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM ca1) u
+        GROUP BY cid, pos) g GROUP BY cid),
+    ca2 AS (SELECT vec_id, cid FROM (
+        SELECT t.vec_id, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   {dfull('t.v', 'c.v')}, c.cid) AS rn
+        FROM v t, cc1 c) z WHERE rn = 1),
+    resid AS (
+        SELECT a.vec_id, a.cid AS cluster,
+               list_transform(range(1, {dim + 1}),
+                              j -> t.v[j] - c.v[j]) AS r
+        FROM ca2 a JOIN v t USING (vec_id) JOIN cc1 c ON c.cid = a.cid),
+    pseeds AS (
+        SELECT r AS v, row_number() OVER (ORDER BY
+                 ('0x' || substr(md5('{seed + 1}:' || vec_id::VARCHAR), 1, 15))::BIGINT,
+                 vec_id) - 1 AS cid
+        FROM resid QUALIFY cid <= {pq_k - 1}),
+    qa AS (SELECT vec_id AS qid, cid AS cluster FROM ca2
+           WHERE vec_id < {nq}),
+    qresid AS (
+        SELECT qa.qid, qa.cluster,
+               list_transform(range(1, {dim + 1}),
+                              j -> t.v[j] - c.v[j]) AS qr
+        FROM qa JOIN v t ON t.vec_id = qa.qid
+        JOIN cc1 c ON c.cid = qa.cluster),{','.join(parts)},
+    codes AS ({codes_union}),
+    lut AS ({lut_union}),
+    adc AS (
+        SELECT l.qid, x.vec_id, round(SUM(l.d), 6) AS adc
+        FROM codes x
+        JOIN resid rx ON rx.vec_id = x.vec_id
+        JOIN qresid q ON q.cluster = rx.cluster
+        JOIN lut l ON l.sub = x.sub AND l.cid = x.cid AND l.qid = q.qid
+        WHERE x.vec_id <> q.qid
+        GROUP BY l.qid, x.vec_id),
+    ranked AS (
+        SELECT qid AS query_id, vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc, vec_id)::INT AS rank
+        FROM adc)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {topk}
+    """
+
+
+@register(
+    "knn_ivfpq",
+    _ivfpq_sql(),
+    doc="TRUE IVF-PQ (Jégou 2011 §V): coarse k-means partitions the "
+    "corpus, PQ codebooks train on the RESIDUALS x − centroid(cluster), "
+    "queries coarse-assign themselves and probe ONLY their inverted list "
+    "via an equi-join on the coarse cluster id — the O(N/coarse_k) probe "
+    "surface broadcast ADC lacks. Coarse assignment is the kmeans kernel "
+    "run once + localCheckpointed (materialized-kernel pattern); training "
+    "collapses to literals; probe is a broadcast-query equi-join. Oracle "
+    "replays coarse chain + residuals + per-subspace PQ end-to-end "
+    "(similarity extension)",
+)
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.knn_ivfpq(e, e.where(F.col("vec_id") < 8), k=5)
+
+
 @register(
     "embedding_pq_codes",
     _pq_sql(emit="codes"),
@@ -4009,6 +4133,7 @@ DRIVER_PRIORITY = [
     "mixture_sample",
     "cms_heavy_users",
     "embedding_pq_codes",
+    "knn_ivfpq",
     "building_match",
     "user_cardinality_approx",
     "dedup_components",

@@ -31,6 +31,9 @@ PYTHON_OK = {
 PYTHON_MATERIALIZED = {
     "semdedup_prune",
     "building_match_support",
+    # coarse kmeans assignment kernel runs once; the residual frame is
+    # localCheckpointed and feeds PQ training, encoding AND the probe join
+    "knn_ivfpq",
 }
 
 RELATIONAL = [

@@ -903,3 +903,27 @@ def test_cms_never_undercounts_and_supersets(spark):
     }
     true_hh = {r["k"] for r in exact.where("true_cnt >= 100").collect()}
     assert true_hh <= hh
+
+
+def test_knn_ivfpq_respects_blobs(spark):
+    """IVF-PQ on two separated blobs: the coarse quantizer must route each
+    query to its own blob's inverted list, so every neighbor shares the
+    query's blob; residual-ADC ranking then stays within it."""
+    import random as _random
+
+    from osmesa_spark.operators.similarity import knn_ivfpq
+
+    rng = _random.Random(9)
+    rows = []
+    for i in range(60):
+        center = 0.0 if i % 2 == 0 else 50.0
+        rows.append((i, [center + rng.uniform(-1, 1) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_ivfpq(
+        df, df.where("vec_id < 4"), k=3, coarse_k=2, m=2, pq_k=4, iters=3
+    ).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["query_id"] % 2 == r["neighbor_id"] % 2, (
+            "IVF-PQ neighbor crossed coarse clusters"
+        )
