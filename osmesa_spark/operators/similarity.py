@@ -533,11 +533,6 @@ def pq_train(
 
     from osmesa_spark.operators.dedup import _portable_hash
 
-    first = df.select(vec_col).first()
-    dim = len(first[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    ds = dim // m
     v = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -551,6 +546,11 @@ def pq_train(
         .limit(k)
         .collect()
     )
+    # dim from the seed rows — no separate first() job
+    dim = len(seeds[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    ds = dim // m
     cents = np.array([list(r["v"]) for r in seeds], dtype=np.float64)
     # books[s]: (cids array, centroid matrix) — same k seed rows everywhere
     books = [
@@ -661,8 +661,7 @@ def knn_pq(
         corpus, m=m, k=k_centroids, iters=iters, id_col=id_col,
         vec_col=vec_col, seed=seed,
     )
-    first = corpus.select(vec_col).first()
-    ds = len(first[0]) // m
+    ds = len(books[0][0][1])  # sub-dim from a codebook centroid, no job
 
     def sub(vec: Column, s: int) -> Column:
         return F.slice(vec, s * ds + 1, ds)
@@ -788,9 +787,8 @@ def pq_encode(
     (stable under codebook reordering, directly replayable by the SQL
     oracle's per-subspace assignment). Write this next to the corpus once,
     and every subsequent probe job reads m-byte codes, not vectors."""
-    first = corpus.select(vec_col).first()
     m = len(books)
-    ds = len(first[0]) // m
+    ds = len(books[0][0][1])  # sub-dim from a codebook centroid, no job
     vec = F.col(vec_col).cast("array<double>")
 
     def code(s: int) -> Column:

@@ -792,3 +792,67 @@ def test_streaming_grid_geocode_dispatch(spark, dirs, tmp_path):
         .first()[0]
     )
     assert got == want and got > 0
+
+
+def test_streaming_cms_matches_batch_and_replays_idempotently(spark, dirs, tmp_path):
+    """Streaming CMS over two augdiff sequences: the persisted counters
+    must EQUAL the batch cms_build over the same rows (mergeability is
+    exact integer math), estimates must obey the never-undercount law
+    against exact per-key counts, and replaying the whole stream with a
+    fresh checkpoint must not change a single counter (sequence guard)."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators import sketches as sk
+    from osmesa_spark.sources import replication as R
+    from osmesa_spark.streaming.sketch_stream import (
+        SketchTable, run_streaming_cms,
+    )
+
+    table = str(tmp_path / "cms_table")
+    drop = str(dirs / "augdiffs")
+
+    def run(ckpt: str):
+        good, _ = R.split_errors(
+            R.read_augmented_diffs(spark, drop, streaming=True)
+        )
+        q = run_streaming_cms(
+            good.select("sequence", "uid"), table, ckpt, key_col="uid",
+            depth=4, width=64,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(str(tmp_path / "ck1"))
+    tbl = SketchTable(table)
+    counters = {
+        (r["row"], r["pos"]): r["cnt"] for r in tbl.read(spark).collect()
+    }
+
+    good_b, _ = R.split_errors(R.read_augmented_diffs(spark, drop))
+    batch_counters = {
+        (r["row"], r["pos"]): r["cnt"]
+        for r in sk.cms_build(
+            good_b.select("uid"), "uid", depth=4, width=64
+        ).collect()
+    }
+    assert counters == batch_counters
+
+    exact = {
+        r["uid"]: r["c"]
+        for r in good_b.groupBy("uid").agg(F.count("*").alias("c")).collect()
+    }
+    ests = {
+        r["uid"]: r["est_count"]
+        for r in tbl.estimates(
+            good_b.select("uid").distinct(), "uid", depth=4, width=64
+        ).collect()
+    }
+    assert all(ests[u] >= c for u, c in exact.items())
+
+    # full replay, fresh checkpoint, same table: every sequence already
+    # applied -> counters must not move
+    run(str(tmp_path / "ck2"))
+    again = {
+        (r["row"], r["pos"]): r["cnt"] for r in tbl.read(spark).collect()
+    }
+    assert again == counters
