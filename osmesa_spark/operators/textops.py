@@ -285,3 +285,46 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )
+
+
+def _bpe_apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Apply ONE learned merge to a symbol array — the identical greedy
+    left-to-right fold the trainer uses (see bpe_train_merges)."""
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (x == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_token_count_trained(
+    text: Column | str, merges: list[tuple[str, str]]
+) -> Column:
+    """Token count of `text` under a TRAINED merge table: each word starts
+    as characters, every learned merge applies in rank order (the exact
+    inference rule of a BPE tokenizer given its merge list), and the count
+    is the summed surviving-symbol count. Pure Column — the merge table is
+    literals, so tokenizing 100 TB is a narrow projection; pair with
+    `bpe_train_merges` for the full train→segment loop."""
+    toks = word_tokens(text)
+
+    def word_tokens_after_merges(w: Column) -> Column:
+        syms = F.split(w, "")
+        for a, b in merges:
+            syms = _bpe_apply_merge(syms, a, b)
+        return F.size(syms)
+
+    return F.aggregate(
+        F.transform(toks, word_tokens_after_merges),
+        F.lit(0),
+        lambda acc, n: acc + n,
+    )

@@ -1094,7 +1094,7 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_sql(n_merges: int = 8) -> str:
+def _bpe_train_sql(n_merges: int = 8, emit: str = "merges") -> str:
     """Generated oracle for doc_bpe_train: unrolls every merge round as a
     CTE chain — pair counts from the vocab, argmax with (cnt DESC, a, b)
     tie-break, then the greedy left-to-right merge replayed via a
@@ -1127,14 +1127,50 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
         f"FROM best{r}"
         for r in range(n_merges)
     )
-    return f"""
+    prefix = f"""
     WITH toks AS (
         SELECT unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS w
         FROM documents),
     vocab0 AS (
         SELECT count(*)::BIGINT AS cnt,
                list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
-        FROM toks GROUP BY w),{','.join(rounds)}
+        FROM toks GROUP BY w),{','.join(rounds)}"""
+    if emit == "segment":
+        # tokenize every DOC with the trained merge table: per word, the
+        # same list_reduce fold applies each learned merge in rank order
+        wstages = []
+        prev = "w0"
+        for r in range(n_merges):
+            wstages.append(f"""
+    w{r + 1} AS (
+        SELECT doc_id, lang,
+               string_split(
+                 list_reduce(syms, (acc, x) -> CASE
+                   WHEN (acc = bb.a OR ends_with(acc, chr(31) || bb.a))
+                        AND x = bb.b
+                   THEN acc || bb.b
+                   ELSE acc || chr(31) || x END),
+                 chr(31)) AS syms
+        FROM {prev}, best{r} bb)""")
+            prev = f"w{r + 1}"
+        return f"""{prefix},
+    dwords AS (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS w
+        FROM documents),
+    w0 AS (SELECT doc_id, lang,
+                  list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+           FROM dwords),{','.join(wstages)},
+    doccnt AS (SELECT doc_id, SUM(len(syms))::BIGINT AS n
+               FROM {prev} GROUP BY doc_id)
+    SELECT d.lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(COALESCE(c.n, 0))::BIGINT AS total_trained_tokens,
+           ROUND(AVG(COALESCE(c.n, 0)), 2) AS avg_trained_tokens
+    FROM documents d LEFT JOIN doccnt c USING (doc_id)
+    GROUP BY d.lang
+    """
+    return f"""{prefix}
     SELECT merge_rank::INT AS merge_rank, lhs, rhs, pair_count
     FROM ({union}) ORDER BY merge_rank
     """
@@ -1154,6 +1190,32 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
 def q_doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return textops.bpe_train_merges(d, n_merges=8)
+
+
+@register(
+    "doc_bpe_segment",
+    _bpe_train_sql(emit="segment"),
+    doc="the trained tokenizer APPLIED: per-lang token statistics of the "
+    "corpus segmented with the 8-merge table doc_bpe_train learns — each "
+    "word re-folds through the learned merges in rank order (the exact "
+    "BPE inference rule), as a pure Column projection with the merge "
+    "table as literals; oracle replays training AND application "
+    "(training-data extension)",
+)
+def q_doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in textops.bpe_train_merges(d, n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    n = textops.bpe_token_count_trained("text", merges)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).cast("bigint").alias("total_trained_tokens"),
+        F.round(F.avg(n), 2).alias("avg_trained_tokens"),
+    )
 
 
 @register(
@@ -4130,6 +4192,7 @@ DRIVER_PRIORITY = [
     "knn_pq",
     "ann_recall_pq",
     "doc_bpe_train",
+    "doc_bpe_segment",
     "mixture_sample",
     "cms_heavy_users",
     "embedding_pq_codes",
