@@ -264,3 +264,37 @@ def mixture_sample(
     return df.join(
         F.broadcast(rates), df[strata_col] == rates["s"]
     ).where(split_bucket(id_col, seed) < F.col("thr")).drop("s", "thr")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws u ∈ (0,1) from the portable hash of its
+    id and keys itself with u^(1/w); the n largest keys are the sample —
+    inclusion probability ∝ weight, no RNG state, reproducible across
+    engines and reruns. The quality-weighted subset selection a curation
+    pipeline uses when "keep the best n" should still give lower-quality
+    strata SOME probability mass (pure top-n-by-score would not).
+
+    Scale shape: key assignment is a pure projection; the global top-n is
+    TakeOrderedAndProject (per-partition partial top-n, then one merge of
+    n-row heads — never a full sort). Keys round to 6dp with id
+    tie-breaks, so cross-engine libm ULP noise in pow() cannot reorder
+    except exactly at a rounding boundary (the knn cos-rounding
+    contract)."""
+    h = _portable_hash(F.col(id_col).cast("string"), seed)
+    # uniform in (0, 1): never exactly 0 or 1, so pow is well-defined
+    u = (h % F.lit(1_000_000_007) + 1) / F.lit(1_000_000_009.0)
+    key = F.round(
+        F.pow(u, 1.0 / F.greatest(weight.cast("double"), F.lit(1e-9))), 6
+    )
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(n)
+    )

@@ -1522,6 +1522,33 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_quality",
+    """
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               round(pow(
+                 (('0x' || substr(md5('17:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 1000000007 + 1) / 1000000009.0,
+                 1.0 / GREATEST(n_chars::DOUBLE, 1e-9)), 6) AS sample_key
+        FROM documents)
+    SELECT doc_id, lang, sample_key FROM keyed
+    ORDER BY sample_key DESC, doc_id LIMIT 100
+    """,
+    doc="deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis 2006), weight = doc length: u from the portable id hash, "
+    "key = u^(1/w), global top-n — inclusion probability proportional to "
+    "weight with zero RNG state; key assignment is a projection and the "
+    "top-n is TakeOrderedAndProject (per-partition heads, no full sort) "
+    "(curation extension)",
+)
+def q_weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return cur.weighted_sample(d, F.col("n_chars"), n=100, seed=17).select(
+        "doc_id", "lang", "sample_key"
+    )
+
+
+@register(
     "dedup_keep_best",
     """
     WITH f AS (
@@ -4194,6 +4221,7 @@ DRIVER_PRIORITY = [
     "doc_bpe_train",
     "doc_bpe_segment",
     "mixture_sample",
+    "weighted_sample_quality",
     "cms_heavy_users",
     "embedding_pq_codes",
     "knn_ivfpq",

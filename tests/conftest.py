@@ -45,3 +45,10 @@ def duck():
             )
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def bpe_fuzz_spark(spark):
+    # alias so the hypothesis-driven test can take the session fixture
+    # without hypothesis seeing a function-scoped fixture warning
+    return spark

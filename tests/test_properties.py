@@ -927,3 +927,60 @@ def test_knn_ivfpq_respects_blobs(spark):
         assert r["query_id"] % 2 == r["neighbor_id"] % 2, (
             "IVF-PQ neighbor crossed coarse clusters"
         )
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.randoms(use_true_random=False))
+def test_bpe_merge_fold_fuzz_vs_python(bpe_fuzz_spark, rng):
+    """Fuzz the greedy merge fold (the heart of both BPE training and
+    inference) against the transparent python reference: random short
+    words over a 2-letter alphabet maximize overlapping-run edge cases
+    ('aaaa' + merge (a,a)), random merge pair each example."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.textops import _bpe_apply_merge
+
+    spark = bpe_fuzz_spark
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+        for _ in range(20)
+    ]
+    a, b = rng.choice("ab"), rng.choice("ab")
+
+    def py_merge(w):
+        out = []
+        for ch in w:
+            if out and out[-1] == a and ch == b:
+                out[-1] = a + b
+            else:
+                out.append(ch)
+        return out
+
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                               "i long, w string")
+    got = {
+        r["i"]: list(r["m"])
+        for r in df.select(
+            "i", _bpe_apply_merge(F.split("w", ""), a, b).alias("m")
+        ).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == py_merge(w), (w, a, b)
+
+
+def test_weighted_sample_prefers_heavy_and_is_deterministic(spark):
+    """Efraimidis-Spirakis: an overwhelming weight is always selected, a
+    vanishing weight never is, and the sample is rerun-stable."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.curation import weighted_sample
+
+    rows = [(i, 10.0) for i in range(50)] + [(100, 1e9), (101, 1e-9)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in
+           weighted_sample(df, F.col("w"), n=20).collect()}
+    assert 100 in got, "overwhelming weight must be sampled"
+    assert 101 not in got, "vanishing weight must not be sampled"
+    again = {r["doc_id"] for r in
+             weighted_sample(df, F.col("w"), n=20).collect()}
+    assert got == again
