@@ -627,6 +627,31 @@ def _pq_subdist(sub: Column, centroid: list[float], round_to: int = 6) -> Column
     )
 
 
+def _pq_dists(sub: Column, book: list[tuple[int, list[float]]],
+              round_to: int = 6) -> Column:
+    """Rounded squared-L2 from a sub-vector to EVERY centroid of a
+    codebook, as ONE transform over a literal array-of-centroids: the
+    fold lambda appears once in the expression tree instead of once per
+    centroid, which keeps a k=16 codebook inside the whole-stage-codegen
+    method-size limit (k separate `_pq_subdist` folds overflow it and
+    drop the stage to interpreted evaluation — ~2× wall at k=16).
+    Identical per-centroid arithmetic and output order (ascending cid)."""
+    cb = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for _, c in book]
+    )
+    return F.transform(
+        cb,
+        lambda cent: F.round(
+            F.aggregate(
+                F.zip_with(sub, cent, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            round_to,
+        ),
+    )
+
+
 def knn_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -670,12 +695,12 @@ def knn_pq(
         # 1-based position of the first minimal distance — centroids are in
         # ascending-cid order, so ties break to the smallest cluster id,
         # matching the oracle's ORDER BY (dist, cid)
-        dists = F.array(*[_pq_subdist(sub(vec, s), c) for _, c in books[s]])
+        dists = _pq_dists(sub(vec, s), books[s])
         # array_position yields BIGINT; element_at's index wants INT
         return F.array_position(dists, F.array_min(dists)).cast("int")
 
     def lut(vec: Column, s: int) -> Column:
-        return F.array(*[_pq_subdist(sub(vec, s), c) for _, c in books[s]])
+        return _pq_dists(sub(vec, s), books[s])
 
     vcast = lambda df: F.col(vec_col).cast("array<double>")  # noqa: E731
     cs = ensure_parallelism(corpus, id_col).select(
@@ -792,10 +817,7 @@ def pq_encode(
     vec = F.col(vec_col).cast("array<double>")
 
     def code(s: int) -> Column:
-        dists = F.array(
-            *[_pq_subdist(F.slice(vec, s * ds + 1, ds), c)
-              for _, c in books[s]]
-        )
+        dists = _pq_dists(F.slice(vec, s * ds + 1, ds), books[s])
         pos = F.array_position(dists, F.array_min(dists)).cast("int")
         cids = F.array(*[F.lit(int(c)) for c, _ in books[s]])
         return F.element_at(cids, pos)
@@ -876,11 +898,11 @@ def knn_ivfpq(
         return F.slice(vec, s * ds + 1, ds)
 
     def code(vec: Column, s: int) -> Column:
-        dists = F.array(*[_pq_subdist(sub(vec, s), c) for _, c in books[s]])
+        dists = _pq_dists(sub(vec, s), books[s])
         return F.array_position(dists, F.array_min(dists)).cast("int")
 
     def lut(vec: Column, s: int) -> Column:
-        return F.array(*[_pq_subdist(sub(vec, s), c) for _, c in books[s]])
+        return _pq_dists(sub(vec, s), books[s])
 
     cs = resid.select(
         F.col(id_col).alias("neighbor_id"),
@@ -891,23 +913,7 @@ def knn_ivfpq(
     # query side: coarse-assign via the same rounded-L2 + cid tie-break,
     # then residualize against the chosen centroid — all Column literals
     qv = F.col(vec_col).cast("array<double>")
-    coarse_dists = F.array(
-        *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        qv,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda x, cc: (x - cc) * (x - cc),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, t: acc + t,
-                ),
-                6,
-            )
-            for _, c in coarse
-        ]
-    )
+    coarse_dists = _pq_dists(qv, coarse)
     qpos = F.array_position(coarse_dists, F.array_min(coarse_dists))
     qcid = F.element_at(
         F.array(*[F.lit(int(cid)) for cid, _ in coarse]), qpos.cast("int")

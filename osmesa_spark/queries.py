@@ -4073,20 +4073,21 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = sim.knn_pq_rerank(
         e, q, k=5, shortlist=50, k_centroids=16
     ).select("query_id", "neighbor_id")
-    hits = (
-        bf.join(pq, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    # bf has exactly 5 rows per query, so one left-join against the
+    # (broadcast) PQ result scores recall in a single pass — consuming bf
+    # TWICE (hits join + query-list join) would plan its exact-L2
+    # BroadcastNestedLoopJoin subtree twice over
+    marked = bf.join(
+        F.broadcast(pq.withColumn("hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
     )
     return (
-        bf.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.round(F.coalesce("hits", F.lit(0)) / 5.0, 2).alias(
-                "recall_at_5"
-            ),
+        marked.groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / 5.0, 2
+            ).alias("recall_at_5")
         )
         .orderBy("query_id")
     )
