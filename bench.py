@@ -59,6 +59,7 @@ HEADLINE = [
     "doc_quality_bins",
     "multimodal_resize",
     "curation_pipeline",
+    "corpus_curation_app",
     "doc_dedup_spans",
     "incremental_new_docs",
     "doc_lm_nll",

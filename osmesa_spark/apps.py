@@ -300,3 +300,44 @@ def generate_vt_zips(
     vect = VG.vectorize(VG.pyramid(base, base_zoom=base_zoom), cells=cells)
     encoded = encode_tiles(vect, cells=cells)
     return {"zips": save_pyramid_in_zips(encoded, root)}
+
+
+def curate_training_corpus(
+    docs: DataFrame,
+    mixture: dict[str, float],
+    pack_budget: int = 512,
+    min_quality: float = 0.5,
+    split_seed: int = 7,
+    mixture_seed: int = 11,
+) -> DataFrame:
+    """End-to-end training-corpus preparation — the LLM-pipeline analogue
+    of the reference's batch apps (raw table in, serving table out):
+
+      1. `curation_pipeline`: exact-dedup keep-best + quality gate + split
+         assignment, ONE shuffle;
+      2. `mixture_sample` on the TRAIN split: largest train corpus at the
+         target domain mixture (binding stratum kept whole);
+      3. `pack_assignment`: token-budget training packs of the sampled
+         train docs (per-shard windows, no global sort).
+
+    Every stage is individually hash-oracled; the composition is too (the
+    `corpus_curation_app` registry row). Token counts re-join the raw text
+    by doc_id — an id equi-join bounded by the sampled train set.
+
+    Returns (doc_id, lang, quality, n_tokens, pack_id) for the sampled
+    train docs."""
+    from osmesa_spark.operators import curation as cur
+
+    piped = cur.curation_pipeline(docs, min_quality=min_quality,
+                                  seed=split_seed)
+    train = piped.where(F.col("split") == "train")
+    sampled = cur.mixture_sample(train, "lang", mixture, seed=mixture_seed)
+    withtext = sampled.select("doc_id", "lang", "quality").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    packs = cur.pack_assignment(withtext, budget=pack_budget)
+    return (
+        sampled.select("doc_id", "lang", "quality")
+        .join(packs.withColumnRenamed("id", "doc_id"), "doc_id")
+        .select("doc_id", "lang", "quality", "n_tokens", "pack_id")
+    )

@@ -1641,6 +1641,85 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation_app",
+    """
+    WITH f AS (
+        SELECT doc_id, lang, text,
+               length(text) AS n_chars_c,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|in|a|is|for)\\b', 1)) AS stop_hits,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS fingerprint
+        FROM documents),
+    q AS (
+        SELECT doc_id, lang, fingerprint, n_tokens,
+               ROUND(
+                 (alpha / GREATEST(n_chars_c, 1)) * 0.5
+                 + (CASE WHEN n_chars_c / GREATEST(n_tokens, 1) BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) * 0.25
+                 + LEAST((stop_hits / GREATEST(n_tokens, 1)) * 5.0, 1.0) * 0.25,
+               4) AS quality
+        FROM f),
+    r AS (
+        SELECT fingerprint, doc_id, lang, quality, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM q),
+    train AS (
+        SELECT doc_id, lang, quality, n_tokens
+        FROM r
+        WHERE rn = 1 AND quality >= 0.5
+          AND ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                % 10000 < 8000),
+    counts AS (SELECT lang AS s, count(*)::DOUBLE AS n FROM train GROUP BY lang),
+    w AS (SELECT * FROM (VALUES ('de', 0.2), ('en', 0.5), ('es', 0.1),
+                                ('fr', 0.2)) t(s, w)),
+    cw AS (SELECT counts.s, n, w.w FROM counts JOIN w USING (s)),
+    tmin AS (SELECT MIN(n / w) AS tmin FROM cw),
+    rates AS (SELECT s, floor(round(w * tmin / n * 10000, 9))::INT AS thr
+              FROM cw, tmin),
+    sampled AS (
+        SELECT t.doc_id, t.lang, t.quality, t.n_tokens
+        FROM train t JOIN rates r ON t.lang = r.s
+        WHERE ('0x' || substr(md5('11:' || t.doc_id::VARCHAR), 1, 15))::BIGINT
+                % 10000 < r.thr),
+    sharded AS (
+        SELECT doc_id, lang, quality, n_tokens,
+               (('0x' || substr(md5('13:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 % 10000) % 64 AS shard
+        FROM sampled),
+    packed AS (
+        SELECT doc_id, lang, quality, n_tokens, shard,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS tokens_before
+        FROM sharded)
+    SELECT doc_id, lang, quality, n_tokens::BIGINT AS n_tokens,
+           (shard * 4294967296 + FLOOR(tokens_before / 512.0))::BIGINT
+             AS pack_id
+    FROM packed
+    """,
+    doc="END-TO-END training-corpus app (apps.curate_training_corpus): "
+    "raw docs → keep-best exact dedup + quality gate + split (one "
+    "shuffle) → target-mixture downsample of the train split (binding "
+    "stratum whole) → token-budget pack assignment (per-shard windows). "
+    "Every stage is individually oracled elsewhere; this row hash-checks "
+    "the COMPOSITION — the full raw-corpus-to-training-packs path "
+    "(curation extension)",
+)
+def q_corpus_curation_app(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark import apps
+
+    d = _t(spark, sf_dir, "documents")
+    return apps.curate_training_corpus(
+        d, {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}, pack_budget=512
+    )
+
+
+@register(
     "doc_pack_assignment",
     """
     WITH b AS (
@@ -4223,6 +4302,7 @@ DRIVER_PRIORITY = [
     "doc_bpe_segment",
     "mixture_sample",
     "weighted_sample_quality",
+    "corpus_curation_app",
     "cms_heavy_users",
     "embedding_pq_codes",
     "knn_ivfpq",

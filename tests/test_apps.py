@@ -252,3 +252,44 @@ def test_changeset_metadata_creator_e2e(spark):
     )
     # incomplete users dump -> null author/user names, never dropped rows
     assert any(r["user"] is None for r in rows.values())
+
+
+def test_curate_training_corpus_end_to_end(spark):
+    """Composition invariants of the training-corpus app: only train-split
+    sampled docs come out, no duplicates, achieved mixture stays near the
+    target (binomial tolerance), packs respect the shard*2^32 encoding."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark import apps
+    from osmesa_spark.operators import curation as cur
+    from tests.conftest import SF_CORRECT
+
+    from osmesa_spark.queries import _t
+
+    d = _t(spark, SF_CORRECT, "documents")
+    mix = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+    out = apps.curate_training_corpus(d, mix, pack_budget=512)
+    rows = out.collect()
+    assert len(rows) > 0
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate docs in packed output"
+
+    piped = cur.curation_pipeline(d, min_quality=0.5)
+    train_ids = {
+        r["doc_id"] for r in piped.where("split = 'train'").collect()
+    }
+    assert set(ids) <= train_ids, "non-train doc leaked into packs"
+
+    by_lang = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    total = sum(by_lang.values())
+    for lang, w in mix.items():
+        if lang in by_lang:
+            # ±4σ binomial tolerance around the target share
+            sigma = (w * (1 - w) * total) ** 0.5
+            assert abs(by_lang[lang] - w * total) <= 4 * sigma + 3, (
+                lang, by_lang, total
+            )
+    for r in rows:
+        assert r["pack_id"] >= 0 and (r["pack_id"] >> 32) < 64
