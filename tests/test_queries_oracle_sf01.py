@@ -37,6 +37,10 @@ SCALE_SLICE = [
     "knn_pq",
     "mixture_sample",
     "cms_heavy_users",
+    # learned artifacts change with corpus size: the merge table / the
+    # derived mixture rates / pack shards must re-derive identically
+    "doc_bpe_train",
+    "corpus_curation_app",
 ]
 
 
