@@ -984,3 +984,27 @@ def test_weighted_sample_prefers_heavy_and_is_deterministic(spark):
     again = {r["doc_id"] for r in
              weighted_sample(df, F.col("w"), n=20).collect()}
     assert got == again
+
+
+def test_bpe_and_mixture_degenerate_inputs(spark):
+    """Operators must degrade, not crash, on degenerate corpora: BPE on an
+    empty/wordless corpus learns zero merges; mixture targets naming only
+    absent strata produce an empty (not failing) sample."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from osmesa_spark.operators.curation import mixture_sample
+    from osmesa_spark.operators.textops import bpe_train_merges
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train_merges(empty, n_merges=4).count() == 0
+
+    wordless = spark.createDataFrame(
+        [(1, "!!! ???"), (2, "...")], "doc_id long, text string"
+    )
+    assert bpe_train_merges(wordless, n_merges=4).count() == 0
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en")], "doc_id long, lang string"
+    )
+    out = mixture_sample(docs, "lang", {"zz": 1.0})
+    assert out.count() == 0
