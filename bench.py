@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_components",
     "simhash_pairs",
     "doc_winnow_fingerprints",
+    "neardup_winnow_pairs",
     "neardup_cosine",
     "knn_bruteforce",
     "knn_ivf",

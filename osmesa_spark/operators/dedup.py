@@ -856,3 +856,68 @@ def _cc_star_labels(raw: DataFrame, max_iterations: int) -> DataFrame:
     return e.select(
         F.col("hi").alias("node"), F.col("lo").alias("component_id")
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Position-aware near-duplicate pairs by WINNOWING fingerprint overlap
+    (Schleimer et al. 2003 — the MOSS matcher): documents sharing ≥
+    `min_shared` winnowed fingerprints pair up, scored by containment
+    shared / min(|fp_a|, |fp_b|). Complements the MinHash path: winnowing
+    guarantees any shared run longer than window+shingle tokens yields a
+    shared fingerprint (positional guarantee MinHash lacks), so it catches
+    block-level copying that whole-document signatures dilute.
+
+    Scale shape: the fingerprint equi-join is the LSH-bucket pattern with
+    the same skew discipline — fingerprints occurring in more than
+    `max_df` docs are pruned FIRST (a ubiquitous shingle-min carries no
+    match signal, and unpruned it would fan out quadratically, the hot-
+    bucket failure). Per-doc fingerprint counts are taken AFTER pruning so
+    the containment denominator matches the join surface. One shuffle per
+    stage, all shuffles keyed on the 60-bit fingerprint or the id pair.
+
+    Output: (id_a, id_b, shared, overlap) — id_a < id_b, overlap 6dp."""
+    from osmesa_spark.functions.text import shingles, winnow_fingerprints
+    from osmesa_spark.util import ensure_parallelism
+
+    d = ensure_parallelism(df.select(id_col, text_col), id_col)
+    hashes = F.transform(shingles(text_col, shingle_n), base_shingle_hash)
+    fps = d.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(hashes, window=window)).alias("fp"),
+    ).localCheckpoint(eager=False)
+    keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df_")).where(
+        F.col("df_") <= max_df
+    )
+    pruned = fps.join(keep.select("fp"), "fp", "left_semi").localCheckpoint()
+    counts = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = pruned.select(F.col("id").alias("id_a"), "fp")
+    b = pruned.select(F.col("id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    na = counts.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    nb = counts.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.round(
+                F.col("shared") / F.least("n_a", "n_b"), 6
+            ).alias("overlap"),
+        )
+    )

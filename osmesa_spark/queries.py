@@ -2548,6 +2548,58 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_winnow_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                 list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END AS shs
+        FROM toks),
+    hv AS (
+        SELECT doc_id,
+               list_transform(shs,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hvs
+        FROM sh WHERE len(shs) > 0),
+    fps AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(hvs) >= 4 THEN
+                 list_distinct(list_transform(range(1, len(hvs) - 2),
+                                              i -> list_min(hvs[i:i+3])))
+               ELSE [list_min(hvs)] END) AS fp
+        FROM hv),
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+    pruned AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp)),
+    counts AS (SELECT doc_id, count(*)::BIGINT AS n_fp
+               FROM pruned GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+        FROM pruned a JOIN pruned b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2)
+    SELECT s.id_a, s.id_b, s.shared,
+           ROUND(s.shared / LEAST(ca.n_fp, cb.n_fp), 6) AS overlap
+    FROM shared s
+    JOIN counts ca ON ca.doc_id = s.id_a
+    JOIN counts cb ON cb.doc_id = s.id_b
+    """,
+    doc="MOSS-style near-dup pairs by winnowed fingerprint overlap "
+    "(Schleimer '03): positional guarantee — any shared token run longer "
+    "than window+shingle yields a shared fingerprint, catching block-"
+    "level copying whole-doc MinHash signatures dilute; max_df-pruned "
+    "equi-join (ubiquitous fingerprints dropped BEFORE the join, the "
+    "hot-bucket discipline), containment-scored (dedup extension)",
+)
+def q_neardup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dd.winnow_overlap_pairs(d, min_shared=2, max_df=50)
+
+
+@register(
     "neardup_cosine",
     """
     WITH e AS (SELECT vec_id, label,
@@ -4303,6 +4355,7 @@ DRIVER_PRIORITY = [
     "mixture_sample",
     "weighted_sample_quality",
     "corpus_curation_app",
+    "neardup_winnow_pairs",
     "cms_heavy_users",
     "embedding_pq_codes",
     "knn_ivfpq",
