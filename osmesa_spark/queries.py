@@ -2058,6 +2058,87 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_ivfpq",
+    f"""
+    WITH v2 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings),
+    bq AS (SELECT vec_id AS query_id, v AS qv FROM v2 WHERE vec_id < 8),
+    bscored AS (
+        SELECT bq.query_id, v2.vec_id AS neighbor_id,
+               round(list_sum(list_transform(range(1, 65),
+                     j -> (qv[j]-v2.v[j])*(qv[j]-v2.v[j]))), 6) AS d2
+        FROM bq JOIN v2 ON bq.query_id <> v2.vec_id),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2, neighbor_id) AS rank
+            FROM bscored) WHERE rank <= 5),
+    ivf AS (SELECT query_id, neighbor_id FROM ({_ivfpq_sql()}) t),
+    hits AS (
+        SELECT bf.query_id, COUNT(*)::BIGINT AS hits
+        FROM bf JOIN ivf USING (query_id, neighbor_id)
+        GROUP BY bf.query_id)
+    SELECT q.query_id,
+           ROUND(COALESCE(h.hits, 0) / 5.0, 2) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    LEFT JOIN hits h USING (query_id)
+    ORDER BY query_id
+    """,
+    doc="ANN quality evaluation: recall@5 of TRUE IVF-PQ (nprobe=1, "
+    "residual codes) against the exact squared-L2 top-k — completes the "
+    "recall matrix (LSH / flat-PQ+rerank / IVF-PQ) and measures what the "
+    "single-inverted-list restriction costs: a true neighbor in a "
+    "different coarse cell is unreachable at nprobe=1, the standard "
+    "recall/probe-cost dial (similarity extension)",
+)
+def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.util import ensure_parallelism
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    qs = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    cs = ensure_parallelism(e, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2"), "neighbor_id")
+    bf = (
+        cs.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = sim.knn_ivfpq(e, q, k=5).select("query_id", "neighbor_id")
+    marked = bf.join(
+        F.broadcast(ivf.withColumn("hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        marked.groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / 5.0, 2
+            ).alias("recall_at_5")
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
     "embedding_pq_codes",
     _pq_sql(emit="codes"),
     doc="persisted PQ code column: every vector encoded to its m subspace "
@@ -4356,6 +4437,7 @@ DRIVER_PRIORITY = [
     "weighted_sample_quality",
     "corpus_curation_app",
     "neardup_winnow_pairs",
+    "ann_recall_ivfpq",
     "cms_heavy_users",
     "embedding_pq_codes",
     "knn_ivfpq",
