@@ -837,6 +837,7 @@ def knn_ivfpq(
     pq_k: int = 4,
     iters: int = 2,
     seed: int = 29,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -859,7 +860,8 @@ def knn_ivfpq(
     the coarse seeds.
 
     Output: (query_id, neighbor_id, rank) — rank 1..k by ascending
-    residual-ADC within the query's coarse cluster, self excluded."""
+    residual-ADC within the query's nprobe nearest coarse cells, self
+    excluded."""
     from osmesa_spark.util import ensure_parallelism
 
     assigned, coarse = kmeans_lloyd(
@@ -910,16 +912,29 @@ def knn_ivfpq(
         F.array(*[code(F.col("r"), s) for s in range(m)]).alias("codes"),
     )
 
-    # query side: coarse-assign via the same rounded-L2 + cid tie-break,
-    # then residualize against the chosen centroid — all Column literals
+    # query side: rank the coarse cells by the same rounded-L2 with cid
+    # tie-break and probe the nprobe nearest — the standard recall/cost
+    # dial (nprobe=1 ⇒ exactly the argmin cell); each probed cell gets its
+    # OWN query residual, so the lookup rows are per (query, cell)
     qv = F.col(vec_col).cast("array<double>")
     coarse_dists = _pq_dists(qv, coarse)
-    qpos = F.array_position(coarse_dists, F.array_min(coarse_dists))
-    qcid = F.element_at(
-        F.array(*[F.lit(int(cid)) for cid, _ in coarse]), qpos.cast("int")
+    cid_lits = F.array(*[F.lit(int(cid)) for cid, _ in coarse])
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.zip_with(
+                coarse_dists, cid_lits,
+                lambda d, c: F.struct(d.alias("d"), c.alias("cid")),
+            )
+        ),
+        1,
+        nprobe,
     )
     qs0 = queries.select(
-        F.col(id_col).alias("query_id"), qcid.alias("cluster"), qv.alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.explode(ranked_cells).alias("probe"),
+        qv.alias("qv"),
+    ).select(
+        "query_id", F.col("probe.cid").alias("cluster"), "qv"
     )
     qs = qs0.select(
         "query_id",

@@ -1934,7 +1934,8 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_sql(m: int = 4, ds: int = 16, coarse_k: int = 4, pq_k: int = 4,
-               seed: int = 29, nq: int = 8, topk: int = 5) -> str:
+               seed: int = 29, nq: int = 8, topk: int = 5,
+               nprobe: int = 1) -> str:
     """Generated oracle for knn_ivfpq: the coarse _KMEANS_SQL chain (seed
     29) assigns corpus AND queries, residuals subtract the assignment
     centroid, per-subspace PQ chains (seed 30) train/encode over residuals,
@@ -1970,14 +1971,16 @@ def _ivfpq_sql(m: int = 4, ds: int = 16, coarse_k: int = 4, pq_k: int = 4,
                row_number() OVER (PARTITION BY t.vec_id ORDER BY
                    {dsub('t.v', 'c.v')}, c.cid) AS rn
         FROM rvs{s} t, pc1_{s} c) z WHERE rn = 1),
-    lut_{s} AS (SELECT qr.qid, c.cid, {dsub('qs', 'c.v')} AS d
-                FROM (SELECT qid, qr[{a}:{b}] AS qs FROM qresid) qr,
+    lut_{s} AS (SELECT qr.qid, qr.cluster, c.cid, {dsub('qs', 'c.v')} AS d
+                FROM (SELECT qid, cluster, qr[{a}:{b}] AS qs
+                      FROM qresid) qr,
                      pc1_{s} c)""")
     codes_union = " UNION ALL ".join(
         f"SELECT {s} AS sub, vec_id, cid FROM codes_{s}" for s in range(m)
     )
     lut_union = " UNION ALL ".join(
-        f"SELECT {s} AS sub, qid, cid, d FROM lut_{s}" for s in range(m)
+        f"SELECT {s} AS sub, qid, cluster, cid, d FROM lut_{s}"
+        for s in range(m)
     )
     return f"""
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -2012,8 +2015,11 @@ def _ivfpq_sql(m: int = 4, ds: int = 16, coarse_k: int = 4, pq_k: int = 4,
                  ('0x' || substr(md5('{seed + 1}:' || vec_id::VARCHAR), 1, 15))::BIGINT,
                  vec_id) - 1 AS cid
         FROM resid QUALIFY cid <= {pq_k - 1}),
-    qa AS (SELECT vec_id AS qid, cid AS cluster FROM ca2
-           WHERE vec_id < {nq}),
+    qa AS (SELECT qid, cid AS cluster FROM (
+        SELECT t.vec_id AS qid, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   {dfull('t.v', 'c.v')}, c.cid) AS rn
+        FROM v t, cc1 c WHERE t.vec_id < {nq}) z WHERE rn <= {nprobe}),
     qresid AS (
         SELECT qa.qid, qa.cluster,
                list_transform(range(1, {dim + 1}),
@@ -2026,9 +2032,9 @@ def _ivfpq_sql(m: int = 4, ds: int = 16, coarse_k: int = 4, pq_k: int = 4,
         SELECT l.qid, x.vec_id, round(SUM(l.d), 6) AS adc
         FROM codes x
         JOIN resid rx ON rx.vec_id = x.vec_id
-        JOIN qresid q ON q.cluster = rx.cluster
-        JOIN lut l ON l.sub = x.sub AND l.cid = x.cid AND l.qid = q.qid
-        WHERE x.vec_id <> q.qid
+        JOIN lut l ON l.sub = x.sub AND l.cid = x.cid
+                  AND l.cluster = rx.cluster
+        WHERE x.vec_id <> l.qid
         GROUP BY l.qid, x.vec_id),
     ranked AS (
         SELECT qid AS query_id, vec_id AS neighbor_id,
@@ -2074,7 +2080,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY d2, neighbor_id) AS rank
             FROM bscored) WHERE rank <= 5),
-    ivf AS (SELECT query_id, neighbor_id FROM ({_ivfpq_sql()}) t),
+    ivf AS (SELECT query_id, neighbor_id FROM ({_ivfpq_sql(nprobe=2)}) t),
     hits AS (
         SELECT bf.query_id, COUNT(*)::BIGINT AS hits
         FROM bf JOIN ivf USING (query_id, neighbor_id)
@@ -2085,7 +2091,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN hits h USING (query_id)
     ORDER BY query_id
     """,
-    doc="ANN quality evaluation: recall@5 of TRUE IVF-PQ (nprobe=1, "
+    doc="ANN quality evaluation: recall@5 of TRUE IVF-PQ (nprobe=2, "
     "residual codes) against the exact squared-L2 top-k — completes the "
     "recall matrix (LSH / flat-PQ+rerank / IVF-PQ) and measures what the "
     "single-inverted-list restriction costs: a true neighbor in a "
@@ -2121,7 +2127,9 @@ def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id")
     )
-    ivf = sim.knn_ivfpq(e, q, k=5).select("query_id", "neighbor_id")
+    ivf = sim.knn_ivfpq(e, q, k=5, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
     marked = bf.join(
         F.broadcast(ivf.withColumn("hit", F.lit(1))),
         ["query_id", "neighbor_id"],
