@@ -1008,3 +1008,31 @@ def test_bpe_and_mixture_degenerate_inputs(spark):
     )
     out = mixture_sample(docs, "lang", {"zz": 1.0})
     assert out.count() == 0
+
+
+def test_knn_ivfpq_nprobe_reaches_second_cell(spark):
+    """Multi-probe: a query whose own coarse cell holds fewer than k other
+    members can only fill its top-k by probing the next-nearest cell —
+    nprobe=1 must return the short list, nprobe=2 the full one."""
+    import random as _random
+
+    from osmesa_spark.operators.similarity import knn_ivfpq
+
+    rng = _random.Random(11)
+    rows = []
+    # tiny blob at 0 (3 members incl. the query), big blob at 30
+    for i in range(3):
+        rows.append((i, [0.0 + rng.uniform(-0.5, 0.5) for _ in range(8)]))
+    for i in range(3, 40):
+        rows.append((i, [30.0 + rng.uniform(-0.5, 0.5) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id = 0")
+    one = knn_ivfpq(df, q, k=5, coarse_k=2, m=2, pq_k=4, iters=3, nprobe=1)
+    two = knn_ivfpq(df, q, k=5, coarse_k=2, m=2, pq_k=4, iters=3, nprobe=2)
+    n1, n2 = one.count(), two.count()
+    assert n1 == 2, f"own cell has only 2 other members, got {n1}"
+    assert n2 == 5, f"second probe should fill to k=5, got {n2}"
+    # the 2 own-cell members must still rank first (ADC within the near
+    # cell is far smaller than across blobs)
+    top2 = {r["neighbor_id"] for r in two.where("rank <= 2").collect()}
+    assert top2 == {1, 2}
