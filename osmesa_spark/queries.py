@@ -2716,6 +2716,52 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
+    "multimodal_audio_stats",
+    """
+    WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+    pos AS (
+        SELECT doc_id, i - 1 AS idx,
+               ord(substr(text, i::INT, 1)) - 109 AS s
+        FROM a, UNNEST(range(1, LEAST(length(text), 256) + 1)) AS t(i)),
+    win AS (SELECT doc_id, idx, s, (idx // 32)::INT AS w FROM pos),
+    sgn AS (
+        SELECT doc_id, idx, w,
+               CASE WHEN s >= 0 THEN 1 ELSE -1 END AS g
+        FROM win),
+    flips AS (
+        SELECT doc_id, w, idx,
+               CASE WHEN g <> LAG(g) OVER (PARTITION BY doc_id
+                                           ORDER BY idx)
+                    THEN 1 ELSE 0 END AS flip
+        FROM sgn),
+    agg AS (
+        SELECT win.doc_id, win.w,
+               count(*)::INT AS n_samples,
+               round(sqrt(SUM(win.s * win.s)::DOUBLE / count(*)), 6) AS rms
+        FROM win GROUP BY win.doc_id, win.w),
+    crossings AS (
+        SELECT doc_id, w, SUM(flip)::INT AS zero_crossings
+        FROM flips GROUP BY doc_id, w)
+    SELECT a.doc_id AS media_id, a.w AS window_no, a.n_samples, a.rms,
+           COALESCE(c.zero_crossings, 0)::INT AS zero_crossings
+    FROM agg a LEFT JOIN crossings c
+      ON c.doc_id = a.doc_id AND c.w = a.w
+    """,
+    doc="multimodal AUDIO path: windowed waveform stats (RMS energy + "
+    "zero-crossing count per 32-sample window, first 8 windows — the "
+    "frame_sample bounded-probe discipline) over the decoded signal, "
+    "fused synthesize→stats so payload bytes never cross Arrow; oracle "
+    "re-derives the signal as ord(char)−center and replays the windowing "
+    "(multimodal extension)",
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    return mm.synthesize_and_audio_stats(d)
+
+
+@register(
     "multimodal_features",
     """
     SELECT doc_id AS media_id,
@@ -4446,6 +4492,7 @@ DRIVER_PRIORITY = [
     "corpus_curation_app",
     "neardup_winnow_pairs",
     "ann_recall_ivfpq",
+    "multimodal_audio_stats",
     "cms_heavy_users",
     "embedding_pq_codes",
     "knn_ivfpq",

@@ -16,6 +16,7 @@ PYTHON_OK = {
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",
+    "multimodal_audio_stats",
     "building_match",
     "building_match_volume",
     "osm_relation_assembly",
