@@ -328,3 +328,62 @@ def bpe_token_count_trained(
         F.lit(0),
         lambda acc, n: acc + n,
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 256,
+    seed: int = 23,
+) -> DataFrame:
+    """Feature-hashing vectorizer (the 'hashing trick', Weinberger et al.
+    2009): every token maps to bucket = portable_hash(token) mod
+    `n_features` with a ±1 sign drawn from a further hash bit (the
+    unbiasing signed variant), producing a FIXED-dimension sparse vector
+    per document with no vocabulary pass and no fitted state — the
+    featurization that still works when the vocabulary is unbounded
+    (hashtags/URLs/new tokens at 100 TB never need a dictionary rebuild).
+
+    Plan shape: token explode → ONE partial-agg shuffle on (id, bucket)
+    summing signs → per-doc assembly keyed on id. Output is the sparse
+    (indices, values) pair in ascending-bucket order.
+
+    Returns (id, nnz, indices: array<int>, values: array<bigint>)."""
+    from osmesa_spark.operators.dedup import _portable_hash
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(text_col)).alias("tok"),
+    )
+    if n_features & (n_features - 1):
+        raise ValueError("n_features must be a power of two (bucket bits "
+                         "and the sign bit partition the hash cleanly)")
+    h = _portable_hash(F.col("tok"), seed)
+    bucket = (h % n_features).cast("int")
+    # sign = the hash bit just above the bucket bits, via integer shift —
+    # Column `/` is FLOAT division, which loses the low bits of a 60-bit
+    # hash and flips parities vs an integer-arithmetic oracle
+    sign = F.when(
+        F.shiftright(h, n_features.bit_length() - 1) % 2 == 0, 1
+    ).otherwise(-1)
+    cells = (
+        toks.select("id", bucket.alias("bucket"), sign.alias("sgn"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("sgn").alias("val"))
+        .where(F.col("val") != 0)
+    )
+    return (
+        cells.groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("bucket", "val"))
+            ).alias("cells")
+        )
+        .select(
+            "id",
+            F.size("cells").alias("nnz"),
+            F.transform("cells", lambda c: c["bucket"]).alias("indices"),
+            F.transform("cells", lambda c: c["val"]).alias("values"),
+        )
+    )

@@ -2716,6 +2716,51 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
+    "doc_hashed_features",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) AS tok
+        FROM documents),
+    hashed AS (
+        SELECT doc_id,
+               (('0x' || substr(md5('23:' || tok), 1, 15))::BIGINT % 256)::INT
+                 AS bucket,
+               CASE WHEN (('0x' || substr(md5('23:' || tok), 1, 15))::BIGINT
+                          >> 8) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        FROM toks),
+    cells AS (
+        SELECT doc_id, bucket, SUM(sgn)::BIGINT AS val
+        FROM hashed GROUP BY doc_id, bucket HAVING SUM(sgn) <> 0)
+    SELECT doc_id AS id,
+           count(*)::INT AS nnz,
+           array_to_string(list(bucket ORDER BY bucket), ',') AS indices,
+           array_to_string(list(val ORDER BY bucket), ',') AS values
+    FROM cells GROUP BY doc_id
+    """,
+    doc="feature-hashing vectorizer (Weinberger '09 signed hashing trick): "
+    "fixed-dimension sparse doc vectors with NO vocabulary pass or fitted "
+    "state — unbounded token spaces never need a dictionary rebuild; one "
+    "partial-agg shuffle on (doc, bucket), sparse cells emitted in "
+    "ascending-bucket order as CSV for cross-engine canonicalization "
+    "(text-featurization extension)",
+)
+def q_doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = textops.hashed_features(d, n_features=256, seed=23)
+    return out.select(
+        "id",
+        "nnz",
+        F.array_join(F.col("indices").cast("array<string>"), ",").alias(
+            "indices"
+        ),
+        F.array_join(F.col("values").cast("array<string>"), ",").alias(
+            "values"
+        ),
+    )
+
+
+@register(
     "multimodal_audio_stats",
     """
     WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
@@ -4493,6 +4538,7 @@ DRIVER_PRIORITY = [
     "neardup_winnow_pairs",
     "ann_recall_ivfpq",
     "multimodal_audio_stats",
+    "doc_hashed_features",
     "cms_heavy_users",
     "embedding_pq_codes",
     "knn_ivfpq",

@@ -41,6 +41,7 @@ SCALE_SLICE = [
     # derived mixture rates / pack shards must re-derive identically
     "doc_bpe_train",
     "corpus_curation_app",
+    "knn_ivfpq",
 ]
 
 
