@@ -147,32 +147,16 @@ def reconstruct_way_geometries(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-def relation_members_resolved(
-    relations: DataFrame, way_geoms: DataFrame, resolve_relations: bool = False
+def _relation_member_refs(
+    relations: DataFrame, resolve_relations: bool = False
 ) -> DataFrame:
-    """Multipolygon relation members temporally joined to reconstructed way
-    versions — the J6 shape on the member ref: the way version whose
-    [updated, validUntil) window contains the relation's timestamp.
-
-    Simplification vs the reference (documented): member geometry is the
-    way version's own reconstruction (nodes as of the WAY timestamp), not
-    re-resolved at the relation timestamp.
-
-    `resolve_relations=True` additionally resolves members with
-    type='relation' ONE level deep (the reference members struct allows
-    relation members; super-relation → member relation → its way members):
-    the member-relation version live at the SUPER-relation's timestamp is
-    picked via its own [timestamp, validUntil) validity window, its way
-    members are exploded, and every resolved way joins way_geoms at the
-    super-relation's timestamp — one temporal join serves both branches.
-    Nested rows carry via_ref (the intermediate relation id) and sub_pos
-    (position within it); direct rows have both NULL. The effective `role`
-    for nested rows is the INNER way member's role (OSM multipolygon
-    convention); the outer member's role is dropped.
-
-    Output: one row per (relation version, resolved member): relId, updated,
-    pos, [sub_pos, via_ref], role, way ref, member geom/closed flag, plus
-    relation metadata."""
+    """Expand multipolygon relation versions to one row per (relation
+    version, member way ref): direct way members, plus (with
+    `resolve_relations`) way members reached through ONE level of
+    relation-type members — the shared front half of both the
+    way-timestamp (`relation_members_resolved`) and relation-timestamp
+    (`relation_members_deep`) resolvers. Nested rows carry via_ref and
+    sub_pos; kernel-free, all joins/explodes."""
     exploded = (
         relations.where(
             (F.col("type") == "relation")
@@ -256,6 +240,39 @@ def relation_members_resolved(
             )
         )
         rels = rels.unionByName(nested)
+    return rels
+
+
+def relation_members_resolved(
+    relations: DataFrame, way_geoms: DataFrame, resolve_relations: bool = False
+) -> DataFrame:
+    """Multipolygon relation members temporally joined to reconstructed way
+    versions — the J6 shape on the member ref: the way version whose
+    [updated, validUntil) window contains the relation's timestamp.
+
+    Simplification vs the reference (documented): member geometry is the
+    way version's own reconstruction (nodes as of the WAY timestamp), not
+    re-resolved at the relation timestamp — use `relation_members_deep`
+    for the reference-exact relation-timestamp resolution; this variant
+    stays because it reuses an already-materialized way_geoms table (one
+    node join for the whole corpus instead of one per relation member).
+
+    `resolve_relations=True` additionally resolves members with
+    type='relation' ONE level deep (the reference members struct allows
+    relation members; super-relation → member relation → its way members):
+    the member-relation version live at the SUPER-relation's timestamp is
+    picked via its own [timestamp, validUntil) validity window, its way
+    members are exploded, and every resolved way joins way_geoms at the
+    super-relation's timestamp — one temporal join serves both branches.
+    Nested rows carry via_ref (the intermediate relation id) and sub_pos
+    (position within it); direct rows have both NULL. The effective `role`
+    for nested rows is the INNER way member's role (OSM multipolygon
+    convention); the outer member's role is dropped.
+
+    Output: one row per (relation version, resolved member): relId, updated,
+    pos, [sub_pos, via_ref], role, way ref, member geom/closed flag, plus
+    relation metadata."""
+    rels = _relation_member_refs(relations, resolve_relations)
     wg = way_geoms.where(F.col("visible")).select(
         F.col("id").alias("ref"),
         F.col("geom").alias("way_geom"),
@@ -493,4 +510,119 @@ def with_deltas(features: DataFrame, area: str = "spherical") -> DataFrame:
     ).withColumn(
         "areaDelta",
         F.abs(_area("geom", "geomType") - _area("prevGeom", "prevGeomType")),
+    )
+
+
+def relation_members_deep(
+    relations: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    resolve_relations: bool = True,
+) -> DataFrame:
+    """Multipolygon members with geometry re-resolved AT THE RELATION
+    TIMESTAMP — the reference's exact semantics, removing
+    `relation_members_resolved`'s documented simplification: the member
+    way VERSION is the one live at the relation's timestamp AND its node
+    coordinates are the node versions live at that same timestamp (a way
+    whose nodes moved after the way's own last edit still renders where
+    the nodes were when the RELATION was saved).
+
+    Inputs: raw history `relations` and `ways` rows (validity windows are
+    derived here over ALL versions, visibility filtered after — the
+    preprocess layering), `nodes` preprocessed (validUntil present).
+
+    Plan shape: member expansion (shared helper) → temporal equi-join to
+    the live way version → nds explode → node-id-keyed temporal join
+    anchored at the RELATION timestamp → per-member vertex assembly
+    (array_sort(collect_list), bounded by way size). Two id-keyed
+    shuffles, no kernel.
+
+    Output: relation_members_resolved's shape — relId, updated, pos,
+    sub_pos, via_ref, ref, role, metadata, way_geom, member_closed."""
+    far = F.lit("9999-01-01").cast("timestamp")
+    rels = _relation_member_refs(relations, resolve_relations)
+    wval = (
+        ways.where(F.col("type") == "way")
+        .withColumn(
+            "w_validUntil",
+            F.lead("timestamp").over(
+                Window.partitionBy("id").orderBy("version")
+            ),
+        )
+        .where(F.col("visible"))
+        .select(
+            F.col("id").alias("w_id"),
+            F.col("version").alias("w_version"),
+            F.col("timestamp").alias("w_ts"),
+            "w_validUntil",
+            F.col("nds").alias("w_nds"),
+        )
+    )
+    live = rels.join(
+        wval,
+        (rels.ref == wval.w_id)
+        & (wval.w_ts <= rels.updated)
+        & (rels.updated < F.coalesce(wval.w_validUntil, far)),
+        "inner",
+    ).select(
+        "relId", "tags", "changeset", "updated", "uid", "user", "version",
+        "pos", "sub_pos", "via_ref", "ref", "role", "w_version",
+        F.posexplode("w_nds").alias("npos", "nref"),
+    )
+    n = nodes.select(
+        F.col("id").alias("nref"),
+        F.col("lon").alias("n_lon"),
+        F.col("lat").alias("n_lat"),
+        F.col("timestamp").alias("n_ts"),
+        F.col("validUntil").alias("n_validUntil"),
+        F.col("visible").alias("n_visible"),
+    )
+    joined = live.join(
+        n,
+        (live.nref == n.nref)
+        & (n.n_ts <= live.updated)
+        & (live.updated < F.coalesce(n.n_validUntil, far)),
+        "inner",
+    ).where(
+        F.col("n_lon").isNotNull()
+        & F.col("n_lat").isNotNull()
+        & F.col("n_visible")
+    )
+    assembled = (
+        joined.groupBy(
+            "relId", "updated", "version", "pos", "sub_pos", "via_ref",
+            "ref", "role",
+        )
+        .agg(
+            F.first("tags").alias("tags"),
+            F.first("changeset").alias("changeset"),
+            F.first("uid").alias("uid"),
+            F.first("user").alias("user"),
+            F.first("w_version").alias("w_version"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("npos"),
+                        F.col("n_lon").alias("lon"),
+                        F.col("n_lat").alias("lat"),
+                    )
+                )
+            ).alias("verts"),
+        )
+        .where(F.size("verts") >= 2)
+    )
+    way_geom = F.transform(
+        F.col("verts"),
+        lambda v: F.struct(
+            v.getField("lon").alias("lon"), v.getField("lat").alias("lat")
+        ),
+    )
+    closed = (F.size(way_geom) >= 4) & (
+        F.get(way_geom, F.lit(0)) == F.get(way_geom, F.size(way_geom) - 1)
+    )
+    return assembled.select(
+        "relId", "tags", "changeset", "updated", "uid", "user", "version",
+        "pos", "sub_pos", "via_ref", "ref", "role", "w_version",
+        way_geom.alias("way_geom"),
+        closed.alias("member_closed"),
     )

@@ -4526,6 +4526,7 @@ DRIVER_PRIORITY = [
     "osm_hashtag_user_statistics",
     "osm_changeset_metadata",
     "osm_relation_members",
+    "osm_relation_members_deep",
     "osm_relation_assembly",
     # new or changed this round — need fresh driver evidence
     "knn_pq",

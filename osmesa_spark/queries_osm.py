@@ -265,6 +265,24 @@ def osm_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def osm_relation_members_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _history(spark)
+    m = G.relation_members_deep(
+        h, h, P.preprocess_nodes(h), resolve_relations=True
+    )
+    return m.select(
+        F.col("relId").alias("id"),
+        F.col("version").cast("int").alias("rel_version"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("sub_pos").cast("int").alias("sub_pos"),
+        F.col("via_ref").cast("bigint").alias("via_ref"),
+        F.col("ref").cast("bigint").alias("ref"),
+        "role",
+        F.size("way_geom").alias("nverts"),
+        F.col("member_closed").alias("closed"),
+    )
+
+
 # way-version validity windows come from ALL versions (preprocess), while
 # geometry joins only keep reconstructable ones — mirror both layers.
 # Nested branch: super-relation members of type='relation' resolve ONE level
@@ -327,6 +345,89 @@ OSM_RELATION_MEMBERS_SQL = f"""
          AND wval.wts <= all_m.rts
          AND all_m.rts < COALESCE(wval.w_valid_until, TIMESTAMP '9999-01-01')
     JOIN wv ON wv.way_id = wval.way_id AND wv.way_version = wval.way_version
+"""
+
+
+# deep variant: the member way's NODES are ALSO resolved at the RELATION
+# timestamp — the reference's exact semantics (relation_members_deep);
+# this removes the documented way-timestamp simplification the plain
+# osm_relation_members row mirrors.
+OSM_RELATION_MEMBERS_DEEP_SQL = f"""
+    WITH {_NV_CTE},
+    wval AS (
+        SELECT id AS way_id, version AS way_version, timestamp AS wts,
+               visible AS wvis, nds AS wnds,
+               LEAD(timestamp) OVER (PARTITION BY id ORDER BY version)
+                 AS w_valid_until
+        FROM read_parquet('{_HISTORY}') WHERE type = 'way'),
+    rval AS (
+        SELECT id AS r_id, timestamp AS r_ts, visible AS r_vis,
+               members AS r_members,
+               LEAD(timestamp) OVER (PARTITION BY id ORDER BY version)
+                 AS r_valid_until
+        FROM read_parquet('{_HISTORY}') WHERE type = 'relation'),
+    rel_m AS (
+        SELECT r.id, r.version AS rel_version, r.timestamp AS rts,
+               (u.pos - 1)::INT AS pos,
+               NULL::INT AS sub_pos, NULL::BIGINT AS via_ref,
+               u.m.ref AS ref, u.m.role AS role
+        FROM read_parquet('{_HISTORY}') r,
+             LATERAL (SELECT unnest(r.members) AS m,
+                             generate_subscripts(r.members, 1) AS pos) u
+        WHERE r.type = 'relation' AND r.visible
+          AND (r.tags['type'])[1] = 'multipolygon' AND u.m.type = 'way'),
+    rel_rm AS (
+        SELECT r.id, r.version AS rel_version, r.timestamp AS rts,
+               (u.pos - 1)::INT AS pos, u.m.ref AS via_ref
+        FROM read_parquet('{_HISTORY}') r,
+             LATERAL (SELECT unnest(r.members) AS m,
+                             generate_subscripts(r.members, 1) AS pos) u
+        WHERE r.type = 'relation' AND r.visible
+          AND (r.tags['type'])[1] = 'multipolygon' AND u.m.type = 'relation'),
+    nested_m AS (
+        SELECT rr.id, rr.rel_version, rr.rts, rr.pos,
+               (s.pos - 1)::INT AS sub_pos, rr.via_ref::BIGINT AS via_ref,
+               s.m.ref AS ref, s.m.role AS role
+        FROM rel_rm rr
+        JOIN rval ON rr.via_ref = rval.r_id AND rval.r_vis
+             AND rval.r_ts <= rr.rts
+             AND rr.rts < COALESCE(rval.r_valid_until,
+                                   TIMESTAMP '9999-01-01'),
+             LATERAL (SELECT unnest(rval.r_members) AS m,
+                             generate_subscripts(rval.r_members, 1) AS pos) s
+        WHERE s.m.type = 'way'),
+    all_m AS (SELECT * FROM rel_m UNION ALL SELECT * FROM nested_m),
+    live AS (
+        SELECT all_m.id, all_m.rel_version, all_m.rts, all_m.pos,
+               all_m.sub_pos, all_m.via_ref, all_m.ref, all_m.role,
+               wval.way_version, u.nref, u.npos
+        FROM all_m
+        JOIN wval ON all_m.ref = wval.way_id AND wval.wvis
+             AND wval.wts <= all_m.rts
+             AND all_m.rts < COALESCE(wval.w_valid_until,
+                                      TIMESTAMP '9999-01-01'),
+             LATERAL (SELECT unnest(wval.wnds) AS nref,
+                             generate_subscripts(wval.wnds, 1) AS npos) u),
+    dv AS (
+        SELECT live.id, live.rel_version, live.pos, live.sub_pos,
+               live.via_ref, live.ref, live.role,
+               COUNT(*) AS nverts,
+               ARG_MIN(nv.lon, live.npos) AS flon,
+               ARG_MIN(nv.lat, live.npos) AS flat,
+               ARG_MAX(nv.lon, live.npos) AS llon,
+               ARG_MAX(nv.lat, live.npos) AS llat
+        FROM live
+        JOIN nv ON live.nref = nv.id
+             AND nv.timestamp <= live.rts
+             AND live.rts < COALESCE(nv.valid_until, TIMESTAMP '9999-01-01')
+        WHERE nv.lon IS NOT NULL AND nv.lat IS NOT NULL AND nv.visible
+        GROUP BY live.id, live.rel_version, live.pos, live.sub_pos,
+                 live.via_ref, live.ref, live.role
+        HAVING COUNT(*) >= 2)
+    SELECT id, rel_version::INT AS rel_version, pos, sub_pos, via_ref,
+           ref::BIGINT AS ref, role, nverts::INT AS nverts,
+           (nverts >= 4 AND flon = llon AND flat = llat) AS closed
+    FROM dv
 """
 
 
@@ -1225,6 +1326,14 @@ def register_osm_queries(register) -> None:
         doc="multipolygon member resolution: temporal join of relation "
         "members to reconstructed way versions (J6 on member ref)",
     )(osm_relation_members)
+    register(
+        "osm_relation_members_deep",
+        OSM_RELATION_MEMBERS_DEEP_SQL,
+        doc="multipolygon member resolution at the RELATION timestamp: the "
+        "member way version AND its node coordinates both resolve at the "
+        "relation's own timestamp (reference-exact semantics; removes the "
+        "way-timestamp simplification the plain row documents)",
+    )(osm_relation_members_deep)
     register(
         "osm_relation_assembly",
         OSM_RELATION_ASSEMBLY_SQL,
