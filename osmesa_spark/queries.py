@@ -1641,6 +1641,72 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_profile",
+    """
+    WITH f AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars_c,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|in|a|is|for)\\b', 1)) AS stop_hits,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS fingerprint
+        FROM documents),
+    q AS (
+        SELECT doc_id, lang, fingerprint, n_tokens,
+               ROUND(
+                 (alpha / GREATEST(n_chars_c, 1)) * 0.5
+                 + (CASE WHEN n_chars_c / GREATEST(n_tokens, 1) BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) * 0.25
+                 + LEAST((stop_hits / GREATEST(n_tokens, 1)) * 5.0, 1.0) * 0.25,
+               4) AS quality
+        FROM f),
+    d AS (
+        SELECT q.*, COUNT(*) OVER (PARTITION BY fingerprint) AS grp
+        FROM q)
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens,
+           SUM(CASE WHEN grp > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+           COUNT(DISTINCT fingerprint)::BIGINT AS n_distinct_texts,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           ROUND(MIN(quality), 4) AS min_quality
+    FROM d GROUP BY lang
+    """,
+    doc="corpus 'dataset card' profile: per-lang doc/token counts, "
+    "duplicate membership (docs whose exact fingerprint occurs >1 time), "
+    "distinct-text count, quality distribution — the one-pass health "
+    "summary run before any curation decision; fingerprint + quality "
+    "reuse the curation pipeline's exact expressions (curation extension)",
+)
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.functions.text import (
+        doc_fingerprint, quality_score, token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        token_count("text").alias("n_tokens"),
+        doc_fingerprint("text").alias("fingerprint"),
+        F.round(quality_score("text"), 4).alias("quality"),
+    )
+    w = Window.partitionBy("fingerprint")
+    marked = base.withColumn("grp", F.count(F.lit(1)).over(w))
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("grp") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct_texts"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.min("quality"), 4).alias("min_quality"),
+    )
+
+
+@register(
     "corpus_curation_app",
     """
     WITH f AS (
@@ -4540,6 +4606,7 @@ DRIVER_PRIORITY = [
     "ann_recall_ivfpq",
     "multimodal_audio_stats",
     "doc_hashed_features",
+    "corpus_profile",
     "cms_heavy_users",
     "embedding_pq_codes",
     "knn_ivfpq",
