@@ -333,7 +333,10 @@ def _stitch_rings(segments: list[list[tuple]]) -> list[list[tuple]]:
 
 
 def reconstruct_relation_geometries(
-    relations: DataFrame, way_geoms: DataFrame, resolve_relations: bool = False
+    relations: DataFrame,
+    way_geoms: DataFrame,
+    resolve_relations: bool = False,
+    members: DataFrame | None = None,
 ) -> DataFrame:
     """Multipolygon assembly: member ways → stitched closed rings, grouped
     by role. The per-relation stitch is inherently sequential (endpoint
@@ -352,9 +355,13 @@ def reconstruct_relation_geometries(
 
     from osmesa_spark.session import ship_package
 
-    members = relation_members_resolved(
-        relations, way_geoms, resolve_relations=resolve_relations
-    )
+    # `members` overrides the default way-timestamp resolution — pass
+    # relation_members_deep(...) output for the reference-exact
+    # relation-timestamp member geometries; the stitch is identical
+    if members is None:
+        members = relation_members_resolved(
+            relations, way_geoms, resolve_relations=resolve_relations
+        )
     grouped = members.groupBy("relId", "updated").agg(
         F.first("tags").alias("tags"),
         F.first("changeset").alias("changeset"),

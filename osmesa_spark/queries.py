@@ -4594,6 +4594,7 @@ DRIVER_PRIORITY = [
     "osm_relation_members",
     "osm_relation_members_deep",
     "osm_relation_assembly",
+    "osm_relation_assembly_deep",
     # new or changed this round — need fresh driver evidence
     "knn_pq",
     "ann_recall_pq",

@@ -552,11 +552,75 @@ OSM_RELATION_ASSEMBLY_SQL = f"""
     LEFT JOIN cycle_c cy ON g.id = cy.id AND g.rel_version = cy.rel_version
 """
 
+# deep assembly twin: identical cycle model, but member vertex stats are
+# resolved at the RELATION timestamp (node join anchored at rts) instead of
+# the way's own timestamp — derived from OSM_RELATION_ASSEMBLY_SQL by
+# swapping the vertex-resolution CTE so the two oracles cannot drift.
+_DEEP_MEM_CTE = """    dwx AS (
+        SELECT all_m.id, all_m.rel_version, all_m.rts, all_m.ref,
+               u.nref, u.npos
+        FROM all_m
+        JOIN wval ON all_m.ref = wval.way_id AND wval.wvis
+             AND wval.wts <= all_m.rts
+             AND all_m.rts < COALESCE(wval.w_valid_until,
+                                      TIMESTAMP '9999-01-01'),
+             LATERAL (SELECT unnest(wval.wnds) AS nref,
+                             generate_subscripts(wval.wnds, 1) AS npos) u),
+    dwv AS (
+        SELECT dwx.id, dwx.rel_version, dwx.ref,
+               COUNT(*) AS nverts,
+               ARG_MIN(nv.lon, npos) AS flon, ARG_MIN(nv.lat, npos) AS flat,
+               ARG_MAX(nv.lon, npos) AS llon, ARG_MAX(nv.lat, npos) AS llat
+        FROM dwx JOIN nv ON dwx.nref = nv.id
+             AND nv.timestamp <= dwx.rts
+             AND dwx.rts < COALESCE(nv.valid_until, TIMESTAMP '9999-01-01')
+        WHERE nv.lon IS NOT NULL AND nv.lat IS NOT NULL AND nv.visible
+        GROUP BY dwx.id, dwx.rel_version, dwx.ref
+        HAVING COUNT(*) >= 2),
+    mem AS (
+        SELECT id, rel_version, nverts,
+               flon::VARCHAR || ',' || flat::VARCHAR AS ep_a,
+               llon::VARCHAR || ',' || llat::VARCHAR AS ep_b,
+               (nverts >= 4 AND flon = llon AND flat = llat) AS closed
+        FROM dwv),"""
+
+_ORIG_MEM_START = "    mem AS ("
+_ORIG_MEM_END = "             AND wv.way_version = wval.way_version),"
+_i0 = OSM_RELATION_ASSEMBLY_SQL.index(_ORIG_MEM_START)
+_i1 = OSM_RELATION_ASSEMBLY_SQL.index(_ORIG_MEM_END) + len(_ORIG_MEM_END)
+OSM_RELATION_ASSEMBLY_DEEP_SQL = (
+    OSM_RELATION_ASSEMBLY_SQL[:_i0]
+    + _DEEP_MEM_CTE
+    + OSM_RELATION_ASSEMBLY_SQL[_i1:]
+).replace(
+    "               visible AS wvis,",
+    "               visible AS wvis, nds AS wnds,",
+)
+
+
 
 def osm_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _history(spark)
     wg = G.reconstruct_way_geometries(P.preprocess_ways(h), P.preprocess_nodes(h))
     rels = G.reconstruct_relation_geometries(h, wg, resolve_relations=True)
+    return rels.select(
+        "id",
+        "geomType",
+        F.size("rings").alias("n_rings"),
+        F.aggregate(
+            F.transform(F.col("rings"), lambda r: F.size(r["ring"])),
+            F.lit(0),
+            lambda acc, n: acc + n,
+        ).alias("total_ring_verts"),
+    )
+
+
+def osm_relation_assembly_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _history(spark)
+    m = G.relation_members_deep(
+        h, h, P.preprocess_nodes(h), resolve_relations=True
+    )
+    rels = G.reconstruct_relation_geometries(h, None, members=m)
     return rels.select(
         "id",
         "geomType",
@@ -1345,6 +1409,15 @@ def register_osm_queries(register) -> None:
         "full hash match; the stitcher itself stays property-tested for "
         "arbitrary segment order/orientation",
     )(osm_relation_assembly)
+    register(
+        "osm_relation_assembly_deep",
+        OSM_RELATION_ASSEMBLY_DEEP_SQL,
+        doc="multipolygon assembly over RELATION-timestamp member "
+        "geometries (relation_members_deep feeding the same stitch "
+        "kernel) — the reference-exact twin of osm_relation_assembly; "
+        "oracle derived from the plain assembly SQL by swapping only the "
+        "vertex-resolution CTE, so the cycle model cannot drift",
+    )(osm_relation_assembly_deep)
 
 
 SNAPSHOT_T = "2023-03-15 00:00:00"

@@ -20,6 +20,7 @@ PYTHON_OK = {
     "building_match",
     "building_match_volume",
     "osm_relation_assembly",
+    "osm_relation_assembly_deep",
     # dense k*dim distance algebra: vectorized numpy kernel by design (the
     # all-Column unrolling compiles O(k*dim) codegen per round instead)
     "kmeans_clusters",
