@@ -977,3 +977,53 @@ def knn_ivfpq(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for retrieval training: per query, the top-k
+    most-similar corpus items that are NOT near-duplicates — the negatives
+    that actually teach a contrastive model (random negatives are too
+    easy; near-duplicates are false negatives that poison the loss).
+    Implemented as one scored pass with the duplicate band
+    (cos ≥ dup_threshold) filtered BEFORE the rank window, so the top-k
+    always holds usable negatives instead of k slots wasted on dups.
+
+    Same plan shape as knn_bruteforce (broadcast query side, spread probe
+    side, per-partition WindowGroupLimit top-k); at scale swap the scored
+    pass for any ANN shortlist (knn_pq/knn_ivfpq) and keep the band
+    filter + window.
+
+    Output: (query_id, negative_id, cos, rank) — rank 1..k by descending
+    cosine below the duplicate band."""
+    from osmesa_spark.util import ensure_parallelism
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("negative_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("negative_id"))
+        .select(
+            "query_id",
+            "negative_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+        .where(F.col("cos") < dup_threshold)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "negative_id", "cos", "rank")
+    )

@@ -1901,6 +1901,41 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_quantized(e, e.where(F.col("vec_id") < 8), k=5)
 
 
+@register(
+    "hard_negatives",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, v.vec_id AS negative_id,
+               ROUND(list_dot_product(qv, v.v)
+                     / GREATEST(sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(v.v, v.v)), 1e-12),
+                     6) AS cos
+        FROM q JOIN v ON q.query_id <> v.vec_id),
+    banded AS (SELECT * FROM scored WHERE cos < 0.95),
+    ranked AS (
+        SELECT query_id, negative_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, negative_id)::INT AS rank
+        FROM banded)
+    SELECT query_id, negative_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="hard-negative mining for retrieval training: per query the top-k "
+    "most-similar items BELOW the near-duplicate band (cos < 0.95) — "
+    "random negatives are too easy, near-dups are false negatives; the "
+    "band filters before the rank window so every returned slot is a "
+    "usable negative. knn_bruteforce plan shape; at scale the scored "
+    "pass swaps for any ANN shortlist (training-data extension)",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.hard_negatives(
+        e, e.where(F.col("vec_id") < 8), k=5, dup_threshold=0.95
+    )
+
+
 def _pq_sql(m: int = 4, ds: int = 16, k: int = 4, seed: int = 29,
             nq: int = 8, topk: int = 5, emit: str = "topk") -> str:
     """Generated oracle for knn_pq: replays pq_train per subspace (the
@@ -4608,6 +4643,7 @@ DRIVER_PRIORITY = [
     "multimodal_audio_stats",
     "doc_hashed_features",
     "corpus_profile",
+    "hard_negatives",
     "cms_heavy_users",
     "embedding_pq_codes",
     "knn_ivfpq",
