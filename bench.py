@@ -84,6 +84,7 @@ HEADLINE = [
     "osm_way_reconstruction",
     "osm_tile_pyramid",
     "osm_user_statistics",
+    "osm_relation_assembly_deep",
 ]
 
 
