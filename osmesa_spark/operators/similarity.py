@@ -323,6 +323,7 @@ def kmeans_lloyd(
     round_to: int = 6,
     emit_vector: bool = False,
     return_centroids: bool = False,
+    emit_residual: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column — the IVF
     coarse-quantizer trainer (`knn_ivf` consumes its `cluster` output) and
@@ -409,7 +410,8 @@ def kmeans_lloyd(
             )
         else:
 
-            def assign(batches, C=C, cid_arr=cid_arr, emit=emit_vector):
+            def assign(batches, C=C, cid_arr=cid_arr, emit=emit_vector,
+                       emit_r=emit_residual):
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
@@ -418,22 +420,29 @@ def kmeans_lloyd(
                         ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1),
                         round_to,
                     )
+                    a = D.argmin(1)
                     out = {
                         "vid": pdf["vid"],
-                        "cluster": cid_arr[D.argmin(1)].astype("int32"),
+                        "cluster": cid_arr[a].astype("int32"),
                     }
                     if emit:
                         out["v"] = pdf["v"]
+                    if emit_r:
+                        # residual vs the ASSIGNED centroid, computed in the
+                        # same kernel pass: IEEE-identical to a downstream
+                        # zip_with(v, centroid) subtraction, one less
+                        # full-corpus stage (the IVF-PQ encode input)
+                        out["r"] = list(X - C[a])
                     yield pd.DataFrame(out)
 
             # emit_vector: consumers that need (id, cluster, vector) — e.g.
             # SemDeDup's cluster-blocked self-join — skip a join back to
             # the source table entirely (the kernel already holds the row)
-            schema = (
-                "vid long, cluster int, v array<double>"
-                if emit_vector
-                else "vid long, cluster int"
-            )
+            schema = "vid long, cluster int"
+            if emit_vector:
+                schema += ", v array<double>"
+            if emit_residual:
+                schema += ", r array<double>"
             out = v.mapInPandas(assign, schema=schema).withColumnRenamed(
                 "vid", id_col
             )
@@ -866,7 +875,7 @@ def knn_ivfpq(
 
     assigned, coarse = kmeans_lloyd(
         ensure_parallelism(corpus, id_col), k=coarse_k, iters=iters,
-        id_col=id_col, vec_col=vec_col, seed=seed, emit_vector=True,
+        id_col=id_col, vec_col=vec_col, seed=seed, emit_residual=True,
         return_centroids=True,
     )
 
@@ -881,12 +890,10 @@ def knn_ivfpq(
             )
         return expr
 
+    # residuals come straight out of the assign kernel (emit_residual) —
+    # no separate full-corpus subtraction stage
     resid = assigned.select(
-        F.col(id_col),
-        "cluster",
-        F.zip_with(
-            "v", cent_lookup(F.col("cluster")), lambda x, c: x - c
-        ).alias("r"),
+        F.col(id_col), "cluster", "r"
     ).localCheckpoint()
 
     books = pq_train(
