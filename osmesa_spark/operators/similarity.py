@@ -352,8 +352,6 @@ def kmeans_lloyd(
 
     from osmesa_spark.operators.dedup import _portable_hash
 
-    first = df.select(vec_col).first()
-    dim = len(first[0])
     v = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -367,6 +365,8 @@ def kmeans_lloyd(
         .limit(k)
         .collect()
     )
+    # dim from the seed rows — no separate first() job
+    dim = len(seeds[0]["v"])
     cids = list(range(len(seeds)))
     cents = np.array([list(r["v"]) for r in seeds], dtype=np.float64)
 
