@@ -70,11 +70,28 @@ class SketchTable:
         self.data_dir = os.path.join(path, "counters")
         self.meta = os.path.join(path, "applied.json")
 
-    def applied(self) -> set[int]:
+    # bookkeeping bound: the explicit applied set keeps only the newest
+    # MAX_RECENT sequences; everything at or below the watermark counts as
+    # applied implicitly. This keeps the skip-filter expression AND the
+    # metadata file O(1) on an unbounded stream — the same 1000-newest
+    # discipline the MVT tile sink's committed-sequence layer uses. A
+    # sequence older than 1000 newer commits that was never delivered is
+    # treated as lost (at-least-once replication delivers in order).
+    MAX_RECENT = 1000
+
+    def _state(self) -> tuple[int, set[int]]:
         if not os.path.exists(self.meta):
-            return set()
+            return -1, set()
         with open(self.meta) as f:
-            return set(json.load(f))
+            data = json.load(f)
+        if isinstance(data, list):  # pre-watermark format
+            return -1, set(data)
+        return data["watermark"], set(data["recent"])
+
+    def applied(self) -> set[int]:
+        """Explicitly-tracked applied sequences (the recent window only;
+        sequences at or below the watermark are applied implicitly)."""
+        return self._state()[1]
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self.data_dir):
@@ -83,9 +100,11 @@ class SketchTable:
 
     def merge(self, inc: DataFrame) -> None:
         spark = inc.sparkSession
-        done = self.applied()
-        fresh = inc.where(~F.col("sequence").isin(*done) if done
-                          else F.lit(True))
+        watermark, recent = self._state()
+        guard = F.col("sequence") > watermark
+        if recent:
+            guard = guard & ~F.col("sequence").isin(*recent)
+        fresh = inc.where(guard)
         new_seqs = [r["sequence"] for r in
                     fresh.select("sequence").distinct().collect()]
         if not new_seqs:
@@ -111,8 +130,13 @@ class SketchTable:
             import shutil
 
             shutil.rmtree(bak)
+        all_applied = sorted(recent | set(int(s) for s in new_seqs))
+        kept = all_applied[-self.MAX_RECENT:]
+        dropped = all_applied[: -self.MAX_RECENT]
+        if dropped:
+            watermark = max(watermark, dropped[-1])
         with open(self.meta, "w") as f:
-            json.dump(sorted(done | set(int(s) for s in new_seqs)), f)
+            json.dump({"watermark": watermark, "recent": kept}, f)
 
     def estimates(self, keys: DataFrame, key_col: str,
                   depth: int = 4, width: int = 512) -> DataFrame:

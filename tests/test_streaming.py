@@ -856,3 +856,35 @@ def test_streaming_cms_matches_batch_and_replays_idempotently(spark, dirs, tmp_p
         (r["row"], r["pos"]): r["cnt"] for r in tbl.read(spark).collect()
     }
     assert again == counters
+
+
+def test_sketch_table_watermark_bounds_state(spark, tmp_path):
+    """The applied-sequence bookkeeping stays O(MAX_RECENT) on an
+    unbounded stream: older sequences fall below the watermark and remain
+    implicitly applied (re-merging one is still a no-op)."""
+    from osmesa_spark.streaming.sketch_stream import SketchTable, cms_increments
+
+    tbl = SketchTable(str(tmp_path / "wm_table"))
+    tbl.MAX_RECENT = 5  # shrink the window for the test
+
+    def batch_for(seq: int):
+        df = spark.createDataFrame(
+            [(seq, f"user{i % 3}") for i in range(10)],
+            "sequence long, uid string",
+        )
+        return cms_increments(df, "uid", depth=2, width=16)
+
+    for seq in range(1, 9):
+        tbl.merge(batch_for(seq))
+    wm, recent = tbl._state()
+    assert len(recent) == 5 and wm == 3, (wm, recent)
+
+    counters = {(r["row"], r["pos"]): r["cnt"]
+                for r in tbl.read(spark).collect()}
+    # replay a sequence BELOW the watermark: implicitly applied, no-op
+    tbl.merge(batch_for(2))
+    # and one inside the recent window: explicitly applied, no-op
+    tbl.merge(batch_for(7))
+    again = {(r["row"], r["pos"]): r["cnt"]
+             for r in tbl.read(spark).collect()}
+    assert again == counters
