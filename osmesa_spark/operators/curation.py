@@ -247,23 +247,31 @@ def mixture_sample(
         ]
     )
     counts = (
-        df.groupBy(F.col(strata_col).alias("s"))
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
-        .withColumn("w", F.element_at(w_map, F.col("s")))
-        .where(F.col("w").isNotNull())
+        df.groupBy(F.col(strata_col).alias("__mx_s"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__mx_n"))
+        .withColumn("__mx_w", F.element_at(w_map, F.col("__mx_s")))
+        .where(F.col("__mx_w").isNotNull())
     )
-    tmin = counts.agg(F.min(F.col("n") / F.col("w")).alias("tmin"))
+    tmin = counts.agg(
+        F.min(F.col("__mx_n") / F.col("__mx_w")).alias("__mx_tmin")
+    )
+    # internal columns carry a __mx_ prefix so the rates join can never
+    # collide with (or silently drop) same-named caller columns
     rates = counts.crossJoin(F.broadcast(tmin)).select(
-        "s",
+        "__mx_s",
         F.floor(
             F.round(
-                F.col("w") * F.col("tmin") / F.col("n") * _BUCKETS, 9
+                F.col("__mx_w") * F.col("__mx_tmin") / F.col("__mx_n")
+                * _BUCKETS,
+                9,
             )
-        ).cast("int").alias("thr"),
+        ).cast("int").alias("__mx_thr"),
     )
-    return df.join(
-        F.broadcast(rates), df[strata_col] == rates["s"]
-    ).where(split_bucket(id_col, seed) < F.col("thr")).drop("s", "thr")
+    return (
+        df.join(F.broadcast(rates), df[strata_col] == rates["__mx_s"])
+        .where(split_bucket(id_col, seed) < F.col("__mx_thr"))
+        .drop("__mx_s", "__mx_thr")
+    )
 
 
 def weighted_sample(
