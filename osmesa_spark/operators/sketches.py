@@ -30,7 +30,9 @@ def _cms_pos(key: Column, row: int, width: int) -> Column:
 def cms_build(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 512
 ) -> DataFrame:
-    """Build the depth×width counter table: one row-local explode of the
+    """Build the depth×width counter table (callers should filter null
+    keys first — a null hashes to null positions and lands in a junk
+    cell): one row-local explode of the
     key's `depth` (row, position) cells, then ONE partial-agg shuffle whose
     output is ≤ depth·width rows no matter the input size. Returns
     (row, pos, cnt)."""

@@ -2898,7 +2898,9 @@ def q_doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frame_sample bounded-probe discipline) over the decoded signal, "
     "fused synthesize→stats so payload bytes never cross Arrow; oracle "
     "re-derives the signal as ord(char)−center and replays the windowing "
-    "(multimodal extension)",
+    "— byte-vs-codepoint equivalence holds because the fixture text is "
+    "ASCII (multibyte payloads are real bytes engine-side, the honest "
+    "behavior) (multimodal extension)",
 )
 def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmesa_spark.operators import multimodal as mm
