@@ -365,6 +365,8 @@ def kmeans_lloyd(
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError("kmeans_lloyd: input frame has no rows")
     # dim from the seed rows — no separate first() job
     dim = len(seeds[0]["v"])
     cids = list(range(len(seeds)))
@@ -555,6 +557,8 @@ def pq_train(
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError("pq_train: input frame has no rows")
     # dim from the seed rows — no separate first() job
     dim = len(seeds[0]["v"])
     if dim % m != 0:
