@@ -331,7 +331,13 @@ def curate_training_corpus(
     piped = cur.curation_pipeline(docs, min_quality=min_quality,
                                   seed=split_seed)
     train = piped.where(F.col("split") == "train")
-    sampled = cur.mixture_sample(train, "lang", mixture, seed=mixture_seed)
+    # `sampled` feeds two branches (the text join for packing and the
+    # final output join); materialize the dedup-window + sampling subtree
+    # once so neither branch re-runs those shuffles — the same
+    # materialized-subtree pattern as knn_ivfpq
+    sampled = cur.mixture_sample(
+        train, "lang", mixture, seed=mixture_seed
+    ).localCheckpoint(eager=True)
     withtext = sampled.select("doc_id", "lang", "quality").join(
         docs.select("doc_id", "text"), "doc_id"
     )

@@ -324,7 +324,7 @@ def kmeans_lloyd(
     emit_vector: bool = False,
     return_centroids: bool = False,
     emit_residual: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Deterministic Lloyd's k-means over an embedding column — the IVF
     coarse-quantizer trainer (`knn_ivf` consumes its `cluster` output) and
     the clustering primitive under SemDeDup-style semantic dedup and
@@ -352,6 +352,10 @@ def kmeans_lloyd(
 
     from osmesa_spark.operators.dedup import _portable_hash
 
+    if iters < 1:
+        # the final loop round produces the assignment output; with no
+        # rounds there is nothing to return
+        raise ValueError(f"kmeans_lloyd: iters must be >= 1, got {iters}")
     v = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -66,7 +66,13 @@ def cms_estimate(
     (est ≥ true count always; ≤ true + εN with high probability).
 
     The sketch (≤ depth·width rows) BROADCASTS into the probe join, so
-    estimating any number of keys is a narrow map-side pass."""
+    estimating any number of keys is a narrow map-side pass. The join is
+    a LEFT join with absent cells counting 0 (same semantics as the
+    streaming `SketchTable.estimates`): a key never seen by the build —
+    or whose cells are only partially present because the build corpus
+    never hashed anything there — estimates its true 0/partial floor
+    instead of being silently dropped or over-estimated on fewer than
+    `depth` cells."""
     probes = keys.select(
         key_col,
         F.explode(
@@ -82,9 +88,9 @@ def cms_estimate(
         ).alias("c"),
     ).select(key_col, "c.row", "c.pos")
     return (
-        probes.join(F.broadcast(sketch), ["row", "pos"])
+        probes.join(F.broadcast(sketch), ["row", "pos"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
 
 

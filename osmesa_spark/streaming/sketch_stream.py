@@ -63,12 +63,43 @@ class SketchTable:
     `merge` drops increments of already-applied sequences BEFORE summing,
     so redelivery is a no-op; the applied set is the same bookkeeping the
     MVT sink keeps per tile, held table-wide here because the sketch is
-    one global object."""
+    one global object.
+
+    Commits are SINGLE-STEP: each merge writes a complete new version
+    directory (counters parquet + applied.json together) and then
+    atomically replaces one pointer file (`CURRENT`) onto it. A crash at
+    any instant leaves the pointer naming a fully-written version — the
+    counters and the applied set can never disagree, so replay after a
+    crash neither double-counts nor undercounts. Orphaned version
+    directories from interrupted merges are garbage-collected on the next
+    successful commit."""
+
+    CURRENT = "CURRENT"
 
     def __init__(self, path: str):
         self.path = path
-        self.data_dir = os.path.join(path, "counters")
-        self.meta = os.path.join(path, "applied.json")
+
+    # -- versioned-layout plumbing ------------------------------------
+    def _pointer(self) -> str:
+        return os.path.join(self.path, self.CURRENT)
+
+    def _current_version(self) -> str | None:
+        """Name of the committed version dir, or None if the table is
+        empty. Falls back to the pre-versioned flat layout (counters/ +
+        applied.json at the table root) so existing tables keep working;
+        their first merge rewrites them into the versioned layout."""
+        ptr = self._pointer()
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                name = f.read().strip()
+            return name or None
+        if os.path.exists(os.path.join(self.path, "counters")):
+            return ""  # legacy flat layout: version dir IS the root
+        return None
+
+    def _version_paths(self, version: str) -> tuple[str, str]:
+        base = os.path.join(self.path, version) if version else self.path
+        return os.path.join(base, "counters"), os.path.join(base, "applied.json")
 
     # bookkeeping bound: the explicit applied set keeps only the newest
     # MAX_RECENT sequences; everything at or below the watermark counts as
@@ -80,9 +111,13 @@ class SketchTable:
     MAX_RECENT = 1000
 
     def _state(self) -> tuple[int, set[int]]:
-        if not os.path.exists(self.meta):
+        version = self._current_version()
+        if version is None:
             return -1, set()
-        with open(self.meta) as f:
+        meta = self._version_paths(version)[1]
+        if not os.path.exists(meta):
+            return -1, set()
+        with open(meta) as f:
             data = json.load(f)
         if isinstance(data, list):  # pre-watermark format
             return -1, set(data)
@@ -94,9 +129,31 @@ class SketchTable:
         return self._state()[1]
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.exists(self.data_dir):
+        version = self._current_version()
+        if version is None:
             return None
-        return spark.read.parquet(self.data_dir)
+        data_dir = self._version_paths(version)[0]
+        if not os.path.exists(data_dir):
+            return None
+        return spark.read.parquet(data_dir)
+
+    def _gc(self, keep: str) -> None:
+        """Drop version dirs an interrupted merge left behind, legacy
+        flat-layout files a migration superseded, and the old scheme's
+        _tmp/_old staging dirs. The committed version named by CURRENT is
+        never touched."""
+        import shutil
+
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            stale_version = name.startswith("v_") and name != keep
+            legacy = keep and name in ("counters", "applied.json",
+                                       "_tmp_counters", "_old_counters")
+            if stale_version or legacy:
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    os.remove(full)
 
     def merge(self, inc: DataFrame) -> None:
         spark = inc.sparkSession
@@ -104,10 +161,14 @@ class SketchTable:
         guard = F.col("sequence") > watermark
         if recent:
             guard = guard & ~F.col("sequence").isin(*recent)
-        fresh = inc.where(guard)
+        # one materialization of the (bounded, ≤ n_seq·depth·width rows)
+        # increment plan: both the new-sequence probe and the summed add
+        # read the checkpointed rows, so the micro-batch groupBy runs once
+        fresh = inc.where(guard).localCheckpoint(eager=True)
         new_seqs = [r["sequence"] for r in
                     fresh.select("sequence").distinct().collect()]
         if not new_seqs:
+            fresh.unpersist()
             return
         add = (
             fresh.groupBy("row", "pos")
@@ -120,23 +181,31 @@ class SketchTable:
             .groupBy("row", "pos")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        tmp = os.path.join(self.path, "_tmp_counters")
-        merged.write.mode("overwrite").parquet(tmp)
-        bak = os.path.join(self.path, "_old_counters")
-        if os.path.exists(self.data_dir):
-            os.rename(self.data_dir, bak)
-        os.rename(tmp, self.data_dir)
-        if os.path.exists(bak):
-            import shutil
-
-            shutil.rmtree(bak)
         all_applied = sorted(recent | set(int(s) for s in new_seqs))
         kept = all_applied[-self.MAX_RECENT:]
         dropped = all_applied[: -self.MAX_RECENT]
         if dropped:
             watermark = max(watermark, dropped[-1])
-        with open(self.meta, "w") as f:
+        cur = self._current_version()
+        cur_n = 0 if cur in (None, "") else int(cur.split("_")[1])
+        version = f"v_{cur_n + 1:020d}"
+        data_dir, meta = self._version_paths(version)
+        # stage the ENTIRE new state (counters + applied set) in the new
+        # version dir, fsync the meta, then flip the pointer atomically —
+        # the only mutation of committed state is one os.replace
+        merged.write.mode("overwrite").parquet(data_dir)
+        with open(meta, "w") as f:
             json.dump({"watermark": watermark, "recent": kept}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        fresh.unpersist()
+        ptr_tmp = self._pointer() + ".tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(version)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptr_tmp, self._pointer())
+        self._gc(keep=version)
 
     def estimates(self, keys: DataFrame, key_col: str,
                   depth: int = 4, width: int = 512) -> DataFrame:

@@ -905,6 +905,48 @@ def test_cms_never_undercounts_and_supersets(spark):
     assert true_hh <= hh
 
 
+def test_cms_estimate_unseen_keys_zero(spark):
+    """Point-estimate contract for keys ABSENT from the build corpus:
+    a never-seen key must come back with est_count 0 (left-join + coalesce
+    semantics, mirroring the streaming SketchTable.estimates), not be
+    silently dropped or over-estimated on partially-present cells."""
+    from osmesa_spark.operators import sketches as sk
+
+    build = spark.createDataFrame([("a",), ("b",), ("a",)], "k string")
+    sketch = sk.cms_build(build, "k", depth=4, width=64)
+    # tiny width=64 sketch over 2 keys: most cells are empty, so a probe
+    # key will typically hash at least one of its 4 cells to an absent
+    # counter — min(coalesce(cnt,0)) floors it at the truth
+    probes = spark.createDataFrame(
+        [("a",), ("never_seen_1",), ("never_seen_2",)], "k string"
+    )
+    est = {
+        r["k"]: r["est_count"]
+        for r in sk.cms_estimate(probes, sketch, "k",
+                                 depth=4, width=64).collect()
+    }
+    assert set(est) == {"a", "never_seen_1", "never_seen_2"}
+    assert est["a"] >= 2  # never undercounts
+    # width 64, 6 occupied cells max: P(all 4 cells of an unseen key
+    # collide) is negligible for these fixed test keys — both estimate 0
+    assert est["never_seen_1"] == 0
+    assert est["never_seen_2"] == 0
+
+
+def test_kmeans_rejects_bad_iters(spark):
+    """iters < 1 never reaches the assignment round, so the trainer must
+    refuse it up front instead of silently returning None."""
+    import pytest
+
+    from osmesa_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_lloyd(df, k=2, iters=0)
+
+
 def test_knn_ivfpq_respects_blobs(spark):
     """IVF-PQ on two separated blobs: the coarse quantizer must route each
     query to its own blob's inverted list, so every neighbor shares the

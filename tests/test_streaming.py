@@ -888,3 +888,100 @@ def test_sketch_table_watermark_bounds_state(spark, tmp_path):
     again = {(r["row"], r["pos"]): r["cnt"]
              for r in tbl.read(spark).collect()}
     assert again == counters
+
+
+def test_sketch_table_commit_is_atomic(spark, tmp_path):
+    """Crash-safety of the versioned commit: committed state is only ever
+    mutated by the one CURRENT-pointer replace, so (a) a merge interrupted
+    after staging its version dir but before the flip leaves the table
+    exactly at the previous state (counters and applied set AGREE — no
+    double count, no undercount on replay), and (b) the orphan dir is
+    garbage-collected by the next successful merge."""
+    import json as _json
+    import os
+
+    from osmesa_spark.streaming.sketch_stream import SketchTable, cms_increments
+
+    tbl = SketchTable(str(tmp_path / "atomic_table"))
+
+    def batch_for(seq: int):
+        df = spark.createDataFrame(
+            [(seq, f"user{i % 3}") for i in range(9)],
+            "sequence long, uid string",
+        )
+        return cms_increments(df, "uid", depth=2, width=16)
+
+    tbl.merge(batch_for(1))
+    committed = {(r["row"], r["pos"]): r["cnt"]
+                 for r in tbl.read(spark).collect()}
+    wm, recent = tbl._state()
+    assert recent == {1}
+
+    # simulate a crash mid-merge: a fully-staged NEWER version dir exists
+    # but the pointer was never flipped
+    orphan = os.path.join(tbl.path, "v_" + "9" * 20)
+    os.makedirs(os.path.join(orphan, "counters"))
+    with open(os.path.join(orphan, "applied.json"), "w") as f:
+        _json.dump({"watermark": -1, "recent": [1, 2]}, f)
+
+    # reads ignore the orphan entirely: state == last committed version
+    assert tbl._state() == (wm, recent)
+    assert {(r["row"], r["pos"]): r["cnt"]
+            for r in tbl.read(spark).collect()} == committed
+
+    # sequence 2 was NOT committed (the orphan doesn't count), so merging
+    # it applies it exactly once; the orphan is GC'd by the commit
+    tbl.merge(batch_for(2))
+    assert not os.path.exists(orphan)
+    after = {(r["row"], r["pos"]): r["cnt"]
+             for r in tbl.read(spark).collect()}
+    # one sequence = 9 rows × depth 2 = 18 increments, applied exactly once
+    assert sum(after.values()) == sum(committed.values()) + 18
+    assert tbl._state()[1] == {1, 2}
+    # exactly one committed version dir remains next to CURRENT
+    versions = [n for n in os.listdir(tbl.path) if n.startswith("v_")]
+    assert len(versions) == 1
+
+
+def test_sketch_table_migrates_legacy_layout(spark, tmp_path):
+    """A table written by the pre-versioned flat layout (counters/ +
+    applied.json at the root) is readable as-is, and its first merge
+    rewrites it into the versioned layout without changing semantics."""
+    import json as _json
+    import os
+
+    from osmesa_spark.streaming.sketch_stream import SketchTable, cms_increments
+
+    path = str(tmp_path / "legacy_table")
+
+    def batch_for(seq: int):
+        df = spark.createDataFrame(
+            [(seq, f"user{i % 3}") for i in range(9)],
+            "sequence long, uid string",
+        )
+        return cms_increments(df, "uid", depth=2, width=16)
+
+    # hand-write the legacy layout: counters parquet + flat applied.json
+    batch_for(1).groupBy("row", "pos").agg(
+        F.sum("inc").alias("cnt")
+    ).write.parquet(os.path.join(path, "counters"))
+    with open(os.path.join(path, "applied.json"), "w") as f:
+        _json.dump({"watermark": -1, "recent": [1]}, f)
+
+    tbl = SketchTable(path)
+    assert tbl._state() == (-1, {1})
+    legacy = {(r["row"], r["pos"]): r["cnt"]
+              for r in tbl.read(spark).collect()}
+
+    tbl.merge(batch_for(1))  # already applied: no-op, layout unchanged
+    assert {(r["row"], r["pos"]): r["cnt"]
+            for r in tbl.read(spark).collect()} == legacy
+
+    tbl.merge(batch_for(2))  # first real merge migrates to versioned
+    assert os.path.exists(os.path.join(path, "CURRENT"))
+    assert not os.path.exists(os.path.join(path, "applied.json"))
+    after = {(r["row"], r["pos"]): r["cnt"]
+             for r in tbl.read(spark).collect()}
+    # one sequence = 9 rows × depth 2 = 18 increments
+    assert sum(after.values()) == sum(legacy.values()) + 18
+    assert tbl._state()[1] == {1, 2}
