@@ -3022,6 +3022,52 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash_pairs",
+    """
+    WITH imgs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    pos AS (
+        SELECT doc_id, ((i - 1) % 61)::INT AS cell,
+               ord(substr(text, i::INT, 1)) AS byte
+        FROM imgs, UNNEST(range(1, length(text) + 1)) AS t(i)),
+    sums AS (SELECT doc_id, cell, SUM(byte)::BIGINT AS s
+             FROM pos GROUP BY doc_id, cell),
+    grid AS (SELECT doc_id, c::INT AS cell
+             FROM imgs, UNNEST(range(0, 61)) AS g(c)),
+    cells AS (SELECT g.doc_id, g.cell, COALESCE(s.s, 0) AS s
+              FROM grid g LEFT JOIN sums s
+                ON s.doc_id = g.doc_id AND s.cell = g.cell),
+    bits AS (
+        SELECT a.doc_id,
+               CASE WHEN a.s > b.s THEN (1::BIGINT << a.cell)
+                    ELSE 0 END AS bv
+        FROM cells a JOIN cells b
+          ON b.doc_id = a.doc_id AND b.cell = a.cell + 1
+        WHERE a.cell < 60),
+    ph AS (SELECT doc_id, SUM(bv)::BIGINT AS h FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.h, b.h))::INT AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+    """,
+    doc="image near-duplicate pairs by perceptual hash (dHash): fused "
+    "decode→61-cell thumbnail Arrow kernel, pure-Column 60-bit gradient "
+    "fingerprint, banded LSH candidate join (max_hamming+1 bands ⇒ EXACT "
+    "pigeonhole recall, not probabilistic), bit_count(xor) Hamming "
+    "verify. The corpus-sized cost is one narrow fingerprint shuffle — "
+    "fingerprints are computed once and grouped by band, never "
+    "self-joined. Oracle replays cell sums from utf8 char codes (ASCII "
+    "fixture, like the audio oracle) and verifies the LSH guarantee by "
+    "brute-force all-pairs comparison (multimodal dedup extension)",
+)
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    imgs = d.where(F.col("doc_id") % 3 == 0)  # kind == image
+    return mm.phash_pairs(imgs, max_hamming=3)
+
+
+@register(
     "map_merge_simplify",
     f"""
     WITH {EVENTS_MICRO_CTE},

@@ -61,3 +61,46 @@ def test_frame_sample_shape(spark, media):
         if n_expected:
             first = int(sub[sub.frame_no == 0].checksum.iloc[0])
             assert first == int(body[:64].sum())
+
+
+def test_phash_pairs_finds_perturbed_twin(spark):
+    """dHash near-dup: an image whose body differs by one character from
+    another lands within the Hamming band; a structurally different body
+    does not pair with either. Exact twins come out at hamming 0, and the
+    banded LSH result equals the brute-force all-pairs answer within the
+    threshold (pigeonhole recall guarantee)."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (0, base),                      # doc 0: original
+        (3, base),                      # doc 3: exact twin
+        (6, base[:-10] + "lazy cat xx"),  # doc 6: small perturbation
+        (9, "completely different content here " * 12),  # doc 9: unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_pairs(docs, max_hamming=11).collect()
+    }
+    assert got[(0, 3)] == 0
+    assert (0, 6) in got and 0 < got[(0, 6)] <= 11
+    assert got[(0, 6)] == got[(3, 6)]
+    assert not any(9 in p for p in got)
+
+    # pigeonhole recall: banded candidates reproduce brute-force all-pairs
+    ph = {
+        r["media_id"]: r
+        for r in mm.synthesize_and_resize(
+            docs, tw=mm.PHASH_CELLS, th=1
+        ).select(
+            "media_id",
+            mm.phash60(F.col("thumb")).alias("h"),
+        ).collect()
+    }
+    ids = sorted(ph)
+    brute = {
+        (a, b): bin(ph[a]["h"] ^ ph[b]["h"]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(ph[a]["h"] ^ ph[b]["h"]).count("1") <= 11
+    }
+    assert got == brute
