@@ -1042,3 +1042,90 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select("query_id", "negative_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (embedding compression)
+# ---------------------------------------------------------------------------
+
+def rp_signs(dim: int, d_out: int = 16, seed: int = 41) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for JL random projection (Achlioptas
+    2003: a Rademacher matrix satisfies the JL lemma with the same
+    distortion bound as Gaussian). Driver-side literal — embedded in the
+    plan and replayable verbatim by an external oracle, like
+    `lsh_planes`."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(d_out)]
+
+
+def random_projection(
+    df: DataFrame,
+    signs: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "rp",
+) -> DataFrame:
+    """Project `vec_col` to len(signs) dims: out_j = Σ_i s_ji·v_i / √d_out.
+    Pure-Column left-to-right chains, so an oracle generating the same
+    association order replays it IEEE-bit-exactly (±1 multiplies and the
+    power-of-two √16 = 4 scale are exact float ops).
+
+    Scale story: this is the cheap embedding-compression path — project
+    once, persist the short vectors, and every downstream probe pays
+    d_out/dim of the arithmetic and scan bytes (for the default 64→16,
+    4×) while JL bounds the cosine distortion. A narrow projection, no
+    shuffle, whole-stage codegen."""
+    import math
+
+    d_out = len(signs)
+    scale = math.sqrt(d_out)
+    v = F.col(vec_col).cast("array<double>")
+    comps = []
+    for srow in signs:
+        expr = None
+        for i, s in enumerate(srow):
+            term = v[i] * F.lit(float(s))
+            expr = term if expr is None else expr + term
+        comps.append(expr / F.lit(scale))
+    return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+
+
+def knn_rp(
+    corpus: DataFrame,
+    queries: DataFrame,
+    signs: list[list[int]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN by rank-in-projected-space: exact top-k cosine over the
+    JL-compressed vectors — the compression counterpart of knn_lsh's
+    bucketing (every candidate still scored, but each score costs
+    d_out/dim of the full arithmetic; at 100 TB the persisted short
+    vectors also shrink the scan surface by the same factor). Same output
+    shape as knn_bruteforce."""
+    from osmesa_spark.util import ensure_parallelism
+
+    q = random_projection(queries, signs, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("rp").alias("qvec")
+    )
+    c = random_projection(
+        ensure_parallelism(corpus, id_col), signs, id_col, vec_col
+    ).select(F.col(id_col).alias("neighbor_id"), F.col("rp").alias("cvec"))
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -4448,6 +4448,133 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JL sign random projection: 64 -> 16 dims. The sign matrix is a small
+# deterministic driver-side literal (like _LSH_PLANES) embedded in BOTH
+# plans, and √16 = 4 is a power of two, so the projection replays
+# IEEE-bit-exactly in any engine generating the same left-to-right
+# association order.
+_RP_SIGNS = sim.rp_signs(64, d_out=16, seed=41)
+
+
+def _rp_comps_sql(var: str = "v") -> list[str]:
+    """The 16 projection expressions over a 1-indexed DOUBLE list `var`,
+    in exactly random_projection's association order."""
+    return [
+        "(("
+        + " + ".join(
+            f"{var}[{i + 1}]*{float(s)!r}" for i, s in enumerate(srow)
+        )
+        + ") / 4.0)"
+        for srow in _RP_SIGNS
+    ]
+
+
+@register(
+    "embedding_rp_project",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings)
+    SELECT vec_id,
+           {", ".join(f"ROUND({c}, 6) AS rp{j:02d}"
+                      for j, c in enumerate(_rp_comps_sql()))}
+    FROM e
+    """,
+    doc="Johnson-Lindenstrauss sign random projection (Achlioptas 2003): "
+    "64-dim float embeddings compressed to 16 dims with a deterministic "
+    "Rademacher matrix — the project-once/persist-short-vectors path that "
+    "cuts every downstream probe's arithmetic and scan bytes 4× with "
+    "JL-bounded cosine distortion. Pure-Column left-to-right chains, no "
+    "shuffle, whole-stage codegen; oracle replays the same association "
+    "order bit-exactly (similarity extension)",
+)
+def q_embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    out = sim.random_projection(e, _RP_SIGNS)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.col("rp")[j], 6).alias(f"rp{j:02d}")
+            for j in range(len(_RP_SIGNS))
+        ],
+    )
+
+
+@register(
+    "ann_recall_rp",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    bq AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+    bscored AS (
+        SELECT bq.query_id, v.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qv, v.v)
+                     / GREATEST(sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(v.v, v.v)), 1e-12),
+                     6) AS cos
+        FROM bq JOIN v ON bq.query_id <> v.vec_id),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM bscored) WHERE rank <= 5),
+    p AS (SELECT vec_id,
+                 [{", ".join(_rp_comps_sql())}] AS pv
+          FROM v),
+    rq AS (SELECT vec_id AS query_id, pv AS qp FROM p WHERE vec_id < 8),
+    rscored AS (
+        SELECT rq.query_id, p.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qp, p.pv)
+                     / GREATEST(sqrt(list_dot_product(qp, qp))
+                                * sqrt(list_dot_product(p.pv, p.pv)), 1e-12),
+                     6) AS cos
+        FROM rq JOIN p ON rq.query_id <> p.vec_id),
+    rp AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM rscored) WHERE rank <= 5),
+    hits AS (
+        SELECT bf.query_id, COUNT(*)::BIGINT AS hits
+        FROM bf JOIN rp USING (query_id, neighbor_id)
+        GROUP BY bf.query_id)
+    SELECT q.query_id,
+           ROUND(COALESCE(h.hits, 0) / 5.0, 2) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    LEFT JOIN hits h USING (query_id)
+    ORDER BY query_id
+    """,
+    doc="ANN quality evaluation for the JL-compression path: recall@5 of "
+    "top-k-in-projected-space against the exact full-dim brute force — "
+    "the measurement that picks d_out before persisting a compressed "
+    "index. Completes the recall matrix (LSH / PQ / IVF-PQ / RP) "
+    "(similarity extension)",
+)
+def q_ann_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    bf = sim.knn_bruteforce(e, q, k=5).select("query_id", "neighbor_id")
+    rp = sim.knn_rp(e, q, _RP_SIGNS, k=5).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(rp, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("hits", F.lit(0)) / 5.0, 2).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register(
     "ann_recall_pq",
     f"""

@@ -1078,3 +1078,49 @@ def test_knn_ivfpq_nprobe_reaches_second_cell(spark):
     # cell is far smaller than across blobs)
     top2 = {r["neighbor_id"] for r in two.where("rank <= 2").collect()}
     assert top2 == {1, 2}
+
+
+def test_random_projection_preserves_cosine(spark):
+    """JL lemma sanity on the embeddings fixture: cosine in the 16-dim
+    projected space tracks full-dim cosine (bounded distortion), and the
+    RP top-k probe recalls a solid fraction of the exact neighbors —
+    the compression is useful, not just shaped right."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators import similarity as sim
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    signs = sim.rp_signs(64, d_out=16, seed=41)
+    p = sim.random_projection(e, signs)
+    joined = (
+        e.alias("a").join(e.alias("b"), F.col("a.vec_id") + 250 == F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+            sim.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+    )
+    pj = (
+        p.alias("a").join(p.alias("b"), F.col("a.vec_id") + 250 == F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            sim.cosine(F.col("a.rp"), F.col("b.rp")).alias("pc"),
+        )
+    )
+    rows = joined.join(pj, "ia").select("c", "pc").collect()
+    assert len(rows) >= 100
+    err = [abs(r["c"] - r["pc"]) for r in rows]
+    # sign-RP at d_out=16: typical distortion ~1/sqrt(16); mean must be
+    # well under random (≈0.5 for unrelated cosines) and bounded overall
+    assert sum(err) / len(err) < 0.25, sum(err) / len(err)
+
+    q = e.where(F.col("vec_id") < 8)
+    bf = sim.knn_bruteforce(e, q, k=5).select("query_id", "neighbor_id")
+    rp = sim.knn_rp(e, q, signs, k=5).select("query_id", "neighbor_id")
+    hits16 = bf.join(rp, ["query_id", "neighbor_id"]).count()
+    # random guessing recalls ~5/500 = 1%; require ≥ 10% aggregate
+    assert hits16 >= 4, hits16
+    # and the JL scaling direction: doubling d_out must not lose recall
+    signs32 = sim.rp_signs(64, d_out=32, seed=41)
+    rp32 = sim.knn_rp(e, q, signs32, k=5).select("query_id", "neighbor_id")
+    hits32 = bf.join(rp32, ["query_id", "neighbor_id"]).count()
+    assert hits32 >= hits16, (hits16, hits32)
