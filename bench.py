@@ -29,6 +29,7 @@ from osmesa_spark.session import get_spark
 HEADLINE = [
     "changeset_stats",
     "pricing_summary",
+    "price_quantiles_sketch",
     "top_revenue_orders",
     "range_temporal_join",
     "window_prev_value",
@@ -53,8 +54,10 @@ HEADLINE = [
     "knn_quantized",
     "knn_pq",
     "knn_ivfpq",
+    "knn_rp",
     "ann_recall_lsh",
     "ann_recall_pq",
+    "ann_recall_rp",
     "neardup_sparse_cosine",
     "neardup_containment",
     "doc_token_entropy",
@@ -62,6 +65,7 @@ HEADLINE = [
     "doc_bpe_train",
     "doc_quality_bins",
     "multimodal_resize",
+    "multimodal_phash_pairs",
     "curation_pipeline",
     "corpus_curation_app",
     "doc_dedup_spans",

@@ -103,3 +103,56 @@ def hot_keys(
         .collect()
     )
     return [r[key] for r in rows]
+
+
+def zorder_cluster_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    n_files: int = 16,
+    x_range: tuple[float, float] = (-180.0, 180.0),
+    y_range: tuple[float, float] = (-90.0, 90.0),
+) -> None:
+    """Third layout complement: MULTI-dimensional data skipping by Z-order
+    clustering (the Delta/Iceberg OPTIMIZE ZORDER shape, in plain parquet).
+
+    Rows are range-partitioned then sorted by the Morton interleave of the
+    quantized (x, y), so each output file — and each row group inside it —
+    covers a compact Z-run, i.e. a small spatial rectangle. Parquet already
+    keeps per-row-group min/max statistics on x and y; once the layout is
+    Z-clustered those statistics become TIGHT, and any engine's stock
+    stats-based pruning skips the row groups whose rectangle misses a bbox
+    predicate. No index structure, no custom reader — the speedup is pure
+    physical layout, which is exactly what survives a 1000-executor scan of
+    100 TB (a single-column sort would only make ONE of the two predicates
+    selective; the interleave shares the selectivity between both).
+
+    One range-exchange + in-partition sort at write time; the sort key is
+    dropped from the stored schema."""
+    from osmesa_spark.functions.geo import zorder
+
+    n = 1 << bits
+    span_x = x_range[1] - x_range[0]
+    span_y = y_range[1] - y_range[0]
+    qx = F.least(
+        F.greatest(
+            F.floor((F.col(x_col) - x_range[0]) / span_x * n), F.lit(0)
+        ),
+        F.lit(n - 1),
+    )
+    qy = F.least(
+        F.greatest(
+            F.floor((F.col(y_col) - y_range[0]) / span_y * n), F.lit(0)
+        ),
+        F.lit(n - 1),
+    )
+    (
+        df.withColumn("_zkey", zorder(qx, qy, bits=bits))
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -149,6 +149,39 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "price_quantiles_sketch",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_disc(l_extendedprice, 0.5), 4)  AS p50,
+           ROUND(quantile_disc(l_extendedprice, 0.9), 4)  AS p90,
+           ROUND(quantile_disc(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="MERGEABLE quantile sketch per group — percentile_approx "
+    "(Greenwald-Khanna summaries): memory is O(accuracy·log n) per group "
+    "regardless of cardinality and partial sketches merge map-side, which "
+    "is THE 100 TB quantile path (exact F.percentile holds per-group "
+    "value buffers). Discrete convention (returns actual data elements, "
+    "≡ quantile_disc); at accuracy ≥ group row count — true at the "
+    "oracle's test scale — GK degenerates to exact order statistics, so "
+    "the hash oracle is exact, while production drops accuracy to trade "
+    "error for memory (documented one-sided ε·n rank bound)",
+)
+def q_price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        F.lit(1_000_000),
+    )
+    return li.groupBy("l_returnflag").agg(q.alias("q")).select(
+        "l_returnflag",
+        F.round(F.col("q")[0], 4).alias("p50"),
+        F.round(F.col("q")[1], 4).alias("p90"),
+        F.round(F.col("q")[2], 4).alias("p99"),
+    )
+
+
+@register(
     "rollup_pricing",
     """
     SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
@@ -4500,6 +4533,40 @@ def q_embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_rp",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    p AS (SELECT vec_id,
+                 [{", ".join(_rp_comps_sql())}] AS pv
+          FROM v),
+    rq AS (SELECT vec_id AS query_id, pv AS qp FROM p WHERE vec_id < 8),
+    rscored AS (
+        SELECT rq.query_id, p.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qp, p.pv)
+                     / GREATEST(sqrt(list_dot_product(qp, qp))
+                                * sqrt(list_dot_product(p.pv, p.pv)), 1e-12),
+                     6) AS cos
+        FROM rq JOIN p ON rq.query_id <> p.vec_id)
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM rscored) WHERE rank <= 5
+    """,
+    doc="top-k cosine in the JL-projected space — the compression ANN "
+    "probe: every candidate still scored, but at d_out/dim of the "
+    "arithmetic and scan bytes (project once, persist short vectors). "
+    "Same broadcast-probe shape as knn_bruteforce; oracle replays the "
+    "bit-exact projection then ranks (similarity extension)",
+)
+def q_knn_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    return sim.knn_rp(e, q, _RP_SIGNS, k=5)
+
+
+@register(
     "ann_recall_rp",
     f"""
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -4805,57 +4872,52 @@ DRIVER_PRIORITY = [
     "osm_relation_members_deep",
     "osm_relation_assembly",
     "osm_relation_assembly_deep",
-    # new or changed this round — need fresh driver evidence
-    "knn_pq",
-    "ann_recall_pq",
-    "doc_bpe_train",
-    "doc_bpe_segment",
-    "mixture_sample",
-    "weighted_sample_quality",
-    "corpus_curation_app",
-    "neardup_winnow_pairs",
-    "ann_recall_ivfpq",
-    "multimodal_audio_stats",
-    "doc_hashed_features",
-    "corpus_profile",
-    "hard_negatives",
+    # new or changed THIS round (r6) — need fresh driver evidence
+    "multimodal_phash_pairs",
+    "embedding_rp_project",
+    "knn_rp",
+    "ann_recall_rp",
+    "price_quantiles_sketch",
     "cms_heavy_users",
-    "embedding_pq_codes",
-    "knn_ivfpq",
-    "building_match",
-    "user_cardinality_approx",
-    "dedup_components",
-    "dedup_cluster_stats",
+    "corpus_curation_app",
     # driver evidence is round 2 only — rotate back in
-    "price_quantiles",
-    "rollup_pricing",
-    "event_tumbling_rollup",
-    "event_sliding_rollup",
-    "distinct_user_types",
-    "explode_membership_join",
-    "sequence_rollup",
-    "doc_bpe_tokens",
-    "doc_tfidf_top_terms",
-    "dataset_split",
-    "stratified_sample",
     "dedup_keep_best",
     "doc_pack_assignment",
-    "pii_scrub",
     "embedding_label_stats",
+    "pii_scrub",
+    "stratified_sample",
     "word_frequencies",
-    # oldest round-3 cohort
-    "asof_click_attribution",
+    # round-3 cohort, oldest first by risk (kernels/joins before pure aggs)
     "kmeans_clusters",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",
     "minhash_lsh_pairs",
     "neardup_cosine",
+    "neardup_sparse_cosine",
     "decontaminate_overlap",
     "doc_dup_ngram_fraction",
     "ann_recall_lsh",
+    "asof_click_attribution",
     "changeset_stats",
+    "comments_assembly",
+    "curation_pipeline",
+    "doc_bm25_topk",
+    "doc_winnow_fingerprints",
+    "embedding_quantize",
+    # below this line: spills past the 50-slot window, next in line for r7
+    "haversine_user_path",
+    "kv_map_assembly",
+    "map_merge_simplify",
+    "doc_bigram_topk",
+    "doc_token_entropy",
+    "pricing_summary",
+    "right_outer_parts",
+    "source_mix_weights",
     "supplier_region_rollup",
+    "tile_histogram",
+    "tokenizer_fertility",
+    "user_statistics",
 ]
 
 

@@ -77,3 +77,65 @@ def test_hot_keys_detects_skew(spark):
     )
     hot = C.hot_keys(df, "k", threshold_fraction=0.5)
     assert hot == [42]
+
+
+def test_zorder_cluster_write_enables_row_group_skipping(spark, tmp_path):
+    """Z-order clustering must make parquet row-group min/max stats
+    spatially TIGHT: a small bbox predicate prunes most row groups of the
+    clustered layout while the same predicate prunes (nearly) nothing of a
+    hash-distributed layout — and both layouts return identical rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    # deterministic synthetic points spread over the globe
+    pts = spark.range(100_000).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(36000)) / 100.0 - 180.0)
+        .alias("lon"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(18000)) / 100.0
+         - 90.0).alias("lat"),
+    )
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    C.zorder_cluster_write(pts, clustered, "lon", "lat", bits=8, n_files=16)
+    pts.repartition(16).write.parquet(plain)
+
+    bbox = (10.0, 20.0, 30.0, 40.0)  # lon_min, lat_min, lon_max, lat_max
+
+    def surviving_row_groups(root: str) -> tuple[int, int]:
+        total = kept = 0
+        for f in glob.glob(f"{root}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            cols = {
+                meta.row_group(0).column(i).path_in_schema: i
+                for i in range(meta.num_columns)
+            }
+            for g in range(meta.num_row_groups):
+                rg = meta.row_group(g)
+                lo = rg.column(cols["lon"]).statistics
+                la = rg.column(cols["lat"]).statistics
+                total += 1
+                if (lo.max >= bbox[0] and lo.min <= bbox[2]
+                        and la.max >= bbox[1] and la.min <= bbox[3]):
+                    kept += 1
+        return kept, total
+
+    kept_c, total_c = surviving_row_groups(clustered)
+    kept_p, total_p = surviving_row_groups(plain)
+    assert total_c >= 8 and total_p >= 8
+    # hash layout: every row group spans the globe -> nothing prunes
+    assert kept_p == total_p
+    # z-clustered: the bbox covers ~0.6% of the area; at 16 z-runs the
+    # overwhelming majority of row groups must fall outside it
+    assert kept_c <= total_c // 4, (kept_c, total_c)
+
+    cond = (
+        (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+    )
+    got_c = sorted(r["id"] for r in
+                   spark.read.parquet(clustered).where(cond).collect())
+    got_p = sorted(r["id"] for r in
+                   spark.read.parquet(plain).where(cond).collect())
+    assert got_c == got_p and len(got_c) > 0

@@ -17,6 +17,7 @@ PYTHON_OK = {
     "multimodal_frames",
     "multimodal_resize",
     "multimodal_audio_stats",
+    "multimodal_phash_pairs",
     "building_match",
     "building_match_volume",
     "osm_relation_assembly",
@@ -156,6 +157,37 @@ def test_embedding_quantize_no_shuffle(spark):
     df = Q.registry()["embedding_quantize"].spark(spark, SF_CORRECT)
     a = assert_scaleable(df, allow_python=False)
     assert a.exchanges == 0, f"expected 0 exchanges, plan has {a.exchanges}"
+
+
+def test_rp_projection_no_shuffle(spark):
+    """JL random projection is a pure projection — zero exchanges, no
+    Python, scan pruned to (vec_id, embedding)."""
+    df = Q.registry()["embedding_rp_project"].spark(spark, SF_CORRECT)
+    a = assert_scaleable(df, allow_python=False, max_scan_cols=2)
+    assert a.exchanges == 0, f"expected 0 exchanges, plan has {a.exchanges}"
+
+
+def test_ann_recall_rp_stays_jvm_side(spark):
+    """The RP recall eval composes two broadcast-probe knns — all-Column,
+    query sides broadcast, probe sides spread."""
+    df = Q.registry()["ann_recall_rp"].spark(spark, SF_CORRECT)
+    a = assert_scaleable(df, allow_python=False)
+    assert a.broadcast_joins >= 2, f"query sides not broadcast: {a.broadcast_joins}"
+
+
+def test_phash_single_kernel_pass(spark):
+    """The dHash pipeline must run its fused decode→thumbnail kernel ONCE:
+    fingerprints flow into the band groupBy as one narrow shuffle — a
+    second MapInPandas would re-decode the corpus per band."""
+    from osmesa_spark.plans import audit_plan as _audit
+
+    df = Q.registry()["multimodal_phash_pairs"].spark(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, (
+        f"expected exactly 1 kernel stage:\n{plan}"
+    )
+    a = _audit(df)
+    assert a.cartesian_products == 0
 
 
 def test_every_registry_query_documented_in_coverage():
