@@ -68,6 +68,7 @@ HEADLINE = [
     "multimodal_phash_pairs",
     "curation_pipeline",
     "corpus_curation_app",
+    "neardup_dedup_app",
     "doc_dedup_spans",
     "incremental_new_docs",
     "doc_lm_nll",

@@ -347,3 +347,74 @@ def curate_training_corpus(
         .join(packs.withColumnRenamed("id", "doc_id"), "doc_id")
         .select("doc_id", "lang", "quality", "n_tokens", "pack_id")
     )
+
+
+def neardup_dedup_corpus(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """End-to-end NEAR-duplicate corpus dedup — the fuzzy counterpart of
+    `curate_training_corpus`'s exact-dedup stage (the RefinedWeb-family
+    chain):
+
+      1. MinHash signatures → banded LSH candidates (one signature pass,
+         candidate surface bounded per bucket);
+      2. exact n-gram Jaccard verification of candidates only;
+      3. connected components over the verified pair graph (star kernel
+         past the propagation budget — diameter-proof);
+      4. per-cluster representative: highest quality score (rounded 4dp so
+         the argmax is engine-portable), ties to the lowest id.
+
+    Returns per-doc verdicts (doc_id, lang, component, n_members, quality,
+    kept): `kept` marks the cluster representative every downstream
+    training pipeline retains; singletons keep themselves. Scale shape:
+    every stage is the already-audited operator; the labeling joins are id-
+    and component-keyed equi-joins sized by the optimizer (the best-table
+    is O(#clusters) and broadcasts while it fits)."""
+    from osmesa_spark.functions.text import quality_score
+    from osmesa_spark.operators import dedup as dd
+
+    sigs = dd.minhash_signatures(docs, num_hashes=num_hashes)
+    cand = dd.lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band
+    )
+    verified = dd.jaccard_verify(docs, cand, threshold=threshold)
+    comp = dd.connected_components(verified.select("id_a", "id_b"))
+    scored = docs.select(
+        "doc_id", "lang", F.round(quality_score("text"), 4).alias("quality")
+    )
+    labeled = (
+        scored.join(comp, scored.doc_id == comp.node, "left")
+        .select(
+            "doc_id", "lang", "quality",
+            F.coalesce("component_id", F.col("doc_id")).alias("component"),
+        )
+    )
+    best = (
+        labeled.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("b"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component",
+            (-F.col("b.neg_id")).cast("bigint").alias("keep_id"),
+            "n_members",
+        )
+    )
+    return labeled.join(best, "component").select(
+        "doc_id",
+        "lang",
+        "component",
+        "n_members",
+        "quality",
+        (F.col("doc_id") == F.col("keep_id")).alias("kept"),
+    )

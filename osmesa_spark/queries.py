@@ -2517,6 +2517,83 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_dedup_app",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
+    banded AS ({_band_bucket_sql(4, 4)}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    shd AS (SELECT doc_id, list_distinct(shs) AS shs FROM sh),
+    verified AS (
+        SELECT id_a, id_b
+        FROM cand JOIN shd x ON cand.id_a = x.doc_id
+                  JOIN shd y ON cand.id_b = y.doc_id
+        WHERE ROUND(len(list_intersect(x.shs, y.shs))
+              / GREATEST(len(list_distinct(list_concat(x.shs, y.shs))),
+                         1)::DOUBLE, 4) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM verified
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM verified),
+    reach(node, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node),
+    comp AS (SELECT node, MIN(lab) AS component_id FROM reach GROUP BY node),
+    q AS (
+        SELECT doc_id,
+               ROUND(
+                 (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / GREATEST(length(text), 1)) * 0.5
+                 + (CASE WHEN length(text)
+                              / GREATEST(len(regexp_split_to_array(
+                                             trim(text), '\\s+')), 1)
+                              BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) * 0.25
+                 + LEAST((len(regexp_extract_all(lower(text),
+                       '\\b(the|and|of|to|in|a|is|for)\\b', 1))
+                      / GREATEST(len(regexp_split_to_array(
+                                     trim(text), '\\s+')), 1)) * 5.0,
+                     1.0) * 0.25,
+               4) AS quality
+        FROM documents),
+    labeled AS (
+        SELECT d.doc_id, d.lang, q.quality,
+               COALESCE(c.component_id, d.doc_id) AS component
+        FROM documents d JOIN q USING (doc_id)
+        LEFT JOIN comp c ON c.node = d.doc_id),
+    best AS (
+        SELECT component, doc_id AS keep_id FROM (
+            SELECT component, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY quality DESC, doc_id ASC)
+                       AS rn
+            FROM labeled) WHERE rn = 1),
+    sizes AS (SELECT component, COUNT(*)::BIGINT AS n_members
+              FROM labeled GROUP BY component)
+    SELECT l.doc_id, l.lang, l.component, s.n_members, l.quality,
+           (l.doc_id = b.keep_id) AS kept
+    FROM labeled l
+    JOIN best b USING (component)
+    JOIN sizes s USING (component)
+    """,
+    doc="end-to-end NEAR-duplicate corpus dedup app (RefinedWeb-family "
+    "chain): MinHash→banded LSH candidates→exact Jaccard verify→connected "
+    "components (star kernel past the propagation budget)→highest-quality "
+    "representative per cluster. Per-doc verdicts with `kept` marking the "
+    "retained representative; singletons keep themselves. Every stage is "
+    "the already-audited operator; composition hash-checked as one row "
+    "(training-data extension; oracle = recursive closure + window argmax)",
+)
+def q_neardup_dedup_app(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.apps import neardup_dedup_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return neardup_dedup_corpus(d, threshold=0.5)
+
+
+@register(
     "knn_bruteforce",
     """
     WITH q AS (SELECT vec_id AS query_id,
@@ -4878,6 +4955,7 @@ DRIVER_PRIORITY = [
     "knn_rp",
     "ann_recall_rp",
     "price_quantiles_sketch",
+    "neardup_dedup_app",
     "cms_heavy_users",
     "corpus_curation_app",
     # driver evidence is round 2 only — rotate back in

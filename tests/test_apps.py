@@ -293,3 +293,46 @@ def test_curate_training_corpus_end_to_end(spark):
             )
     for r in rows:
         assert r["pack_id"] >= 0 and (r["pack_id"] >> 32) < 64
+
+
+def test_neardup_dedup_corpus_keeps_best_per_cluster(spark):
+    """Crafted corpus: three near-identical docs (one clearly
+    higher-quality), one exact twin pair, two unrelated singletons. The
+    app must cluster the near-dups, keep exactly one representative per
+    cluster (the best-quality one, ties to lowest id), and mark singletons
+    as their own kept representatives."""
+    base = ("the quick brown fox jumps over the lazy dog and then the fox "
+            "runs away into the woods for a while ")
+    rows = [
+        (1, base * 3, "en"),
+        (2, base * 3 + "zq", "en"),           # near-dup of 1
+        (3, base * 3 + "xj kv", "en"),        # near-dup of 1
+        (10, "short words only here " * 10, "en"),
+        (11, "short words only here " * 10, "en"),  # exact twin of 10
+        (20, "0101 1010 0110 1001 " * 20, "xx"),    # unrelated singleton
+        (21, "completely different prose about sailing ships and the sea "
+             * 5, "en"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in A.neardup_dedup_corpus(d).collect()}
+    assert len(out) == len(rows)
+
+    # docs 1,2,3 share a component; exactly one kept
+    comp123 = {out[i]["component"] for i in (1, 2, 3)}
+    assert len(comp123) == 1
+    kept123 = [i for i in (1, 2, 3) if out[i]["kept"]]
+    assert len(kept123) == 1
+    assert out[kept123[0]]["n_members"] == 3
+    # the kept doc has the max (quality, -id) in its cluster
+    best = max((out[i]["quality"], -i) for i in (1, 2, 3))
+    assert (out[kept123[0]]["quality"], -kept123[0]) == best
+
+    # exact twins cluster together, lower id wins the quality tie
+    assert out[10]["component"] == out[11]["component"]
+    assert out[10]["kept"] and not out[11]["kept"]
+    assert out[10]["n_members"] == 2
+
+    # singletons keep themselves
+    for i in (20, 21):
+        assert out[i]["n_members"] == 1 and out[i]["kept"]
+        assert out[i]["component"] == i
