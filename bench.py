@@ -93,6 +93,7 @@ HEADLINE = [
     "osm_tile_pyramid",
     "osm_user_statistics",
     "osm_relation_assembly_deep",
+    "osm_coedit_pagerank",
 ]
 
 

@@ -4949,6 +4949,7 @@ DRIVER_PRIORITY = [
     "osm_relation_members_deep",
     "osm_relation_assembly",
     "osm_relation_assembly_deep",
+    "osm_coedit_pagerank",
     # new or changed THIS round (r6) — need fresh driver evidence
     "multimodal_phash_pairs",
     "embedding_rp_project",

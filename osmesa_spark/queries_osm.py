@@ -1418,6 +1418,15 @@ def register_osm_queries(register) -> None:
         "oracle derived from the plain assembly SQL by swapping only the "
         "vertex-resolution CTE, so the cycle model cannot drift",
     )(osm_relation_assembly_deep)
+    register(
+        "osm_coedit_pagerank",
+        _pagerank_sql(),
+        doc="iterative graph analytics: 3 damped PageRank rounds over the "
+        "user co-edit graph, expressed as UNROLLED joins + partial aggs "
+        "(star-CC discipline, no per-element driver work); per-round 9dp "
+        "rounding quantizes away cross-engine float-sum ordering; oracle "
+        "unrolls the identical rounds as CTEs (graph-analytics extension)",
+    )(osm_coedit_pagerank)
 
 
 SNAPSHOT_T = "2023-03-15 00:00:00"
@@ -1456,3 +1465,132 @@ OSM_SNAPSHOT_ASOF_SQL = f"""
       AND COALESCE(valid_until > TIMESTAMP '{SNAPSHOT_T}', TRUE)
       AND visible
 """
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics: PageRank over the co-editor graph
+# ---------------------------------------------------------------------------
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def osm_coedit_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user co-edit graph — the iterative-algorithm
+    family expressed as UNROLLED joins (the same discipline as the star-CC
+    kernel: per-round plans are joins + partial aggs, nothing driver-side
+    per element).
+
+    Graph: an undirected edge links a way's author to the authors of the
+    nodes the way references (nds explode → node-id equi-join, the
+    inverted-index shape of `osm_way_reconstruction`) — the collaboration
+    signal that a way build depends on someone else's node work.
+    Symmetrizing means no dangling nodes, so no dangling-mass
+    redistribution term is needed. Three damped rounds
+    (d=0.85): pr' = (1−d)/N + d·Σ pr(v)/deg(v); every round's output is
+    rounded to 9dp so cross-engine float-sum ordering noise is quantized
+    away (the kmeans rounding discipline).
+
+    Scale shape: deg and the per-round contribution are (node)-keyed
+    partial aggs; the N scalar is a broadcast single-row aggregate; a
+    convergence-loop variant would localCheckpoint per round exactly like
+    `connected_components_star`. Fixed-round unrolling keeps the whole
+    thing one Catalyst plan (and one SQL statement for the oracle)."""
+    h = _history(spark)
+    ways = (
+        h.where(F.col("type") == "way")
+        .select("uid", F.explode("nds").alias("ref"))
+        .distinct()
+    )
+    nodes_auth = (
+        h.where(F.col("type") == "node").select("id", "uid").distinct()
+    )
+    directed = (
+        ways.join(
+            nodes_auth.select(
+                F.col("id").alias("ref"), F.col("uid").alias("nuid")
+            ),
+            "ref",
+        )
+        .where(F.col("uid") != F.col("nuid"))
+        .select(F.col("uid").alias("s"), F.col("nuid").alias("d"))
+    )
+    pairs = (
+        directed.unionByName(
+            directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        .distinct()
+    )
+    deg = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = pairs.select(F.col("s").alias("uid")).distinct()
+    nsc = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(nsc)).select(
+        "uid", F.round(F.lit(1.0) / F.col("n"), 9).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            pairs.join(deg, "s")
+            .join(pr.select(F.col("uid").alias("s"), "pr"), "s")
+            .groupBy("d")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+            .withColumnRenamed("d", "uid")
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nsc))
+            .join(contrib, "uid", "left")
+            .select(
+                "uid",
+                F.round(
+                    F.lit(1.0 - _PR_DAMPING) / F.col("n")
+                    + F.lit(_PR_DAMPING) * F.coalesce("c", F.lit(0.0)),
+                    9,
+                ).alias("pr"),
+            )
+        )
+    return pr.join(deg, pr.uid == deg.s).select(
+        "uid",
+        F.col("deg").cast("bigint").alias("degree"),
+        F.round("pr", 6).alias("pagerank"),
+    )
+
+
+def _pagerank_sql() -> str:
+    rounds = []
+    prev = "pr0"
+    for i in range(1, _PR_ITERS + 1):
+        rounds.append(f"""
+    c{i} AS (
+        SELECT p.d, SUM(pr.pr / deg.deg) AS c
+        FROM pairs p JOIN deg ON deg.s = p.s
+        JOIN {prev} pr ON pr.uid = p.s
+        GROUP BY p.d),
+    pr{i} AS (
+        SELECT nodes.uid,
+               ROUND({1.0 - _PR_DAMPING!r} / n.n
+                     + {_PR_DAMPING!r} * COALESCE(c{i}.c, 0.0), 9) AS pr
+        FROM nodes CROSS JOIN n LEFT JOIN c{i} ON c{i}.d = nodes.uid)""")
+        prev = f"pr{i}"
+    return f"""
+    WITH ways AS (
+        SELECT DISTINCT uid, unnest(nds) AS ref
+        FROM read_parquet('{_HISTORY}') WHERE type = 'way'),
+    nodes_auth AS (
+        SELECT DISTINCT id, uid FROM read_parquet('{_HISTORY}')
+        WHERE type = 'node'),
+    directed AS (
+        SELECT w.uid AS s, n.uid AS d
+        FROM ways w JOIN nodes_auth n ON n.id = w.ref
+        WHERE w.uid <> n.uid),
+    pairs AS (
+        SELECT DISTINCT s, d FROM (
+            SELECT s, d FROM directed
+            UNION ALL
+            SELECT d AS s, s AS d FROM directed)),
+    deg AS (SELECT s, COUNT(*)::BIGINT AS deg FROM pairs GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS uid FROM pairs),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+    pr0 AS (SELECT uid, ROUND(1.0 / n.n, 9) AS pr
+            FROM nodes CROSS JOIN n),{",".join(rounds)}
+    SELECT {prev}.uid, deg.deg AS degree, ROUND({prev}.pr, 6) AS pagerank
+    FROM {prev} JOIN deg ON deg.s = {prev}.uid
+    """
