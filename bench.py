@@ -55,6 +55,7 @@ HEADLINE = [
     "knn_pq",
     "knn_ivfpq",
     "knn_rp",
+    "ivf_append",
     "ann_recall_lsh",
     "ann_recall_pq",
     "ann_recall_rp",

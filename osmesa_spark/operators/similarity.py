@@ -1129,3 +1129,46 @@ def knn_rp(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign vectors to FIXED centroids — the incremental-index append
+    path: a new corpus slice joins an already-trained IVF/SemDeDup
+    partitioning without retraining (or re-touching) the base corpus.
+
+    Same semantics as `kmeans_lloyd`'s assignment round (squared-L2
+    rounded to `round_to`, ties to the lowest cluster id), but because the
+    centroids are plan literals the whole thing is a pure-Column
+    projection — k·dim multiply-adds per row, no shuffle, no Python, and
+    an external oracle can replay it exactly. Distances fold through
+    `zip_with` + `aggregate` lambdas (left-to-right, the list_sum order)
+    rather than k·dim unrolled expression nodes — the unrolled form blows
+    janino's 64 KB generated-method limit and falls back to interpreted
+    eval; the HOF form stays compiled. argmin = array_min over
+    (dist, cid) structs: lexicographic struct ordering IS the
+    first-minimum tie-break."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = []
+    for cid, cent in sorted(centroids):
+        lits = F.array(*[F.lit(float(c)) for c in cent])
+        d = F.round(
+            F.aggregate(
+                F.zip_with(v, lits, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_to,
+        )
+        dists.append(
+            F.struct(d.alias("d"), F.lit(int(cid)).alias("cid"))
+        )
+    best = F.array_min(F.array(*dists))
+    return df.select(
+        F.col(id_col), best["cid"].cast("int").alias("cluster")
+    )

@@ -3970,6 +3970,59 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_lloyd(e, k=4, iters=2, seed=29).orderBy("vec_id")
 
 
+@register(
+    "ivf_append",
+    f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings),
+    base AS (SELECT * FROM v WHERE vec_id < 400),
+    s AS (
+        SELECT v, row_number() OVER (ORDER BY
+                   ('0x' || substr(md5('29:' || vec_id::VARCHAR), 1, 15))::BIGINT,
+                   vec_id) - 1 AS cid
+        FROM base QUALIFY cid <= 3),
+    a1 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT base.vec_id, base.v, s.cid,
+                   row_number() OVER (PARTITION BY base.vec_id ORDER BY
+                       {_KM_DIST.format(a="base.v", b="s.v")}, s.cid) AS rn
+            FROM base, s) t WHERE rn = 1),
+    c1 AS (
+        SELECT cid, list(rv ORDER BY pos) AS v FROM (
+            SELECT cid, pos, round(avg(val), 6) AS rv FROM (
+                SELECT cid, unnest(v) AS val,
+                       generate_subscripts(v, 1) AS pos FROM a1) u
+            GROUP BY cid, pos) g
+        GROUP BY cid),
+    newv AS (SELECT * FROM v WHERE vec_id >= 400),
+    a2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT newv.vec_id, c1.cid,
+                   row_number() OVER (PARTITION BY newv.vec_id ORDER BY
+                       {_KM_DIST.format(a="newv.v", b="c1.v")}, c1.cid) AS rn
+            FROM newv, c1) t WHERE rn = 1)
+    SELECT vec_id, cid::INT AS cluster FROM a2 ORDER BY vec_id
+    """,
+    doc="incremental IVF index append: the coarse quantizer trains ONCE on "
+    "the base corpus (vec_id < 400, kmeans_lloyd k=4), then a NEW corpus "
+    "slice is assigned to the frozen centroids with kmeans_assign — a "
+    "pure-Column literal-distance argmin projection, no shuffle, no "
+    "Python, base corpus untouched. The operational path that keeps a "
+    "100 TB ANN index fresh under daily appends without retraining; "
+    "oracle replays training on the base slice and the literal argmin on "
+    "the new slice (similarity extension)",
+)
+def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") < 400)
+    new = e.where(F.col("vec_id") >= 400)
+    _, cents = sim.kmeans_lloyd(
+        base, k=4, iters=2, seed=29, return_centroids=True
+    )
+    return sim.kmeans_assign(new, cents).orderBy("vec_id")
+
+
 # SemDeDup cluster sizing: k grows with corpus size so the blocked
 # self-join's pair count stays O(N * target_cluster) instead of O(N²/k_const).
 # target 125 at fixture scale keeps k=4 at sf0.01 (N=500), matching the
@@ -4957,6 +5010,7 @@ DRIVER_PRIORITY = [
     "ann_recall_rp",
     "price_quantiles_sketch",
     "neardup_dedup_app",
+    "ivf_append",
     "cms_heavy_users",
     "corpus_curation_app",
     # driver evidence is round 2 only — rotate back in

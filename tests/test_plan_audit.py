@@ -159,6 +159,17 @@ def test_embedding_quantize_no_shuffle(spark):
     assert a.exchanges == 0, f"expected 0 exchanges, plan has {a.exchanges}"
 
 
+def test_ivf_append_is_pure_projection(spark):
+    """The incremental-append assignment must be a zero-exchange,
+    zero-Python literal-distance projection over the NEW slice only (the
+    trainer's jobs run at plan-build; the executed plan touches nothing
+    but the appended rows)."""
+    df = Q.registry()["ivf_append"].spark(spark, SF_CORRECT)
+    a = assert_scaleable(df, allow_python=False, max_scan_cols=2)
+    # one range-sort exchange from the deterministic orderBy is allowed
+    assert a.exchanges <= 1, f"expected <=1 exchange, plan has {a.exchanges}"
+
+
 def test_rp_projection_no_shuffle(spark):
     """JL random projection is a pure projection — zero exchanges, no
     Python, scan pruned to (vec_id, embedding)."""
