@@ -2517,6 +2517,94 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_calibration",
+    f"""
+    WITH {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
+    banded AS ({_band_bucket_sql(4, 4)}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    shd AS (SELECT doc_id, list_distinct(shs) AS shs FROM sh),
+    est AS (
+        SELECT cand.id_a, cand.id_b,
+               ROUND(({" + ".join(
+                   f"(a.h{i} = b.h{i})::INT" for i in range(16))})
+                     / 16.0, 4) AS est_jaccard
+        FROM cand JOIN sigs a ON a.doc_id = cand.id_a
+                  JOIN sigs b ON b.doc_id = cand.id_b),
+    exact AS (
+        SELECT cand.id_a, cand.id_b,
+               ROUND(len(list_intersect(x.shs, y.shs))
+                     / GREATEST(len(list_distinct(list_concat(x.shs, y.shs))),
+                                1)::DOUBLE, 4) AS jaccard
+        FROM cand JOIN shd x ON cand.id_a = x.doc_id
+                  JOIN shd y ON cand.id_b = y.doc_id)
+    SELECT est.id_a, est.id_b, est.est_jaccard, exact.jaccard,
+           ROUND(ABS(est.est_jaccard - exact.jaccard), 4) AS abs_err
+    FROM est JOIN exact USING (id_a, id_b)
+    """,
+    doc="MinHash estimator calibration: per LSH candidate pair, the "
+    "signature-agreement estimate (matching slots / num_hashes — the "
+    "unbiased MinHash Jaccard estimator) against the exact n-gram "
+    "Jaccard, with the absolute error. The measurement loop that sizes "
+    "num_hashes/bands before trusting the sketch at corpus scale — the "
+    "sketch-tuning counterpart of ann_recall_*; signature equality is a "
+    "16-slot zip fold, exact Jaccard only runs on the bounded candidate "
+    "set (dedup-evaluation extension)",
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.functions.text import shingles as _shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=16)
+    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    shd = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(_shingles("text", 3)).alias("shs"),
+    )
+    per = sigs.join(shd, "id")
+    sides = cand.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
+    )
+    joined = (
+        sides.join(per, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("id") == F.col("id_a"),
+                       F.struct("sig", "shs")),
+                ignorenulls=True,
+            ).alias("a"),
+            F.first(
+                F.when(F.col("id") == F.col("id_b"),
+                       F.struct("sig", "shs")),
+                ignorenulls=True,
+            ).alias("b"),
+        )
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("a.shs", "b.shs")).cast("double")
+    union = F.size(F.array_union("a.shs", "b.shs")).cast("double")
+    est = F.round(matches / F.lit(16.0), 4)
+    jac = F.round(inter / F.greatest(union, F.lit(1.0)), 4)
+    return joined.select(
+        "id_a",
+        "id_b",
+        est.alias("est_jaccard"),
+        jac.alias("jaccard"),
+        F.round(F.abs(est - jac), 4).alias("abs_err"),
+    )
+
+
+@register(
     "neardup_dedup_app",
     f"""
     WITH RECURSIVE {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
@@ -5011,6 +5099,7 @@ DRIVER_PRIORITY = [
     "price_quantiles_sketch",
     "neardup_dedup_app",
     "ivf_append",
+    "minhash_calibration",
     "cms_heavy_users",
     "corpus_curation_app",
     # driver evidence is round 2 only — rotate back in
