@@ -306,23 +306,28 @@ def run_streaming_metadata_to_jdbc(
     sink = JdbcStatsSink(db_path)
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        sink.upsert_users(
-            batch.select(FF.col("uid").alias("id"), "user").withColumnRenamed(
-                "user", "name"
+        # one materialization: four actions below would otherwise re-run
+        # the micro-batch source plan four times (stats_stream sink note)
+        mat = batch.localCheckpoint(eager=True)
+        try:
+            if mat.isEmpty():
+                return
+            sink.upsert_users(
+                mat.select(FF.col("uid").alias("id"), "user")
+                .withColumnRenamed("user", "name")
             )
-        )
-        # scala:110-111 merges hashtags(comment) with the dedicated
-        # tags['hashtags'] list — both sources feed the dictionary.
-        tags = batch.select(
-            FF.explode(changeset_hashtags(FF.col("tags"))).alias("hashtag")
-        )
-        if not tags.isEmpty():
-            sink.upsert_hashtags(tags)
-        max_seq = batch.agg(FF.max("sequence")).first()[0]
-        if max_seq is not None:
-            sink.save_checkpoint(proc_name, int(max_seq))
+            # scala:110-111 merges hashtags(comment) with the dedicated
+            # tags['hashtags'] list — both sources feed the dictionary.
+            tags = mat.select(
+                FF.explode(changeset_hashtags(FF.col("tags"))).alias("hashtag")
+            )
+            if not tags.isEmpty():
+                sink.upsert_hashtags(tags)
+            max_seq = mat.agg(FF.max("sequence")).first()[0]
+            if max_seq is not None:
+                sink.save_checkpoint(proc_name, int(max_seq))
+        finally:
+            mat.unpersist()
 
     return (
         meta_stream.writeStream.outputMode("append")
@@ -349,28 +354,34 @@ def run_streaming_stats_to_jdbc(
     sink = JdbcStatsSink(db_path)
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        prepared = batch.select(
-            F.col("changeset").alias("id"),
-            F.col("counts").cast("map<string,bigint>").alias("counts"),
-            "measurements",
-            F.col("total_edits").cast("bigint"),
-            F.array(F.col("sequence")).cast("array<int>").alias(
-                "augmented_diffs"
-            ),
-        )
-        sink.upsert_stats(prepared)
-        # Checkpointing past max(sequence) is safe because every upserted row
-        # carries a SINGLE-sequence augmented_diffs array (array(sequence)
-        # above) and upsert_stats pre-merges per (id, sequence-set): a
-        # redelivered sequence is skipped row-by-row by the overlap guard
-        # while unseen sequences in the same batch still apply, so shifted
-        # foreachBatch boundaries under at-least-once delivery cannot lose
-        # edits.
-        max_seq = batch.agg(F.max("sequence")).first()[0]
-        if max_seq is not None:
-            sink.save_checkpoint(proc_name, int(max_seq))
+        # one materialization: the stateful rollup would otherwise re-run
+        # for the emptiness probe, the upsert and the max-sequence agg
+        mat = batch.localCheckpoint(eager=True)
+        try:
+            if mat.isEmpty():
+                return
+            prepared = mat.select(
+                F.col("changeset").alias("id"),
+                F.col("counts").cast("map<string,bigint>").alias("counts"),
+                "measurements",
+                F.col("total_edits").cast("bigint"),
+                F.array(F.col("sequence")).cast("array<int>").alias(
+                    "augmented_diffs"
+                ),
+            )
+            sink.upsert_stats(prepared)
+            # Checkpointing past max(sequence) is safe because every
+            # upserted row carries a SINGLE-sequence augmented_diffs array
+            # (array(sequence) above) and upsert_stats pre-merges per
+            # (id, sequence-set): a redelivered sequence is skipped
+            # row-by-row by the overlap guard while unseen sequences in
+            # the same batch still apply, so shifted foreachBatch
+            # boundaries under at-least-once delivery cannot lose edits.
+            max_seq = mat.agg(F.max("sequence")).first()[0]
+            if max_seq is not None:
+                sink.save_checkpoint(proc_name, int(max_seq))
+        finally:
+            mat.unpersist()
 
     return (
         rolled.writeStream.outputMode("append")

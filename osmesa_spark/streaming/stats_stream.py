@@ -120,27 +120,56 @@ def run_streaming_stats_to_upsert(
     checkpoint_dir: str,
     proc_name: str = "augmented-diff-stats",
     countries: BBoxCountries | None = None,
+    observe_metrics: bool = False,
 ):
     """writeStream.foreachBatch → idempotent upsert + checkpoint row —
-    the full streaming sink chain (S7 + S10 semantics). Returns the query."""
+    the full streaming sink chain (S7 + S10 semantics). Returns the query.
+
+    `observe_metrics=True` attaches a Dataset.observe node at the
+    finalized-rollup point: per micro-batch, (finalized_groups, edits,
+    min_seq, max_seq) surface in the query's progress events
+    (`observedMetrics['stats_ingest']`) — the production keep-up /
+    lag dashboard feed. Metrics piggyback the existing batch plan as
+    accumulator-style aggregates: zero extra passes, zero extra shuffle,
+    and they observe AFTER the watermark so a stalled sequence shows up
+    as an empty-metrics batch rather than silently-retained state."""
     rolled = streaming_changeset_stats(diffs_stream, countries)
+    if observe_metrics:
+        rolled = rolled.observe(
+            "stats_ingest",
+            F.count(F.lit(1)).alias("finalized_groups"),
+            F.coalesce(F.sum("total_edits"), F.lit(0)).alias("edits"),
+            F.min("sequence").alias("min_seq"),
+            F.max("sequence").alias("max_seq"),
+        )
     table = ParquetUpsertTable(table_path)
     checkpoints = CheckpointTable(f"{table_path}/_checkpoints")
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        prepared = batch.select(
-            F.col("changeset").alias("id"),
-            F.col("counts").cast("map<string,bigint>").alias("counts"),
-            "measurements",
-            F.col("total_edits").cast("bigint"),
-            F.array(F.col("sequence")).cast("array<int>").alias("augmented_diffs"),
-        )
-        table.upsert_stats(prepared)
-        max_seq = batch.agg(F.max("sequence")).first()[0]
-        if max_seq is not None:
-            checkpoints.save(proc_name, int(max_seq))
+        # ONE materialization per micro-batch: the batch plan re-executes
+        # for every action inside foreachBatch (the emptiness probe, the
+        # upsert write and the max-sequence agg would otherwise run the
+        # stateful rollup three times — and fire any observe() metrics
+        # three times over)
+        mat = batch.localCheckpoint(eager=True)
+        try:
+            if mat.isEmpty():
+                return
+            prepared = mat.select(
+                F.col("changeset").alias("id"),
+                F.col("counts").cast("map<string,bigint>").alias("counts"),
+                "measurements",
+                F.col("total_edits").cast("bigint"),
+                F.array(F.col("sequence")).cast("array<int>").alias(
+                    "augmented_diffs"
+                ),
+            )
+            table.upsert_stats(prepared)
+            max_seq = mat.agg(F.max("sequence")).first()[0]
+            if max_seq is not None:
+                checkpoints.save(proc_name, int(max_seq))
+        finally:
+            mat.unpersist()
 
     return (
         rolled.writeStream.outputMode("append")

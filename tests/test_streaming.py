@@ -985,3 +985,57 @@ def test_sketch_table_migrates_legacy_layout(spark, tmp_path):
     # one sequence = 9 rows × depth 2 = 18 increments
     assert sum(after.values()) == sum(legacy.values()) + 18
     assert tbl._state()[1] == {1, 2}
+
+
+def test_streaming_observe_metrics_surface_in_progress(spark, dirs, tmp_path):
+    """observe_metrics=True: every committed micro-batch reports
+    (finalized_groups, edits, min_seq, max_seq) through observedMetrics in
+    the progress events — the keep-up dashboard feed — and the totals
+    reconcile with the batch rollup over the same fixture."""
+    good_stream, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"), streaming=True)
+    )
+    q = S.run_streaming_stats_to_upsert(
+        good_stream,
+        str(tmp_path / "obs_table"),
+        str(tmp_path / "obs_ckpt"),
+        countries=COUNTRIES,
+        observe_metrics=True,
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        processed = any(
+            p["numInputRows"] > 0 for p in (q.recentProgress or [])
+        )
+        if (
+            processed
+            and not q.status["isDataAvailable"]
+            and not q.status["isTriggerActive"]
+        ):
+            time.sleep(1)
+            if not q.status["isDataAvailable"]:
+                break
+        time.sleep(0.5)
+    metrics = [
+        p["observedMetrics"]["stats_ingest"]
+        for p in (q.recentProgress or [])
+        if "stats_ingest" in (p.get("observedMetrics") or {})
+    ]
+    q.stop()
+    nonempty = [m for m in metrics if m["finalized_groups"] > 0]
+    assert nonempty, f"no observed metrics in progress: {q.recentProgress}"
+    # totals reconcile with the bounded rollup (watermark finalizes all
+    # groups whose next sequence arrived; the final sequence's groups may
+    # stay open, so observed totals are a prefix of the batch totals)
+    good, _ = R.split_errors(
+        R.read_augmented_diffs(spark, str(dirs / "augdiffs"))
+    )
+    batch = S.streaming_changeset_stats(good, COUNTRIES)
+    batch_groups = batch.count()
+    batch_edits = batch.agg(F.sum("total_edits")).first()[0]
+    obs_groups = sum(m["finalized_groups"] for m in nonempty)
+    obs_edits = sum(m["edits"] for m in nonempty)
+    assert 0 < obs_groups <= batch_groups
+    assert 0 < obs_edits <= batch_edits
+    seqs = {s for m in nonempty for s in (m["min_seq"], m["max_seq"])}
+    assert all(s >= 1000 for s in seqs), seqs
