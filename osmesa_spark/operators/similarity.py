@@ -1068,15 +1068,19 @@ def random_projection(
     out_col: str = "rp",
 ) -> DataFrame:
     """Project `vec_col` to len(signs) dims: out_j = Σ_i s_ji·v_i / √d_out.
-    Pure-Column left-to-right chains, so an oracle generating the same
-    association order replays it IEEE-bit-exactly (±1 multiplies and the
-    power-of-two √16 = 4 scale are exact float ops).
+    Each component folds through `zip_with` + `aggregate` lambdas — the
+    same left-to-right association an oracle's list_sum / `+`-chain
+    replays, so results are IEEE-bit-exact (±1 multiplies and the
+    power-of-two √16 = 4 scale are exact float ops). The fold form
+    matters: unrolling d_out·dim expression nodes blows janino's 64 KB
+    generated-method limit and silently drops the whole stage to
+    interpreted eval (measured 25× slower on the kNN probe).
 
     Scale story: this is the cheap embedding-compression path — project
     once, persist the short vectors, and every downstream probe pays
     d_out/dim of the arithmetic and scan bytes (for the default 64→16,
     4×) while JL bounds the cosine distortion. A narrow projection, no
-    shuffle, whole-stage codegen."""
+    shuffle."""
     import math
 
     d_out = len(signs)
@@ -1084,11 +1088,15 @@ def random_projection(
     v = F.col(vec_col).cast("array<double>")
     comps = []
     for srow in signs:
-        expr = None
-        for i, s in enumerate(srow):
-            term = v[i] * F.lit(float(s))
-            expr = term if expr is None else expr + term
-        comps.append(expr / F.lit(scale))
+        s_arr = F.array(*[F.lit(float(s)) for s in srow])
+        comps.append(
+            F.aggregate(
+                F.zip_with(v, s_arr, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(scale)
+        )
     return df.select(F.col(id_col), F.array(*comps).alias(out_col))
 
 
@@ -1111,8 +1119,14 @@ def knn_rp(
     q = random_projection(queries, signs, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("rp").alias("qvec")
     )
-    c = random_projection(
-        ensure_parallelism(corpus, id_col), signs, id_col, vec_col
+    # the Exchange sits BETWEEN the projection and the join: Catalyst's
+    # project-collapsing would otherwise inline the d_out-fold projection
+    # into every pair-side reference (dot + norm per query pair — up to
+    # 2·|queries| recomputes per corpus row); expressions don't cross an
+    # exchange, so each row projects exactly once and the shuffle ships
+    # the SHORT vectors
+    c = ensure_parallelism(
+        random_projection(corpus, signs, id_col, vec_col), id_col
     ).select(F.col(id_col).alias("neighbor_id"), F.col("rp").alias("cvec"))
     scored = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")

@@ -3953,6 +3953,116 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_ngram_diversity",
+    """
+    WITH toks AS (
+        SELECT lang, doc_id,
+               regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS t
+        FROM documents),
+    g1 AS (SELECT lang, unnest(t) AS g FROM toks),
+    g2 AS (SELECT lang, array_to_string(t[i:i+1], ' ') AS g
+           FROM toks, UNNEST(range(1, len(t))) AS r(i)
+           WHERE len(t) >= 2),
+    g3 AS (SELECT lang, array_to_string(t[i:i+2], ' ') AS g
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+           WHERE len(t) >= 3),
+    d1 AS (SELECT lang, ROUND(COUNT(DISTINCT g) / COUNT(*)::DOUBLE, 4)
+                    AS distinct_1 FROM g1 GROUP BY lang),
+    d2 AS (SELECT lang, ROUND(COUNT(DISTINCT g) / COUNT(*)::DOUBLE, 4)
+                    AS distinct_2 FROM g2 GROUP BY lang),
+    d3 AS (SELECT lang, ROUND(COUNT(DISTINCT g) / COUNT(*)::DOUBLE, 4)
+                    AS distinct_3 FROM g3 GROUP BY lang),
+    nd AS (SELECT lang, COUNT(*)::BIGINT AS n_docs
+           FROM documents GROUP BY lang)
+    SELECT nd.lang, nd.n_docs, d1.distinct_1, d2.distinct_2, d3.distinct_3
+    FROM nd JOIN d1 USING (lang) JOIN d2 USING (lang) JOIN d3 USING (lang)
+    ORDER BY lang
+    """,
+    doc="corpus n-gram diversity profile (distinct-n, the Self-BLEU-family "
+    "dataset-card metric): unique-to-total ratio of 1/2/3-grams per "
+    "language — collapsing distinct-n flags templated or duplicated "
+    "generation before training. Each n is one (lang, gram)-keyed "
+    "partial-agg shuffle (count-distinct two-stage, no gram lists); the "
+    "three aggregate frames are lang-keyed joins of ≤ n_langs rows "
+    "(text-analysis extension)",
+)
+def q_corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    spread = ensure_parallelism(d.select("lang", "doc_id", "text"), "doc_id")
+
+    def dn(n: int, name: str) -> DataFrame:
+        g = spread.select(
+            "lang", F.explode(text_fns.shingles("text", n)).alias("g")
+        )
+        return g.groupBy("lang").agg(
+            F.round(
+                F.countDistinct("g") / F.count(F.lit(1)).cast("double"), 4
+            ).alias(name)
+        )
+
+    nd = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        nd.join(dn(1, "distinct_1"), "lang")
+        .join(dn(2, "distinct_2"), "lang")
+        .join(dn(3, "distinct_3"), "lang")
+        .orderBy("lang")
+    )
+
+
+@register(
+    "decontaminate_semantic",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    ev AS (SELECT vec_id, v FROM v WHERE vec_id < 25),
+    tr AS (SELECT vec_id, v FROM v WHERE vec_id >= 25),
+    scored AS (
+        SELECT tr.vec_id,
+               ROUND(list_dot_product(tr.v, ev.v)
+                     / GREATEST(sqrt(list_dot_product(tr.v, tr.v))
+                                * sqrt(list_dot_product(ev.v, ev.v)), 1e-12),
+                     6) AS cos
+        FROM tr JOIN ev ON TRUE)
+    SELECT vec_id,
+           COUNT(*)::BIGINT AS n_eval_hits,
+           MAX(cos) AS max_eval_cos
+    FROM scored WHERE cos >= 0.3
+    GROUP BY vec_id
+    ORDER BY max_eval_cos DESC, vec_id
+    """,
+    doc="SEMANTIC eval-set decontamination: the embedding-space "
+    "complement of decontaminate_overlap's exact n-gram screen — "
+    "paraphrased or reformatted eval leakage that shares no 5-gram still "
+    "scores high cosine. The eval vector set (small by construction) "
+    "BROADCASTS; every train vector pays |eval| fused JVM dot products in "
+    "one narrow pass — no shuffle of the corpus, the same shape a 100 TB "
+    "decontamination sweep needs. Emits per-train-doc hit count and max "
+    "similarity for the removal decision (training-data extension)",
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.where(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("evec")
+    )
+    tr = ensure_parallelism(
+        e.where(F.col("vec_id") >= 25), "vec_id"
+    ).select("vec_id", F.col("embedding").alias("tvec"))
+    scored = tr.join(F.broadcast(ev)).select(
+        "vec_id",
+        F.round(sim.cosine(F.col("tvec"), F.col("evec")), 6).alias("cos"),
+    )
+    return (
+        scored.where(F.col("cos") >= 0.3)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cos").alias("max_eval_cos"),
+        )
+        .orderBy(F.col("max_eval_cos").desc(), "vec_id")
+    )
+
+
+@register(
     "source_mix_weights",
     """
     WITH per AS (
@@ -5100,6 +5210,8 @@ DRIVER_PRIORITY = [
     "neardup_dedup_app",
     "ivf_append",
     "minhash_calibration",
+    "decontaminate_semantic",
+    "corpus_ngram_diversity",
     "cms_heavy_users",
     "corpus_curation_app",
     # driver evidence is round 2 only — rotate back in
