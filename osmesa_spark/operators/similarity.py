@@ -1086,18 +1086,33 @@ def random_projection(
     d_out = len(signs)
     scale = math.sqrt(d_out)
     v = F.col(vec_col).cast("array<double>")
-    comps = []
-    for srow in signs:
-        s_arr = F.array(*[F.lit(float(s)) for s in srow])
-        comps.append(
-            F.aggregate(
-                F.zip_with(v, s_arr, lambda x, s: x * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.lit(scale)
+    # ONE transform over a 2-D literal sign matrix (constant-folded to a
+    # single Literal) instead of d_out separate aggregate trees: the
+    # per-row fold order is identical, but the expression tree is ~d_out×
+    # smaller, which keeps Catalyst analysis + codegen compile time flat —
+    # with d_out sibling trees each carrying a dim-literal array, a cold
+    # codegen cache pays ~2 s of compile per plan build
+    # the matrix goes through ONE parsed expression, not d_out·dim F.lit()
+    # Column objects — each F.lit is a py4j round-trip and the 1024 of
+    # them cost ~2 s of DRIVER time per plan build
+    mat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(s)) for s in srow) + ")"
+            for srow in signs
         )
-    return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+        + ")"
+    )
+    rp = F.transform(
+        mat,
+        lambda row: F.aggregate(
+            F.zip_with(v, row, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(scale),
+    )
+    return df.select(F.col(id_col), rp.alias(out_col))
 
 
 def knn_rp(

@@ -42,6 +42,11 @@ SCALE_SLICE = [
     "doc_bpe_train",
     "corpus_curation_app",
     "knn_ivfpq",
+    # r6: band-collision density and dup-cluster topology both shift with
+    # corpus size — the banded phash join and the full near-dup chain
+    # (LSH → verify → components → per-cluster argmax) re-verify at 10×
+    "multimodal_phash_pairs",
+    "neardup_dedup_app",
 ]
 
 
