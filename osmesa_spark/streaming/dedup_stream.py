@@ -137,3 +137,66 @@ def changes_with_event_time(changes: DataFrame, watermark: str = "0 seconds") ->
     if out.isStreaming:
         out = out.withWatermark("event_time", watermark)
     return out
+
+
+def streaming_phash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "event_time",
+    horizon: str = "10 minutes",
+) -> DataFrame:
+    """First-seen-wins NEAR-duplicate image dedup on a media stream — the
+    streaming twin of `multimodal.phash_pairs` at its Hamming-0 operating
+    point: fused decode→thumbnail kernel, pure-Column 60-bit dHash, then
+    watermarked `dropDuplicatesWithinWatermark` on the fingerprint. An
+    image whose body differs only in ways the perceptual downsample
+    absorbs collides on the fingerprint and is dropped; state is one row
+    per distinct fingerprint inside the watermark horizon (the bounded-
+    state contract of streaming_exact_dedup). Hamming ≤ k matching on a
+    stream would need banded cross-row state joins — run the batch
+    `phash_pairs` over the deduped sink for that.
+
+    Returns (id, event_time, ph). Bounded input: plain dropDuplicates on
+    the same fingerprint (T8 batch/stream twin)."""
+    from osmesa_spark.operators.multimodal import (
+        PHASH_CELLS,
+        _resize_batch,
+        _synthesize_batch,
+        phash60,
+    )
+    from osmesa_spark.session import ship_package
+    from osmesa_spark.util import ensure_parallelism
+
+    ship_package(docs.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = _resize_batch(
+                _synthesize_batch(pdf, id_col, text_col), PHASH_CELLS, 1
+            )
+            # _synthesize_batch and _resize_batch are order-preserving
+            out[time_col] = pdf[time_col].values
+            yield out[["media_id", time_col, "thumb"]]
+
+    src = docs.select(id_col, text_col, time_col)
+    if not docs.isStreaming:
+        src = ensure_parallelism(src, id_col)
+    thumbs = src.mapInPandas(
+        kernel,
+        schema=(
+            f"media_id long, {time_col} timestamp, thumb array<bigint>"
+        ),
+    )
+    with_ph = thumbs.select(
+        F.col("media_id").alias("id"),
+        time_col,
+        phash60(F.col("thumb")).alias("ph"),
+    )
+    if with_ph.isStreaming:
+        return with_ph.withWatermark(
+            time_col, horizon
+        ).dropDuplicatesWithinWatermark(["ph"])
+    return with_ph.dropDuplicates(["ph"])

@@ -1039,3 +1039,62 @@ def test_streaming_observe_metrics_surface_in_progress(spark, dirs, tmp_path):
     assert 0 < obs_edits <= batch_edits
     seqs = {s for m in nonempty for s in (m["min_seq"], m["max_seq"])}
     assert all(s >= 1000 for s in seqs), seqs
+
+
+def test_streaming_phash_dedup(spark, tmp_path):
+    """Watermarked perceptual dedup: exact twins collide at Hamming 0 and
+    drop; a reordered body whose 61-cell sums are unchanged (characters
+    swapped 61 positions apart) ALSO collides — the near-dup win an exact
+    fingerprint cannot see; genuinely different content survives."""
+    import json
+    import os
+
+    from osmesa_spark.streaming.dedup_stream import streaming_phash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again okay"
+    assert len(base) >= 63
+    # swap characters 61 apart: every pos % 61 cell sum is preserved
+    b = list(base)
+    b[0], b[61] = b[61], b[0]
+    swapped = "".join(b)
+    assert swapped != base
+
+    drop = tmp_path / "media"
+    os.makedirs(drop)
+    batches = [
+        [(3, base), (6, "completely different content here entirely")],
+        [(9, base), (12, swapped)],  # exact twin + cell-sum twin
+    ]
+    for i, rows in enumerate(batches):
+        path = drop / f"{i}.json"
+        with open(path, "w") as f:
+            for j, (doc, text) in enumerate(rows):
+                f.write(json.dumps({
+                    "doc_id": doc,
+                    "text": text,
+                    "event_time": f"2024-01-01 00:{i:02d}:{j:02d}",
+                }) + "\n")
+        os.utime(path, (1700000100 + i, 1700000100 + i))
+    schema = "doc_id long, text string, event_time timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drop))
+    )
+    q = (
+        streaming_phash_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("phash_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ph_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        spark.sql("SELECT id FROM phash_dedup").toPandas()["id"]
+    )
+    assert got == [3, 6]
+
+    bounded = spark.read.schema(schema).json(str(drop))
+    assert streaming_phash_dedup(bounded).count() == 2
