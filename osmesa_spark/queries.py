@@ -2517,6 +2517,105 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_dup_correlation",
+    f"""
+    WITH {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
+    banded AS ({_band_bucket_sql(4, 4)}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    dup AS (SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM cand UNION ALL SELECT id_b AS id FROM cand)),
+    f AS (
+        SELECT doc_id,
+               length(text) AS n_chars_c,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|in|a|is|for)\\b', 1)) AS stop_hits
+        FROM documents),
+    q AS (
+        SELECT doc_id,
+               ROUND(
+                 (alpha / GREATEST(n_chars_c, 1)) * 0.5
+                 + (CASE WHEN n_chars_c / GREATEST(n_tokens, 1)
+                              BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) * 0.25
+                 + LEAST((stop_hits / GREATEST(n_tokens, 1)) * 5.0, 1.0)
+                   * 0.25,
+               4) AS quality
+        FROM f),
+    th AS (
+        SELECT ROUND(quantile_cont(quality, 0.25), 9) AS q1,
+               ROUND(quantile_cont(quality, 0.50), 9) AS q2,
+               ROUND(quantile_cont(quality, 0.75), 9) AS q3
+        FROM q),
+    binned AS (
+        SELECT q.doc_id,
+               (CASE WHEN q.quality <= th.q1 THEN 0
+                     WHEN q.quality <= th.q2 THEN 1
+                     WHEN q.quality <= th.q3 THEN 2
+                     ELSE 3 END)::INT AS quality_bin,
+               CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        FROM q CROSS JOIN th LEFT JOIN dup ON dup.id = q.doc_id)
+    SELECT quality_bin,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(is_dup)::BIGINT AS n_dup_docs,
+           ROUND(SUM(is_dup) / COUNT(*)::DOUBLE, 4) AS dup_rate
+    FROM binned GROUP BY quality_bin ORDER BY quality_bin
+    """,
+    doc="cross-signal curation diagnostic: near-duplicate membership rate "
+    "per GLOBAL quality quartile — the sanity check every dedup+quality "
+    "pipeline runs before committing thresholds (low-quality strata "
+    "usually duplicate more; a flat profile says the two filters are "
+    "independent). Dup membership = appears in any LSH candidate pair; "
+    "quartile thresholds are a broadcast single-row aggregate (9dp-"
+    "rounded, the doc_quality_bins discipline); output is 4 rows "
+    "(training-data extension)",
+)
+def q_quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=16)
+    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    dup = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    q = d.select("doc_id", quality_score("text").alias("quality"))
+    th = q.agg(
+        F.round(F.percentile("quality", F.lit(0.25)), 9).alias("q1"),
+        F.round(F.percentile("quality", F.lit(0.50)), 9).alias("q2"),
+        F.round(F.percentile("quality", F.lit(0.75)), 9).alias("q3"),
+    )
+    binned = (
+        F.when(F.col("quality") <= F.col("q1"), 0)
+        .when(F.col("quality") <= F.col("q2"), 1)
+        .when(F.col("quality") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        q.crossJoin(F.broadcast(th))
+        .join(dup, "doc_id", "left")
+        .select(
+            binned.cast("int").alias("quality_bin"),
+            F.coalesce("is_dup", F.lit(0)).alias("is_dup"),
+        )
+        .groupBy("quality_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+            F.round(F.sum("is_dup") / F.count(F.lit(1)), 4).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("quality_bin")
+    )
+
+
+@register(
     "minhash_calibration",
     f"""
     WITH {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
@@ -5212,6 +5311,7 @@ DRIVER_PRIORITY = [
     "minhash_calibration",
     "decontaminate_semantic",
     "corpus_ngram_diversity",
+    "quality_dup_correlation",
     "cms_heavy_users",
     "corpus_curation_app",
     # driver evidence is round 2 only — rotate back in
