@@ -70,6 +70,7 @@ HEADLINE = [
     "curation_pipeline",
     "corpus_curation_app",
     "neardup_dedup_app",
+    "quality_dup_correlation",
     "doc_dedup_spans",
     "incremental_new_docs",
     "doc_lm_nll",
