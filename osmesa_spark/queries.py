@@ -2517,6 +2517,70 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunking",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS t
+        FROM documents),
+    n AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks WHERE len(t) > 0),
+    chunks AS (
+        SELECT doc_id,
+               i::INT AS chunk_no,
+               array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ')
+                   AS chunk_text,
+               LEAST(n_tokens - i * 48, 64)::INT AS chunk_tokens
+        FROM n, UNNEST(range(0,
+            GREATEST((n_tokens - 64 + 47) // 48, 0) + 1)) AS r(i))
+    SELECT doc_id, chunk_no, md5(chunk_text) AS chunk_md5, chunk_tokens
+    FROM chunks
+    """,
+    doc="sliding-window document chunking (max_len=64 tokens, stride=48, "
+    "16-token overlap) — the segmentation step every context-bounded "
+    "training pipeline runs between curation and packing. Row-local "
+    "explode over a token-count-derived chunk range, chunk text "
+    "assembled by slice+concat inside codegen, no shuffle at all; the "
+    "last chunk is short rather than dropped (no token loss), and "
+    "overlap preserves cross-boundary context. Emitted as (doc, chunk_no, "
+    "md5(chunk_text), chunk_tokens) — the md5 hash-checks the exact "
+    "reassembled text without shipping it (training-data extension)",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    max_len, stride = 64, 48
+    d = _t(spark, sf_dir, "documents")
+    toks = text_fns.word_tokens("text")
+    n = F.size(F.col("t"))
+    # number of chunks: 1 + ceil(max(n - max_len, 0) / stride)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(max_len)).cast("double") / F.lit(stride)),
+        F.lit(0),
+    ).cast("int") + F.lit(1)
+    base = (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") > 0)
+        .select(
+            "doc_id",
+            "t",
+            n.alias("n_tokens"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+        )
+    )
+    chunk_text = F.concat_ws(
+        " ", F.slice("t", F.col("chunk_no") * stride + 1, max_len)
+    )
+    return base.select(
+        "doc_id",
+        "chunk_no",
+        F.md5(chunk_text).alias("chunk_md5"),
+        F.least(
+            F.col("n_tokens") - F.col("chunk_no") * stride, F.lit(max_len)
+        )
+        .cast("int")
+        .alias("chunk_tokens"),
+    )
+
+
+@register(
     "quality_dup_correlation",
     f"""
     WITH {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
@@ -5312,6 +5376,7 @@ DRIVER_PRIORITY = [
     "decontaminate_semantic",
     "corpus_ngram_diversity",
     "quality_dup_correlation",
+    "doc_chunking",
     "cms_heavy_users",
     "corpus_curation_app",
     # driver evidence is round 2 only — rotate back in

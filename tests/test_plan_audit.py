@@ -232,6 +232,7 @@ EXTENSIONS_JVM_ONLY = [
     "neardup_sparse_cosine",
     "doc_dedup_spans",
     "doc_c4_line_filter",
+    "doc_chunking",
 ]
 
 
