@@ -5323,6 +5323,113 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60
+
+
+def _register_hybrid_rrf() -> None:
+    """Registered via a helper so the oracle can EMBED the already-
+    registered BM25 oracle as a subquery — the lexical list in both
+    engines is definitionally the same query."""
+    bm25_sql = REGISTRY["doc_bm25_topk"].oracle
+
+    @register(
+        "hybrid_rrf_retrieval",
+        f"""
+    WITH bm AS (SELECT doc_id, rank AS bm_rank FROM ({bm25_sql}) t),
+    v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    qv AS (SELECT v FROM v WHERE vec_id = 0),
+    sem_scored AS (
+        SELECT v.vec_id AS doc_id,
+               ROUND(list_dot_product(qv.v, v.v)
+                     / GREATEST(sqrt(list_dot_product(qv.v, qv.v))
+                                * sqrt(list_dot_product(v.v, v.v)), 1e-12),
+                     6) AS cos
+        FROM v, qv WHERE v.vec_id <> 0),
+    sem AS (
+        SELECT doc_id, rank AS sem_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)::INT AS rank
+            FROM sem_scored) WHERE rank <= 10),
+    fused AS (
+        SELECT COALESCE(bm.doc_id, sem.doc_id) AS doc_id,
+               bm.bm_rank, sem.sem_rank,
+               ROUND(COALESCE(1.0 / ({_RRF_K} + bm.bm_rank), 0.0)
+                     + COALESCE(1.0 / ({_RRF_K} + sem.sem_rank), 0.0), 6)
+                   AS rrf_score
+        FROM bm FULL OUTER JOIN sem ON bm.doc_id = sem.doc_id)
+    SELECT ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)::INT AS rank,
+           doc_id, rrf_score,
+           (bm_rank IS NOT NULL) AS in_lexical,
+           (sem_rank IS NOT NULL) AS in_semantic
+    FROM fused
+    QUALIFY rank <= 10
+    """,
+        doc="hybrid retrieval by reciprocal-rank fusion (k=60): the BM25 "
+        "lexical top-10 (embedded verbatim — same registered query both "
+        "engines) fused with the embedding-cosine semantic top-10 for a "
+        "fixed query vector; RRF(d) = Σ 1/(k + rank_source(d)). The "
+        "standard lexical+dense hybrid that beats either list alone — "
+        "fusion is a full-outer join of two ≤10-row lists, so the added "
+        "cost over the two retrievers is nil at any corpus size "
+        "(retrieval extension)",
+    )
+    def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        bm = (
+            q_doc_bm25_topk(spark, sf_dir)
+            .select("doc_id", F.col("rank").alias("bm_rank"))
+        )
+        e = _t(spark, sf_dir, "embeddings")
+        qv = e.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec")
+        )
+        sem_scored = (
+            ensure_parallelism(e.where(F.col("vec_id") != 0), "vec_id")
+            .crossJoin(F.broadcast(qv))
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(sim.cosine(F.col("qvec"), F.col("embedding")), 6)
+                .alias("cos"),
+            )
+        )
+        sem_top = sem_scored.orderBy(F.col("cos").desc(), "doc_id").limit(10)
+        w = Window.orderBy(F.col("cos").desc(), "doc_id")
+        sem = sem_top.select(
+            "doc_id", F.row_number().over(w).cast("int").alias("sem_rank")
+        )
+        fused = (
+            bm.join(sem, "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                "bm_rank",
+                "sem_rank",
+                F.round(
+                    F.coalesce(
+                        F.lit(1.0) / (F.lit(_RRF_K) + F.col("bm_rank")),
+                        F.lit(0.0),
+                    )
+                    + F.coalesce(
+                        F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("rrf_score"),
+            )
+        )
+        top = fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+        w2 = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+        return top.select(
+            F.row_number().over(w2).cast("int").alias("rank"),
+            "doc_id",
+            "rrf_score",
+            F.col("bm_rank").isNotNull().alias("in_lexical"),
+            F.col("sem_rank").isNotNull().alias("in_semantic"),
+        )
+
+
+_register_hybrid_rrf()
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import register_osm_queries  # noqa: E402
 
@@ -5377,6 +5484,7 @@ DRIVER_PRIORITY = [
     "corpus_ngram_diversity",
     "quality_dup_correlation",
     "doc_chunking",
+    "hybrid_rrf_retrieval",
     "cms_heavy_users",
     "corpus_curation_app",
     # driver evidence is round 2 only — rotate back in
