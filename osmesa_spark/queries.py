@@ -5134,6 +5134,90 @@ def q_ann_recall_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_trunc",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    bq AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+    bscored AS (
+        SELECT bq.query_id, v.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qv, v.v)
+                     / GREATEST(sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(v.v, v.v)), 1e-12),
+                     6) AS cos
+        FROM bq JOIN v ON bq.query_id <> v.vec_id),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM bscored) WHERE rank <= 5),
+    p AS (SELECT vec_id, v[1:16] AS pv FROM v),
+    tq AS (SELECT vec_id AS query_id, pv AS qp FROM p WHERE vec_id < 8),
+    tscored AS (
+        SELECT tq.query_id, p.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qp, p.pv)
+                     / GREATEST(sqrt(list_dot_product(qp, qp))
+                                * sqrt(list_dot_product(p.pv, p.pv)), 1e-12),
+                     6) AS cos
+        FROM tq JOIN p ON tq.query_id <> p.vec_id),
+    tr AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM tscored) WHERE rank <= 5),
+    hits AS (
+        SELECT bf.query_id, COUNT(*)::BIGINT AS hits
+        FROM bf JOIN tr USING (query_id, neighbor_id)
+        GROUP BY bf.query_id)
+    SELECT q.query_id,
+           ROUND(COALESCE(h.hits, 0) / 5.0, 2) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    LEFT JOIN hits h USING (query_id)
+    ORDER BY query_id
+    """,
+    doc="ANN recall for PREFIX truncation (the Matryoshka-embedding "
+    "serving trick: keep the first 16 of 64 dims, no learned transform "
+    "at all): top-k cosine over the truncated prefix vs the exact "
+    "full-dim brute force. Fourth row of the compression-evaluation "
+    "matrix (LSH buckets / PQ codebooks / JL projection / prefix "
+    "truncation) — together they rank every standard 4× compression "
+    "before an index is persisted. Truncation is a zero-cost slice; at "
+    "100 TB the persisted prefix also cuts the scan surface 4× "
+    "(similarity extension)",
+)
+def q_ann_recall_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    trunc = e.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    q = e.where(F.col("vec_id") < 8)
+    tq = trunc.where(F.col("vec_id") < 8)
+    bf = sim.knn_bruteforce(e, q, k=5).select("query_id", "neighbor_id")
+    tr = sim.knn_bruteforce(trunc, tq, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        bf.join(tr, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("hits", F.lit(0)) / 5.0, 2).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
     "ann_recall_pq",
     f"""
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -5471,6 +5555,7 @@ DRIVER_PRIORITY = [
     "osm_relation_assembly",
     "osm_relation_assembly_deep",
     "osm_coedit_pagerank",
+    "osm_snapshot_diff",
     # new or changed THIS round (r6) — need fresh driver evidence
     "multimodal_phash_pairs",
     "embedding_rp_project",
@@ -5485,6 +5570,7 @@ DRIVER_PRIORITY = [
     "quality_dup_correlation",
     "doc_chunking",
     "hybrid_rrf_retrieval",
+    "ann_recall_trunc",
     "cms_heavy_users",
     "corpus_curation_app",
     # driver evidence is round 2 only — rotate back in

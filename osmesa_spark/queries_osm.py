@@ -1419,6 +1419,15 @@ def register_osm_queries(register) -> None:
         "vertex-resolution CTE, so the cycle model cannot drift",
     )(osm_relation_assembly_deep)
     register(
+        "osm_snapshot_diff",
+        OSM_SNAPSHOT_DIFF_SQL,
+        doc="element churn between two as-of snapshots (created / deleted "
+        "/ modified) — two validity-interval filters + one full-outer id "
+        "join, output O(churn) not O(corpus); the OSMCha-style audit of a "
+        "time window built on the same validUntil windows as "
+        "osm_snapshot_asof",
+    )(osm_snapshot_diff)
+    register(
         "osm_coedit_pagerank",
         _pagerank_sql(),
         doc="iterative graph analytics: 3 damped PageRank rounds over the "
@@ -1464,6 +1473,73 @@ OSM_SNAPSHOT_ASOF_SQL = f"""
     WHERE timestamp <= TIMESTAMP '{SNAPSHOT_T}'
       AND COALESCE(valid_until > TIMESTAMP '{SNAPSHOT_T}', TRUE)
       AND visible
+"""
+
+
+SNAPSHOT_T2 = "2023-07-01 00:00:00"
+
+
+def osm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element churn between two as-of snapshots — the OSMCha-style audit
+    of what changed in a time window, built ENTIRELY from the validity
+    intervals (no per-version scan of the window): each snapshot is the
+    same pushdown-friendly interval filter as `osm_snapshot_asof`, and the
+    diff is one full-outer id equi-join of two ≤|elements| frames.
+
+    Classification: created (not visible at T1, visible at T2), deleted
+    (visible at T1, gone/invisible at T2), modified (visible at both with
+    a different version). Unchanged elements drop out, so the output is
+    O(churn), not O(corpus)."""
+    nodes = P.preprocess_nodes(_history(spark))
+
+    def at(ts: str, suffix: str) -> DataFrame:
+        t = F.to_timestamp(F.lit(ts))
+        return nodes.where(
+            (F.col("timestamp") <= t)
+            & (F.coalesce(F.col("validUntil") > t, F.lit(True)))
+        ).select(
+            "id",
+            F.col("version").cast("int").alias(f"v{suffix}"),
+            F.col("visible").alias(f"vis{suffix}"),
+        )
+
+    s1, s2 = at(SNAPSHOT_T, "1"), at(SNAPSHOT_T2, "2")
+    j = s1.join(s2, "id", "full_outer")
+    vis1 = F.coalesce("vis1", F.lit(False))
+    vis2 = F.coalesce("vis2", F.lit(False))
+    change = (
+        F.when(~vis1 & vis2, "created")
+        .when(vis1 & ~vis2, "deleted")
+        .when(vis1 & vis2 & (F.col("v1") != F.col("v2")), "modified")
+    )
+    return (
+        j.select("id", "v1", "v2", change.alias("change_type"))
+        .where(F.col("change_type").isNotNull())
+        .orderBy("id")
+    )
+
+
+OSM_SNAPSHOT_DIFF_SQL = f"""
+    WITH {_NV_CTE},
+    s1 AS (SELECT id, version::INT AS v1, visible AS vis1 FROM nv
+           WHERE timestamp <= TIMESTAMP '{SNAPSHOT_T}'
+             AND COALESCE(valid_until > TIMESTAMP '{SNAPSHOT_T}', TRUE)),
+    s2 AS (SELECT id, version::INT AS v2, visible AS vis2 FROM nv
+           WHERE timestamp <= TIMESTAMP '{SNAPSHOT_T2}'
+             AND COALESCE(valid_until > TIMESTAMP '{SNAPSHOT_T2}', TRUE)),
+    j AS (
+        SELECT COALESCE(s1.id, s2.id) AS id, v1, v2,
+               COALESCE(vis1, FALSE) AS vis1, COALESCE(vis2, FALSE) AS vis2
+        FROM s1 FULL OUTER JOIN s2 ON s1.id = s2.id)
+    SELECT id, v1, v2,
+           CASE WHEN NOT vis1 AND vis2 THEN 'created'
+                WHEN vis1 AND NOT vis2 THEN 'deleted'
+                WHEN vis1 AND vis2 AND v1 <> v2 THEN 'modified'
+           END AS change_type
+    FROM j
+    WHERE (NOT vis1 AND vis2) OR (vis1 AND NOT vis2)
+       OR (vis1 AND vis2 AND v1 <> v2)
+    ORDER BY id
 """
 
 
