@@ -233,6 +233,15 @@ EXTENSIONS_JVM_ONLY = [
     "doc_dedup_spans",
     "doc_c4_line_filter",
     "doc_chunking",
+    "minhash_calibration",
+    "decontaminate_semantic",
+    "corpus_ngram_diversity",
+    "quality_dup_correlation",
+    "hybrid_rrf_retrieval",
+    "ann_recall_trunc",
+    "price_quantiles_sketch",
+    "osm_snapshot_diff",
+    "osm_coedit_pagerank",
 ]
 
 

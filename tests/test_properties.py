@@ -1124,3 +1124,69 @@ def test_random_projection_preserves_cosine(spark):
     rp32 = sim.knn_rp(e, q, signs32, k=5).select("query_id", "neighbor_id")
     hits32 = bf.join(rp32, ["query_id", "neighbor_id"]).count()
     assert hits32 >= hits16, (hits16, hits32)
+
+
+def test_doc_chunking_covers_every_token(spark):
+    """Chunking invariants on random corpora: every chunk is ≤ max_len
+    tokens, consecutive chunks overlap by exactly max_len − stride tokens
+    (except the short tail), and concatenating the stride-prefix of each
+    chunk plus the full last chunk reassembles the document — no token
+    lost or duplicated beyond the declared overlap."""
+    import random as _r
+
+    from osmesa_spark import queries as Q
+    from tests.conftest import SF_CORRECT
+
+    rng = _r.Random(13)
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 300))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # run the same expression pipeline the registry query uses, but emit
+    # chunk TEXT for direct checking
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.functions.text import word_tokens
+
+    max_len, stride = 64, 48
+    toks = word_tokens("text")
+    n = F.size(F.col("t"))
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(max_len)).cast("double") / F.lit(stride)),
+        F.lit(0),
+    ).cast("int") + F.lit(1)
+    got = (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") > 0)
+        .select(
+            "doc_id", "t",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+        )
+        .select(
+            "doc_id", "chunk_no",
+            F.slice("t", F.col("chunk_no") * stride + 1, max_len).alias("c"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_no"]] = list(r["c"])
+    for doc_id, text in rows:
+        toks_py = text.split()
+        chunks = by_doc[doc_id]
+        ks = sorted(chunks)
+        assert ks == list(range(len(ks)))
+        assert all(len(chunks[k]) <= max_len for k in ks)
+        # reassembly: stride prefix of every chunk + tail of the last
+        rebuilt: list[str] = []
+        for k in ks[:-1]:
+            rebuilt.extend(chunks[k][:stride])
+        rebuilt.extend(chunks[ks[-1]])
+        assert rebuilt == toks_py, doc_id
+        # declared overlap between consecutive chunks
+        for a, b in zip(ks, ks[1:]):
+            assert chunks[a][stride:] == chunks[b][: max_len - stride] or (
+                len(chunks[a]) < max_len  # tail chunk started early
+            )
