@@ -96,6 +96,7 @@ HEADLINE = [
     "osm_user_statistics",
     "osm_relation_assembly_deep",
     "osm_coedit_pagerank",
+    "osm_snapshot_diff",
 ]
 
 
