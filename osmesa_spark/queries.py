@@ -5556,6 +5556,7 @@ DRIVER_PRIORITY = [
     "osm_relation_assembly_deep",
     "osm_coedit_pagerank",
     "osm_snapshot_diff",
+    "osm_user_retention",
     # new or changed THIS round (r6) — need fresh driver evidence
     "multimodal_phash_pairs",
     "embedding_rp_project",

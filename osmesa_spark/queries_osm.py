@@ -1419,6 +1419,14 @@ def register_osm_queries(register) -> None:
         "vertex-resolution CTE, so the cycle model cannot drift",
     )(osm_relation_assembly_deep)
     register(
+        "osm_user_retention",
+        OSM_USER_RETENTION_SQL,
+        doc="cohort-retention triangle (first-edit-month cohorts × active "
+        "months): one distinct (uid, month) projection, per-uid min, id "
+        "equi-join, one partial agg — integer month indices keep the "
+        "offsets engine-portable (community-analytics extension)",
+    )(osm_user_retention)
+    register(
         "osm_snapshot_diff",
         OSM_SNAPSHOT_DIFF_SQL,
         doc="element churn between two as-of snapshots (created / deleted "
@@ -1473,6 +1481,48 @@ OSM_SNAPSHOT_ASOF_SQL = f"""
     WHERE timestamp <= TIMESTAMP '{SNAPSHOT_T}'
       AND COALESCE(valid_until > TIMESTAMP '{SNAPSHOT_T}', TRUE)
       AND visible
+"""
+
+
+def osm_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle over the edit history: users
+    cohorted by their first-edit month, counted as active in each
+    subsequent month they edited. The community-health readout every OSM
+    (and product) analytics stack keeps.
+
+    Shape: one distinct (uid, month-index) projection of the history, a
+    per-uid min for the cohort, an id equi-join back, and one
+    (cohort, offset) partial agg — month indices are integer
+    year·12+month so the offsets are engine-portable integer math, no
+    interval arithmetic."""
+    h = _history(spark)
+    mi = (F.year("timestamp") * 12 + F.month("timestamp")).cast("int")
+    activity = h.select(F.col("uid"), mi.alias("m")).distinct()
+    cohort = activity.groupBy("uid").agg(F.min("m").alias("m0"))
+    return (
+        activity.join(cohort, "uid")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).alias("months_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+OSM_USER_RETENTION_SQL = f"""
+    WITH act AS (
+        SELECT DISTINCT uid,
+               (EXTRACT(year FROM timestamp) * 12
+                + EXTRACT(month FROM timestamp))::INT AS m
+        FROM read_parquet('{_HISTORY}')),
+    cohort AS (SELECT uid, MIN(m) AS m0 FROM act GROUP BY uid)
+    SELECT cohort.m0 AS cohort_month,
+           (act.m - cohort.m0)::INT AS months_since,
+           COUNT(*)::BIGINT AS n_active
+    FROM act JOIN cohort USING (uid)
+    GROUP BY cohort_month, months_since
+    ORDER BY cohort_month, months_since
 """
 
 
