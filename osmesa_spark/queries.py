@@ -5449,7 +5449,8 @@ def _register_hybrid_rrf() -> None:
     FROM fused
     QUALIFY rank <= 10
     """,
-        doc="hybrid retrieval by reciprocal-rank fusion (k=60): the BM25 "
+        doc="hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke & "
+        "Buettcher, SIGIR 2009; k=60 is their recommended constant): the BM25 "
         "lexical top-10 (embedded verbatim — same registered query both "
         "engines) fused with the embedding-cosine semantic top-10 for a "
         "fixed query vector; RRF(d) = Σ 1/(k + rank_source(d)). The "

@@ -104,3 +104,45 @@ def test_phash_pairs_finds_perturbed_twin(spark):
         if bin(ph[a]["h"] ^ ph[b]["h"]).count("1") <= 11
     }
     assert got == brute
+
+
+def test_phash_banding_equals_bruteforce_on_random_corpus(spark):
+    """Pigeonhole-recall guarantee under randomized input: over a seeded
+    corpus of random docs plus mutated near-twins, the banded LSH result
+    must EQUAL brute-force all-pairs Hamming ≤ threshold — no pair lost to
+    banding, none invented."""
+    import random as _r
+
+    rng = _r.Random(99)
+    words = [f"tok{i}" for i in range(50)]
+    rows = []
+    for i in range(40):
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(20, 120)))
+        rows.append((i * 3, text))  # image-kind ids
+        if i % 4 == 0:  # mutated twin: flip a few characters
+            chars = list(text)
+            for _ in range(rng.randint(0, 3)):
+                p = rng.randrange(len(chars))
+                chars[p] = rng.choice("abcxyz")
+            rows.append((i * 3 + 300, "".join(chars)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_h in (3, 5):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in mm.phash_pairs(docs, max_hamming=max_h).collect()
+        }
+        ph = {
+            r["media_id"]: r["h"]
+            for r in mm.synthesize_and_resize(docs, tw=mm.PHASH_CELLS, th=1)
+            .select("media_id", mm.phash60(F.col("thumb")).alias("h"))
+            .collect()
+        }
+        ids = sorted(ph)
+        brute = {
+            (a, b, bin(ph[a] ^ ph[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin(ph[a] ^ ph[b]).count("1") <= max_h
+        }
+        assert got == brute, f"max_h={max_h}"
+        assert brute, "fixture produced no near pairs — test is vacuous"
