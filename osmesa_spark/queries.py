@@ -2581,6 +2581,84 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_miss_rate",
+    f"""
+    WITH {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
+    banded AS ({_band_bucket_sql(4, 4)}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    ids AS (SELECT DISTINCT doc_id FROM sh WHERE len(shs) > 0),
+    sampled AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+        WHERE ('0x' || substr(md5('31:' || a.doc_id::VARCHAR || ':'
+                                  || b.doc_id::VARCHAR), 1, 15))::BIGINT
+              % 50 = 0),
+    probe AS (
+        SELECT s.id_a, s.id_b FROM sampled s
+        LEFT JOIN cand c ON c.id_a = s.id_a AND c.id_b = s.id_b
+        WHERE c.id_a IS NULL),
+    shd AS (SELECT doc_id, list_distinct(shs) AS shs FROM sh),
+    jac AS (
+        SELECT probe.id_a, probe.id_b,
+               ROUND(len(list_intersect(x.shs, y.shs))
+                     / GREATEST(len(list_distinct(list_concat(x.shs, y.shs))),
+                                1)::DOUBLE, 4) AS j
+        FROM probe JOIN shd x ON probe.id_a = x.doc_id
+                   JOIN shd y ON probe.id_b = y.doc_id)
+    SELECT COUNT(*)::BIGINT AS n_sampled_noncand,
+           SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_missed,
+           ROUND(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)
+                 / COUNT(*)::DOUBLE, 6) AS miss_rate,
+           ROUND(MAX(j), 4) AS worst_missed_jaccard
+    FROM jac
+    """,
+    doc="LSH banding MISS-RATE estimation: a deterministic hash-sample of "
+    "NON-candidate pairs (1-in-50 of all id pairs, md5-keyed so the "
+    "oracle draws the identical sample) is exact-Jaccard verified; pairs "
+    "at or above the dedup threshold that banding never surfaced are the "
+    "sketch's false negatives. Completes the dedup-evaluation trio "
+    "(estimator calibration / cluster stats / miss rate) — the number "
+    "that justifies a bands×rows configuration before a 100 TB run, "
+    "where candidate recall cannot be eyeballed. The sampled-pair "
+    "surface is |pairs|/50 of the quadratic space — at real scale sample "
+    "by id-block first; the verify cost stays bounded by the sample "
+    "(dedup-evaluation extension)",
+)
+def q_lsh_miss_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.dedup import _portable_hash
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=16)
+    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    ids = sigs.select(F.col("id").alias("doc_id"))
+    a = ids.select(F.col("doc_id").alias("id_a"))
+    b = ids.select(F.col("doc_id").alias("id_b"))
+    pair_key = _portable_hash(
+        F.concat(
+            F.col("id_a").cast("string"), F.lit(":"),
+            F.col("id_b").cast("string"),
+        ),
+        31,
+    )
+    sampled = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(pair_key % 50 == 0)
+    )
+    probe = sampled.join(cand, ["id_a", "id_b"], "left_anti")
+    jac = dd.jaccard_verify(d, probe, threshold=0.0)
+    missed = F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)
+    return jac.agg(
+        F.count(F.lit(1)).alias("n_sampled_noncand"),
+        F.sum(missed).cast("bigint").alias("n_missed"),
+        F.round(F.sum(missed) / F.count(F.lit(1)), 6).alias("miss_rate"),
+        F.round(F.max("jaccard"), 4).alias("worst_missed_jaccard"),
+    )
+
+
+@register(
     "quality_dup_correlation",
     f"""
     WITH {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
@@ -5573,6 +5651,7 @@ DRIVER_PRIORITY = [
     "doc_chunking",
     "hybrid_rrf_retrieval",
     "ann_recall_trunc",
+    "lsh_miss_rate",
     "cms_heavy_users",
     "corpus_curation_app",
     # driver evidence is round 2 only — rotate back in
