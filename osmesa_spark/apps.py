@@ -418,3 +418,50 @@ def neardup_dedup_corpus(
         "quality",
         (F.col("doc_id") == F.col("keep_id")).alias("kept"),
     )
+
+
+def streaming_lag_report(
+    checkpoint_path: str,
+    now_epoch: int,
+    offset_threshold: int = 10,
+) -> list[dict]:
+    """monitor-checkpoints.sh parity (deployment/monitor-checkpoints.sh:
+    17-31): for every proc in a CheckpointTable, compute how many minutely
+    replication sequences it is behind "now" and whether that crosses the
+    alert threshold (reference default OFFSET_THRESHOLD=10 ≈ 10 minutes).
+
+    The reference runs this as a psql one-liner + mailx in cron; here it
+    is a driver-side readout of the same bookkeeping — the checkpoint
+    table holds one tiny row per processor, so no Spark job is needed (or
+    wanted) for the health probe. `now_epoch` is a parameter, not a
+    wall-clock read, so tests and replays are deterministic.
+
+    Returns [{proc_name, checkpoint, now_sequence, offset, alert}]."""
+    import json as _json
+    import os as _os
+
+    from osmesa_spark.functions.timeseq import (
+        SEQUENCE_EPOCH_BASE,
+        SEQUENCE_INTERVAL_S,
+    )
+
+    now_seq = (now_epoch - SEQUENCE_EPOCH_BASE) // SEQUENCE_INTERVAL_S
+    out = []
+    if not _os.path.isdir(checkpoint_path):
+        return out
+    for name in sorted(_os.listdir(checkpoint_path)):
+        if not name.endswith(".json"):
+            continue
+        with open(_os.path.join(checkpoint_path, name)) as f:
+            row = _json.load(f)
+        offset = now_seq - int(row["sequence"])
+        out.append(
+            {
+                "proc_name": row["proc_name"],
+                "checkpoint": int(row["sequence"]),
+                "now_sequence": int(now_seq),
+                "offset": int(offset),
+                "alert": offset >= offset_threshold,
+            }
+        )
+    return out

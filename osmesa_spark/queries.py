@@ -5636,6 +5636,7 @@ DRIVER_PRIORITY = [
     "osm_coedit_pagerank",
     "osm_snapshot_diff",
     "osm_user_retention",
+    "osm_changeset_duration",
     # new or changed THIS round (r6) — need fresh driver evidence
     "multimodal_phash_pairs",
     "embedding_rp_project",

@@ -1419,6 +1419,14 @@ def register_osm_queries(register) -> None:
         "vertex-resolution CTE, so the cycle model cannot drift",
     )(osm_relation_assembly_deep)
     register(
+        "osm_changeset_duration",
+        OSM_CHANGESET_DURATION_SQL,
+        doc="changeset open-duration profile (5 bands up to the 24 h "
+        "auto-close horizon) with per-band edit-count/duration averages — "
+        "integer epoch-second bands, one projection + 5-row agg "
+        "(community-analytics extension)",
+    )(osm_changeset_duration)
+    register(
         "osm_user_retention",
         OSM_USER_RETENTION_SQL,
         doc="cohort-retention triangle (first-edit-month cohorts × active "
@@ -1481,6 +1489,65 @@ OSM_SNAPSHOT_ASOF_SQL = f"""
     WHERE timestamp <= TIMESTAMP '{SNAPSHOT_T}'
       AND COALESCE(valid_until > TIMESTAMP '{SNAPSHOT_T}', TRUE)
       AND visible
+"""
+
+
+def osm_changeset_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Editing-behavior profile: closed changesets bucketed by open
+    duration (<5 m / <30 m / <2 h / <24 h / ≥24 h — the last band is the
+    auto-close horizon the streaming state bound mirrors), with edit-count
+    and duration averages per band. Integer epoch-second arithmetic so the
+    bands are engine-portable; one projection + one 5-row aggregation."""
+    cs = _changesets(spark)
+    dur = (
+        F.unix_timestamp("closedAt") - F.unix_timestamp("createdAt")
+    ).cast("bigint")
+    band = (
+        F.when(dur < 5 * 60, "a_under_5m")
+        .when(dur < 30 * 60, "b_under_30m")
+        .when(dur < 2 * 3600, "c_under_2h")
+        .when(dur < 24 * 3600, "d_under_24h")
+        .otherwise("e_over_24h")
+    )
+    return (
+        cs.where(F.col("closedAt").isNotNull())
+        .select(
+            band.alias("duration_band"),
+            dur.alias("dur_s"),
+            F.col("numChanges").cast("bigint").alias("nc"),
+        )
+        .groupBy("duration_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_changesets"),
+            F.round(F.avg("nc"), 2).alias("avg_num_changes"),
+            F.round(F.avg(F.col("dur_s") / 60.0), 2).alias(
+                "avg_duration_min"
+            ),
+        )
+        .orderBy("duration_band")
+    )
+
+
+OSM_CHANGESET_DURATION_SQL = f"""
+    WITH cs AS (
+        SELECT (FLOOR(EPOCH(closedAt))::BIGINT
+                - FLOOR(EPOCH(createdAt))::BIGINT) AS dur_s,
+               numChanges::BIGINT AS nc
+        FROM read_parquet('{_CHANGESETS}')
+        WHERE closedAt IS NOT NULL),
+    banded AS (
+        SELECT CASE WHEN dur_s < 300 THEN 'a_under_5m'
+                    WHEN dur_s < 1800 THEN 'b_under_30m'
+                    WHEN dur_s < 7200 THEN 'c_under_2h'
+                    WHEN dur_s < 86400 THEN 'd_under_24h'
+                    ELSE 'e_over_24h' END AS duration_band,
+               dur_s, nc
+        FROM cs)
+    SELECT duration_band,
+           COUNT(*)::BIGINT AS n_changesets,
+           ROUND(AVG(nc), 2) AS avg_num_changes,
+           ROUND(AVG(dur_s / 60.0), 2) AS avg_duration_min
+    FROM banded GROUP BY duration_band ORDER BY duration_band
 """
 
 

@@ -336,3 +336,23 @@ def test_neardup_dedup_corpus_keeps_best_per_cluster(spark):
     for i in (20, 21):
         assert out[i]["n_members"] == 1 and out[i]["kept"]
         assert out[i]["component"] == i
+
+
+def test_streaming_lag_report_matches_reference_arithmetic(tmp_path):
+    """monitor-checkpoints.sh parity: sequence-now derives from the epoch
+    formula (epoch − 1347432900) / 60, offset = now − checkpoint, alert at
+    the reference's default threshold 10."""
+    from osmesa_spark.sinks.upsert import CheckpointTable
+
+    ck = CheckpointTable(str(tmp_path / "cks"))
+    # now = epoch of sequence 5_000_000 exactly
+    now_epoch = 5_000_000 * 60 + 1347432900
+    ck.save("ChangesetStatsUpdater", 4_999_995)  # 5 behind: healthy
+    ck.save("TileUpdater", 4_999_980)            # 20 behind: alert
+    got = {r["proc_name"]: r for r in A.streaming_lag_report(
+        str(tmp_path / "cks"), now_epoch)}
+    assert got["ChangesetStatsUpdater"]["offset"] == 5
+    assert not got["ChangesetStatsUpdater"]["alert"]
+    assert got["TileUpdater"]["offset"] == 20
+    assert got["TileUpdater"]["alert"]
+    assert all(r["now_sequence"] == 5_000_000 for r in got.values())
