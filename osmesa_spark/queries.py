@@ -4462,6 +4462,111 @@ def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_assign(new, cents).orderBy("vec_id")
 
 
+@register(
+    "embedding_drift",
+    f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings),
+    base AS (SELECT * FROM v WHERE vec_id < 400),
+    s AS (
+        SELECT v, row_number() OVER (ORDER BY
+                   ('0x' || substr(md5('29:' || vec_id::VARCHAR), 1, 15))::BIGINT,
+                   vec_id) - 1 AS cid
+        FROM base QUALIFY cid <= 3),
+    a1 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT base.vec_id, base.v, s.cid,
+                   row_number() OVER (PARTITION BY base.vec_id ORDER BY
+                       {_KM_DIST.format(a="base.v", b="s.v")}, s.cid) AS rn
+            FROM base, s) t WHERE rn = 1),
+    c1 AS (
+        SELECT cid, list(rv ORDER BY pos) AS v FROM (
+            SELECT cid, pos, round(avg(val), 6) AS rv FROM (
+                SELECT cid, unnest(v) AS val,
+                       generate_subscripts(v, 1) AS pos FROM a1) u
+            GROUP BY cid, pos) g
+        GROUP BY cid),
+    newv AS (SELECT * FROM v WHERE vec_id >= 400),
+    a2 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT newv.vec_id, newv.v, c1.cid,
+                   row_number() OVER (PARTITION BY newv.vec_id ORDER BY
+                       {_KM_DIST.format(a="newv.v", b="c1.v")}, c1.cid) AS rn
+            FROM newv, c1) t WHERE rn = 1),
+    newmean AS (
+        SELECT cid, pos, round(avg(val), 6) AS m FROM (
+            SELECT cid, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM a2) u
+        GROUP BY cid, pos),
+    cdim AS (
+        SELECT cid, unnest(v) AS c, generate_subscripts(v, 1) AS pos
+        FROM c1),
+    counts AS (SELECT cid, COUNT(*)::BIGINT AS n_new FROM a2 GROUP BY cid)
+    SELECT counts.cid::INT AS cluster, counts.n_new,
+           ROUND(sqrt(SUM((newmean.m - cdim.c) * (newmean.m - cdim.c))), 6)
+               AS drift
+    FROM newmean JOIN cdim USING (cid, pos)
+    JOIN counts ON counts.cid = newmean.cid
+    GROUP BY counts.cid, counts.n_new
+    ORDER BY cluster
+    """,
+    doc="embedding DRIFT monitor for the incremental-append path: per "
+    "frozen coarse cluster, the L2 distance between the trained centroid "
+    "and the appended slice's member mean (6dp-rounded per-dim means, the "
+    "kmeans rounding discipline) plus the slice's membership count — the "
+    "retrain-trigger readout every embedding pipeline watches after "
+    "ivf_append-style maintenance. Per-dim means are one (cluster, dim) "
+    "partial agg; the distance folds k·dim bounded rows "
+    "(similarity-ops extension)",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") < 400)
+    new = e.where(F.col("vec_id") >= 400)
+    _, cents = sim.kmeans_lloyd(
+        base, k=4, iters=2, seed=29, return_centroids=True
+    )
+    assigned = sim.kmeans_assign(new, cents).join(
+        new.select("vec_id", "embedding"), "vec_id"
+    )
+    dims = assigned.select(
+        "cluster",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    means = dims.groupBy("cluster", "pos").agg(
+        F.round(F.avg("val"), 6).alias("m")
+    )
+    cent_rows = [
+        (int(cid), int(pos), float(c))
+        for cid, cent in cents
+        for pos, c in enumerate(cent)
+    ]
+    cdim = e.sparkSession.createDataFrame(
+        cent_rows, "cluster int, pos int, c double"
+    )
+    counts = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    return (
+        means.join(F.broadcast(cdim), ["cluster", "pos"])
+        .groupBy("cluster")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("m") - F.col("c")) * (F.col("m") - F.col("c")))
+                ),
+                6,
+            ).alias("drift")
+        )
+        .join(counts, "cluster")
+        .select("cluster", "n_new", "drift")
+        .orderBy("cluster")
+    )
+
+
 # SemDeDup cluster sizing: k grows with corpus size so the blocked
 # self-join's pair count stays O(N * target_cluster) instead of O(N²/k_const).
 # target 125 at fixture scale keeps k=4 at sf0.01 (N=500), matching the
@@ -5653,6 +5758,8 @@ DRIVER_PRIORITY = [
     "hybrid_rrf_retrieval",
     "ann_recall_trunc",
     "lsh_miss_rate",
+    "embedding_drift",
+    "osm_power_users",
     "cms_heavy_users",
     "corpus_curation_app",
     # driver evidence is round 2 only — rotate back in

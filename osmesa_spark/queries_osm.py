@@ -1427,6 +1427,14 @@ def register_osm_queries(register) -> None:
         "(community-analytics extension)",
     )(osm_changeset_duration)
     register(
+        "osm_power_users",
+        OSM_POWER_USERS_SQL,
+        doc="edit-concentration (Pareto) profile: cumulative edit share "
+        "per user decile — per-uid agg, rank window over the small "
+        "per-user frame, broadcast total; integer cumulative sums "
+        "(community-analytics extension)",
+    )(osm_power_users)
+    register(
         "osm_user_retention",
         OSM_USER_RETENTION_SQL,
         doc="cohort-retention triangle (first-edit-month cohorts × active "
@@ -1548,6 +1556,65 @@ OSM_CHANGESET_DURATION_SQL = f"""
            ROUND(AVG(nc), 2) AS avg_num_changes,
            ROUND(AVG(dur_s / 60.0), 2) AS avg_duration_min
     FROM banded GROUP BY duration_band ORDER BY duration_band
+"""
+
+
+def osm_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-concentration (Pareto) profile: users ranked by edit count,
+    reported as cumulative share of all edits at each decile of the user
+    base — the 'mapping is done by a tiny core' readout every OSM
+    community report carries. One per-uid agg, one rank window over the
+    (small) per-user frame, one broadcast total; integer edit counts make
+    the cumulative sums engine-exact, only the final share divides."""
+    h = _history(spark)
+    per = h.groupBy("uid").agg(F.count(F.lit(1)).alias("n_edits"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n_edits").desc(), "uid")
+    ranked = per.select(
+        "uid", "n_edits",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n_edits").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("cum_edits"),
+    )
+    totals = per.agg(
+        F.sum("n_edits").cast("double").alias("total_edits"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    decile = F.ceil(F.col("rk") * 10 / F.col("n_users")).cast("int")
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .groupBy(decile.alias("user_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users_in_decile"),
+            F.max("cum_edits").cast("bigint").alias("cum_edits"),
+            F.round(
+                F.max("cum_edits") / F.max("total_edits"), 4
+            ).alias("cum_edit_share"),
+        )
+        .orderBy("user_decile")
+    )
+
+
+OSM_POWER_USERS_SQL = f"""
+    WITH per AS (
+        SELECT uid, COUNT(*)::BIGINT AS n_edits
+        FROM read_parquet('{_HISTORY}') GROUP BY uid),
+    ranked AS (
+        SELECT uid, n_edits,
+               ROW_NUMBER() OVER (ORDER BY n_edits DESC, uid) AS rk,
+               SUM(n_edits) OVER (ORDER BY n_edits DESC, uid
+                                  ROWS UNBOUNDED PRECEDING) AS cum_edits
+        FROM per),
+    totals AS (SELECT SUM(n_edits)::DOUBLE AS total_edits,
+                      COUNT(*) AS n_users FROM per)
+    SELECT CEIL(rk * 10.0 / totals.n_users)::INT AS user_decile,
+           COUNT(*)::BIGINT AS n_users_in_decile,
+           MAX(cum_edits)::BIGINT AS cum_edits,
+           ROUND(MAX(cum_edits) / MAX(total_edits), 4) AS cum_edit_share
+    FROM ranked, totals
+    GROUP BY user_decile ORDER BY user_decile
 """
 
 
