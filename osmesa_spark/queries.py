@@ -5742,6 +5742,7 @@ DRIVER_PRIORITY = [
     "osm_snapshot_diff",
     "osm_user_retention",
     "osm_changeset_duration",
+    "osm_geometry_validity",
     # new or changed THIS round (r6) — need fresh driver evidence
     "multimodal_phash_pairs",
     "embedding_rp_project",

@@ -142,6 +142,57 @@ OSM_WAY_RECONSTRUCTION_SQL = f"""
 """
 
 
+def osm_geometry_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry QA report over reconstructed way versions — the
+    data-quality audit run before trusting area/length rollups: degenerate
+    geometries (< 2 resolved vertices), closed rings (Polygon under the
+    area rule), closed-but-linear rings (roundabout shape: closed, not
+    area-tagged), open lines. One projection over the reconstruction
+    output, one 4-row class aggregation with vertex-count averages."""
+    h = _history(spark)
+    recon = G.reconstruct_way_geometries(
+        P.preprocess_ways(h), P.preprocess_nodes(h)
+    )
+    n = F.size("geom")
+    closed = (n >= 2) & (
+        F.element_at("geom", 1) == F.element_at("geom", -1)
+    )
+    cls = (
+        F.when(n < 2, "a_degenerate")
+        .when(F.col("geomType") == "Polygon", "b_closed_ring")
+        .when(closed & (n >= 4), "c_closed_line")
+        .otherwise("d_open_line")
+    )
+    return (
+        recon.select(cls.alias("validity_class"), n.alias("nverts"))
+        .groupBy("validity_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_way_versions"),
+            F.round(F.avg("nverts"), 2).alias("avg_nverts"),
+        )
+        .orderBy("validity_class")
+    )
+
+
+OSM_GEOMETRY_VALIDITY_SQL = f"""
+    WITH {_NV_CTE}, {_WAYVERT_CTE}
+    SELECT validity_class,
+           COUNT(*)::BIGINT AS n_way_versions,
+           ROUND(AVG(nverts), 2) AS avg_nverts
+    FROM (
+        SELECT nverts,
+               CASE WHEN nverts < 2 THEN 'a_degenerate'
+                    WHEN nverts >= 4 AND flon = llon AND flat = llat
+                         AND {_IS_AREA_SQL}
+                    THEN 'b_closed_ring'
+                    WHEN nverts >= 4 AND flon = llon AND flat = llat
+                    THEN 'c_closed_line'
+                    ELSE 'd_open_line' END AS validity_class
+        FROM wv) t
+    GROUP BY validity_class ORDER BY validity_class
+"""
+
+
 def osm_utm_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar ring areas via the TRUE UTM pipeline (transformLatLngToUtm +
     shoelace, stats/package.scala:17-32,49-60) next to the spherical-excess
@@ -1426,6 +1477,14 @@ def register_osm_queries(register) -> None:
         "integer epoch-second bands, one projection + 5-row agg "
         "(community-analytics extension)",
     )(osm_changeset_duration)
+    register(
+        "osm_geometry_validity",
+        OSM_GEOMETRY_VALIDITY_SQL,
+        doc="geometry QA report over reconstructed way versions "
+        "(degenerate / closed ring / closed line / open line, with "
+        "vertex-count averages) — the audit before trusting area/length "
+        "rollups; one projection + 4-row class agg (QA extension)",
+    )(osm_geometry_validity)
     register(
         "osm_power_users",
         OSM_POWER_USERS_SQL,
