@@ -5743,6 +5743,7 @@ DRIVER_PRIORITY = [
     "osm_user_retention",
     "osm_changeset_duration",
     "osm_geometry_validity",
+    "osm_map_age",
     # new or changed THIS round (r6) — need fresh driver evidence
     "multimodal_phash_pairs",
     "embedding_rp_project",

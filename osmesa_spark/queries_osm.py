@@ -1478,6 +1478,14 @@ def register_osm_queries(register) -> None:
         "(community-analytics extension)",
     )(osm_changeset_duration)
     register(
+        "osm_map_age",
+        OSM_MAP_AGE_SQL,
+        doc="map freshness at the snapshot instant: integer-day age of "
+        "every visible element's last edit, count/min/median/max — the "
+        "staleness readout next to the churn diff; validity-interval "
+        "pushdown + one summary row (QA extension)",
+    )(osm_map_age)
+    register(
         "osm_geometry_validity",
         OSM_GEOMETRY_VALIDITY_SQL,
         doc="geometry QA report over reconstructed way versions "
@@ -1618,6 +1626,57 @@ OSM_CHANGESET_DURATION_SQL = f"""
 """
 
 
+SNAPSHOT_T2 = "2023-07-01 00:00:00"
+
+
+def osm_map_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map freshness at the snapshot instant: for every element visible at
+    T, full days since its last edit, summarized per type as count +
+    min/median/max age — the 'how stale is this map' readout next to the
+    churn diff. The current-version filter is the same validity-interval
+    pushdown as osm_snapshot_asof; ages are integer day floors so the
+    summary is engine-exact (median over an odd/even count uses the
+    discrete convention via percentile_approx-exactness at test scale)."""
+    nodes = P.preprocess_nodes(_history(spark))
+    t = F.to_timestamp(F.lit(SNAPSHOT_T2))
+    age_days = F.floor(
+        (F.unix_timestamp(t) - F.unix_timestamp("timestamp"))
+        / F.lit(86400)
+    ).cast("int")
+    current = nodes.where(
+        (F.col("timestamp") <= t)
+        & (F.coalesce(F.col("validUntil") > t, F.lit(True)))
+        & F.col("visible")
+    )
+    q = F.percentile_approx("age_days", F.lit(0.5), F.lit(1_000_000))
+    return (
+        current.select(age_days.alias("age_days"))
+        .agg(
+            F.count(F.lit(1)).alias("n_elements"),
+            F.min("age_days").alias("min_age_days"),
+            q.cast("int").alias("median_age_days"),
+            F.max("age_days").alias("max_age_days"),
+        )
+    )
+
+
+OSM_MAP_AGE_SQL = f"""
+    WITH {_NV_CTE},
+    cur AS (
+        SELECT FLOOR((EPOCH(TIMESTAMP '{SNAPSHOT_T2}')
+                      - FLOOR(EPOCH(timestamp))) / 86400)::INT AS age_days
+        FROM nv
+        WHERE timestamp <= TIMESTAMP '{SNAPSHOT_T2}'
+          AND COALESCE(valid_until > TIMESTAMP '{SNAPSHOT_T2}', TRUE)
+          AND visible)
+    SELECT COUNT(*)::BIGINT AS n_elements,
+           MIN(age_days) AS min_age_days,
+           quantile_disc(age_days, 0.5)::INT AS median_age_days,
+           MAX(age_days) AS max_age_days
+    FROM cur
+"""
+
+
 def osm_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-concentration (Pareto) profile: users ranked by edit count,
     reported as cumulative share of all edits at each decile of the user
@@ -1717,9 +1776,6 @@ OSM_USER_RETENTION_SQL = f"""
     GROUP BY cohort_month, months_since
     ORDER BY cohort_month, months_since
 """
-
-
-SNAPSHOT_T2 = "2023-07-01 00:00:00"
 
 
 def osm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
