@@ -2581,6 +2581,75 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_dup_matrix",
+    f"""
+    WITH {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
+    banded AS ({_band_bucket_sql(4, 4)}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    shd AS (SELECT doc_id, list_distinct(shs) AS shs FROM sh),
+    verified AS (
+        SELECT id_a, id_b
+        FROM cand JOIN shd x ON cand.id_a = x.doc_id
+                  JOIN shd y ON cand.id_b = y.doc_id
+        WHERE ROUND(len(list_intersect(x.shs, y.shs))
+              / GREATEST(len(list_distinct(list_concat(x.shs, y.shs))),
+                         1)::DOUBLE, 4) >= 0.5),
+    src AS (SELECT doc_id, source FROM documents),
+    labeled AS (
+        SELECT LEAST(sa.source, sb.source) AS source_a,
+               GREATEST(sa.source, sb.source) AS source_b
+        FROM verified
+        JOIN src sa ON sa.doc_id = verified.id_a
+        JOIN src sb ON sb.doc_id = verified.id_b)
+    SELECT source_a, source_b, COUNT(*)::BIGINT AS n_dup_pairs
+    FROM labeled GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="cross-source duplication matrix: verified near-dup pairs labeled "
+    "by the (unordered) source pair — the provenance diagnostic that "
+    "shows which corpus sources mirror each other (off-diagonal mass) vs "
+    "self-duplicate (diagonal), deciding whether dedup must run globally "
+    "or can shard per source. Source labels join onto the bounded "
+    "verified-pair set; output is O(sources²) rows "
+    "(training-data extension)",
+)
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=16)
+    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    verified = dd.jaccard_verify(d, cand, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    src = d.select("doc_id", "source")
+    labeled = (
+        verified.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
     "lsh_miss_rate",
     f"""
     WITH {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
@@ -5760,6 +5829,7 @@ DRIVER_PRIORITY = [
     "hybrid_rrf_retrieval",
     "ann_recall_trunc",
     "lsh_miss_rate",
+    "source_dup_matrix",
     "embedding_drift",
     "osm_power_users",
     "cms_heavy_users",
