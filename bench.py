@@ -44,6 +44,10 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "neardup_jaccard",
     "dedup_components",
+    "split_leakage_safe",
+    "mixture_temperature",
+    "corpus_shard_manifest",
+    "split_contamination_report",
     "simhash_pairs",
     "doc_winnow_fingerprints",
     "neardup_winnow_pairs",

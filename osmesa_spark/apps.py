@@ -465,3 +465,39 @@ def streaming_lag_report(
             }
         )
     return out
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Write a curated corpus as n deterministic shards + a loader manifest.
+
+    Layout: `<path>/data/shard=<k>/part-*.parquet` (exactly ONE file per
+    shard — `repartition(n, shard)` lines physical partitions up with the
+    hash assignment, so `partitionBy` never splits a shard across files)
+    and `<path>/manifest/` (a tiny parquet of per-shard n_docs, n_tokens,
+    id range and an order-independent checksum).
+
+    Reproducibility contract: re-running on the same corpus produces
+    byte-identical shard MEMBERSHIP and manifest (hash-assigned, no RNG,
+    no task-order dependence); a loader verifies a shard by recomputing
+    the folded checksum over what it read — no sort needed. The manifest
+    is written AFTER the data so a partially-written output is detectable
+    by its absence (the idempotent-sink convention the tile/JDBC sinks
+    use). Returns the manifest DataFrame."""
+    from osmesa_spark.operators.curation import shard_assignment, shard_manifest
+
+    sharded = shard_assignment(df, n_shards, id_col=id_col)
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path + "/data")
+    )
+    manifest = shard_manifest(sharded, id_col=id_col, text_col=text_col)
+    manifest.coalesce(1).write.mode("overwrite").parquet(path + "/manifest")
+    return manifest

@@ -40,6 +40,19 @@ def split_bucket(id_col: Column | str, seed: int = 7) -> Column:
     return _portable_hash(c.cast("string"), seed) % _BUCKETS
 
 
+def _split_label(bucket: Column, weights: tuple[tuple[str, float], ...]) -> Column:
+    """Bucket -> split-name CASE expression (weights cumulative left to
+    right; the last split absorbs rounding)."""
+    cum = 0.0
+    expr = None
+    for name, w in weights[:-1]:
+        cum += w
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = weights[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(last)
+
+
 def dataset_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -54,16 +67,54 @@ def dataset_split(
 
     Weights are cumulative left-to-right; they should sum to 1.0 (the last
     split absorbs rounding). Stateless and stable under corpus growth."""
-    bucket = split_bucket(id_col, seed)
-    cum = 0.0
-    expr = None
-    for name, w in weights[:-1]:
-        cum += w
-        cond = bucket < int(round(cum * _BUCKETS))
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    last = weights[-1][0]
-    split = F.lit(last) if expr is None else expr.otherwise(last)
-    return df.withColumn("split", split)
+    return df.withColumn(
+        "split", _split_label(split_bucket(id_col, seed), weights)
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    seed: int = 7,
+) -> DataFrame:
+    """Split assignment that can never separate near-duplicates across
+    splits: the hash input is the duplicate-CLUSTER label, not the doc id.
+
+    `components` is the (node, component_id) output of
+    `dedup.connected_components` over the LSH dup graph; docs in no dup
+    cluster fall back to their own id (coalesce), so the assignment is
+    identical to `dataset_split` outside clusters and constant within
+    them. This closes the classic eval-contamination hole where a
+    per-document split puts one near-identical mirror in train and the
+    other in test — with a per-cluster hash the whole mirror family lands
+    on one side by construction.
+
+    Scale shape: `components` only contains docs that appear in some dup
+    pair (≪ corpus), so the left equi-join on id is AQE-broadcastable in
+    the common case and a plain key-shuffle otherwise; the split itself
+    stays a pure projection. Adding new corpus data never reassigns an
+    existing cluster unless the new data merges two clusters (the correct
+    behavior — the merged family must re-land on ONE side).
+
+    Output: df columns + (group_key, split)."""
+    comp = components.select(
+        F.col("node").alias("__lss_node"),
+        F.col("component_id").alias("__lss_comp"),
+    )
+    joined = df.join(comp, F.col(id_col) == F.col("__lss_node"), "left")
+    group = F.coalesce(F.col("__lss_comp"), F.col(id_col).cast("bigint"))
+    bucket = split_bucket(group.cast("string"), seed)
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        group.alias("group_key"),
+        _split_label(bucket, weights).alias("split"),
+    )
 
 
 def stratified_sample(
@@ -305,4 +356,63 @@ def weighted_sample(
         df.withColumn("sample_key", key)
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(n)
+    )
+
+
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic output-shard assignment: shard = hash(id) % n_shards.
+
+    The training-data writer's first half. Hash-based (not round-robin or
+    monotonic id ranges) so shard membership is stable under corpus
+    re-ordering and re-runs, size-balanced in expectation, and needs no
+    coordination — a pure projection at 100 TB. Pair with
+    `shard_manifest` for the loader-facing audit record."""
+    if n_shards < 1:
+        raise ValueError(f"shard_assignment: n_shards must be >= 1, got {n_shards}")
+    return df.withColumn(
+        "shard",
+        (_portable_hash(F.col(id_col).cast("string"), seed) % n_shards).cast("int"),
+    )
+
+
+# order-independent manifest checksum: per-doc 60-bit portable hashes are
+# folded mod this prime so the shard sum never overflows BIGINT even at
+# 10^12 docs/shard, and any row added/dropped/altered flips the digest
+_MANIFEST_PRIME = 1_000_000_007
+
+
+def shard_manifest(
+    sharded: DataFrame,
+    id_col: str = "doc_id",
+    token_col: Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard manifest for a sharded corpus: (shard, n_docs, n_tokens,
+    id_lo, id_hi, checksum).
+
+    The checksum is an ORDER-INDEPENDENT content digest — sum of per-doc
+    hashes mod a prime — so two writers that produce the same shard
+    membership produce the same manifest regardless of partition order /
+    parallelism, and a loader can verify a shard it re-read without
+    sorting it. One hash-aggregate with map-side combine; no window, no
+    sort. This is the reproducibility contract training loaders need
+    (epoch seeding, resharding audits, corrupt-shard detection)."""
+    from osmesa_spark.functions.text import token_count
+
+    toks = token_count(text_col) if token_col is None else token_col
+    doc_h = _portable_hash(F.col(id_col).cast("string"), 23) % _MANIFEST_PRIME
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks.cast("bigint")).alias("n_tokens"),
+            F.min(id_col).alias("id_lo"),
+            F.max(id_col).alias("id_hi"),
+            (F.sum(doc_h) % _MANIFEST_PRIME).alias("checksum"),
+        )
     )

@@ -2463,6 +2463,55 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_leakage_safe",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
+    banded AS ({_band_bucket_sql(4, 4)}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs),
+    reach(node, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node),
+    comp AS (SELECT node, MIN(lab)::BIGINT AS component_id
+             FROM reach GROUP BY node)
+    SELECT doc_id, group_key,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT d.doc_id,
+                 COALESCE(c.component_id, d.doc_id)::BIGINT AS group_key,
+                 ('0x' || substr(md5('7:' ||
+                     COALESCE(c.component_id, d.doc_id)::VARCHAR), 1, 15))::BIGINT
+                   % 10000 AS b
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    """,
+    doc="leakage-safe train/val/test split: the hash input is the near-dup "
+    "CLUSTER label (LSH pairs -> connected components), so near-identical "
+    "mirrors can never straddle train and test — the eval-contamination "
+    "hole a per-document split leaves open. Outside clusters the "
+    "assignment equals dataset_split; inside, constant per cluster. One "
+    "AQE-broadcastable left join over dataset_split's pure projection "
+    "(curation extension)",
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=16)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    comp = dd.connected_components(pairs)
+    return cur.leakage_safe_split(d.select("doc_id"), comp).select(
+        F.col("doc_id").cast("bigint"),
+        F.col("group_key").cast("bigint"),
+        "split",
+    )
+
+
+@register(
     "dedup_cluster_stats",
     f"""
     WITH RECURSIVE {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
@@ -4424,6 +4473,214 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mixture_temperature",
+    """
+    WITH per AS (
+        SELECT source,
+               SUM(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                   AS n_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens)::DOUBLE AS tot FROM per),
+    sh AS (SELECT source, n_tokens, ROUND(n_tokens / tot, 9) AS share9
+           FROM per, tot),
+    z AS (SELECT SUM(sqrt(share9)) AS z FROM sh)
+    SELECT source, n_tokens,
+           ROUND(share9, 6) AS share,
+           ROUND(sqrt(share9) / z, 6) AS p_temp,
+           ROUND(sqrt(share9) / z / share9, 4) AS boost
+    FROM sh, z ORDER BY source
+    """,
+    doc="temperature-scaled multinomial source mixing (the XLM-R/mBERT "
+    "low-resource-upsampling rule, T=2 i.e. p_s ∝ share^0.5): flattens the "
+    "source distribution so tail domains are seen more than their token "
+    "share without a hard target mix. Exponent 1/2 on purpose — IEEE "
+    "sqrt is correctly rounded in BOTH engines, so unlike pow(x, α) the "
+    "scaled weights are bit-identical; shares are pre-rounded to 9dp so "
+    "the sqrt inputs match too. Plan: one per-source shuffle agg + two "
+    "single-row broadcast joins (total, normalizer) — no window, no "
+    "second corpus pass (training-data extension)",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # materialize the #sources-row agg once: three consumers below (total,
+    # normalizer, final projection) must not re-run the corpus scan
+    per = (
+        d.groupBy("source")
+        .agg(F.sum(text_fns.token_count("text")).alias("n_tokens"))
+        .localCheckpoint()
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    sh = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot"), 9).alias("share9"),
+    )
+    z = sh.agg(F.sum(F.sqrt("share9")).alias("z"))
+    return (
+        sh.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("share9"), 6).alias("share"),
+            F.round(F.sqrt("share9") / F.col("z"), 6).alias("p_temp"),
+            F.round(
+                F.sqrt("share9") / F.col("z") / F.col("share9"), 4
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "split_contamination_report",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTE.format(hash_exprs=_minhash_sql_exprs(16))},
+    banded AS ({_band_bucket_sql(4, 4)}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs),
+    reach(node, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.node),
+    comp AS (SELECT node, MIN(lab)::BIGINT AS component_id
+             FROM reach GROUP BY node),
+    assign AS (
+        SELECT d.doc_id,
+               CASE WHEN ('0x' || substr(md5('7:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                         % 10000 < 8000 THEN 'train'
+                    WHEN ('0x' || substr(md5('7:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                         % 10000 < 9000 THEN 'val'
+                    ELSE 'test' END AS per_doc,
+               CASE WHEN ('0x' || substr(md5('7:' ||
+                         COALESCE(c.component_id, d.doc_id)::VARCHAR), 1, 15))::BIGINT
+                         % 10000 < 8000 THEN 'train'
+                    WHEN ('0x' || substr(md5('7:' ||
+                         COALESCE(c.component_id, d.doc_id)::VARCHAR), 1, 15))::BIGINT
+                         % 10000 < 9000 THEN 'val'
+                    ELSE 'test' END AS per_cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    lab AS (
+        SELECT p.id_a, p.id_b, x.per_doc AS da, y.per_doc AS db,
+               x.per_cluster AS ca, y.per_cluster AS cb
+        FROM pairs p JOIN assign x ON p.id_a = x.doc_id
+                     JOIN assign y ON p.id_b = y.doc_id)
+    SELECT policy, n_pairs, n_cross
+    FROM (
+      SELECT 'per_doc' AS policy, COUNT(*)::BIGINT AS n_pairs,
+             SUM(CASE WHEN da <> db THEN 1 ELSE 0 END)::BIGINT AS n_cross
+      FROM lab
+      UNION ALL
+      SELECT 'per_cluster', COUNT(*)::BIGINT,
+             SUM(CASE WHEN ca <> cb THEN 1 ELSE 0 END)::BIGINT
+      FROM lab)
+    ORDER BY policy
+    """,
+    doc="eval-contamination audit: for every LSH near-dup pair, does the "
+    "pair straddle two splits? Reported for BOTH policies — the naive "
+    "per-document hash split (non-zero n_cross = train/test leakage) and "
+    "the cluster-keyed split (structurally zero) — the before/after "
+    "evidence for split_leakage_safe. Same dup-graph subtree as "
+    "dedup_components + two bounded id-joins; output is 2 rows "
+    "(curation extension)",
+)
+def q_split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, num_hashes=16)
+    # pairs feed BOTH the component labeling and the straddle join below —
+    # materialize the LSH pipeline once (pairs ≪ corpus)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).localCheckpoint()
+    comp = dd.connected_components(pairs)
+    ids = d.select("doc_id")
+    assign = (
+        cur.leakage_safe_split(ids, comp)
+        .withColumnRenamed("split", "per_cluster")
+        .join(
+            cur.dataset_split(ids).withColumnRenamed("split", "per_doc"),
+            "doc_id",
+        )
+        .select("doc_id", "per_doc", "per_cluster")
+    )
+    lab = (
+        pairs.join(
+            assign.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("per_doc").alias("da"),
+                F.col("per_cluster").alias("ca"),
+            ),
+            "id_a",
+        )
+        .join(
+            assign.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("per_doc").alias("db"),
+                F.col("per_cluster").alias("cb"),
+            ),
+            "id_b",
+        )
+    )
+    # 1-row aggregate feeds two policy projections — run the join once
+    out = lab.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("da") != F.col("db")).cast("int")).alias("cross_doc"),
+        F.sum((F.col("ca") != F.col("cb")).cast("int")).alias("cross_clu"),
+    ).localCheckpoint()
+    per_doc = out.select(
+        F.lit("per_doc").alias("policy"),
+        F.col("n_pairs").cast("bigint"),
+        F.col("cross_doc").cast("bigint").alias("n_cross"),
+    )
+    per_clu = out.select(
+        F.lit("per_cluster").alias("policy"),
+        F.col("n_pairs").cast("bigint"),
+        F.col("cross_clu").cast("bigint").alias("n_cross"),
+    )
+    return per_doc.unionAll(per_clu).orderBy("policy")
+
+
+@register(
+    "corpus_shard_manifest",
+    """
+    SELECT shard,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+               AS n_tokens,
+           MIN(doc_id)::BIGINT AS id_lo,
+           MAX(doc_id)::BIGINT AS id_hi,
+           (SUM(('0x' || substr(md5('23:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                % 1000000007) % 1000000007)::BIGINT AS checksum
+    FROM (SELECT doc_id, text,
+                 (('0x' || substr(md5('17:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 8)::INT AS shard
+          FROM documents)
+    GROUP BY shard
+    """,
+    doc="deterministic output sharding + loader manifest: shard = "
+    "hash(id) % n (stable under re-runs and corpus reorder, size-balanced "
+    "in expectation), manifest = per-shard (n_docs, n_tokens, id range, "
+    "ORDER-INDEPENDENT checksum = sum of per-doc hashes mod prime) — the "
+    "reproducibility contract a training loader verifies shards against. "
+    "One hash-agg with map-side combine; the checksum never overflows "
+    "BIGINT (per-doc fold mod 1e9+7) (curation extension)",
+)
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sharded = cur.shard_assignment(d, n_shards=8)
+    return cur.shard_manifest(sharded).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.col("id_lo").cast("bigint"),
+        F.col("id_hi").cast("bigint"),
+        F.col("checksum").cast("bigint"),
+    )
+
+
 # k-means oracle: replays kmeans_lloyd (k=4, 2 rounds, seed 29) — hash-picked
 # seed rows, argmin on 6-decimal-rounded squared L2 with cid tie-break, and
 # 6-decimal-rounded mean centroids between rounds (re-quantizes float-sum
@@ -5831,6 +6088,10 @@ DRIVER_PRIORITY = [
     "lsh_miss_rate",
     "source_dup_matrix",
     "embedding_drift",
+    "split_leakage_safe",
+    "mixture_temperature",
+    "corpus_shard_manifest",
+    "split_contamination_report",
     "osm_power_users",
     "cms_heavy_users",
     "corpus_curation_app",

@@ -242,6 +242,10 @@ EXTENSIONS_JVM_ONLY = [
     "price_quantiles_sketch",
     "osm_snapshot_diff",
     "osm_coedit_pagerank",
+    "split_leakage_safe",
+    "mixture_temperature",
+    "corpus_shard_manifest",
+    "split_contamination_report",
 ]
 
 

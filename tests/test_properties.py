@@ -1190,3 +1190,49 @@ def test_doc_chunking_covers_every_token(spark):
             assert chunks[a][stride:] == chunks[b][: max_len - stride] or (
                 len(chunks[a]) < max_len  # tail chunk started early
             )
+
+
+def test_leakage_safe_split_invariants(spark):
+    """(1) No dup-graph edge ever straddles two splits; (2) docs outside
+    every cluster get exactly the dataset_split assignment; (3) adding a
+    pair that merges two clusters re-lands the merged family on ONE side."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.curation import dataset_split, leakage_safe_split
+    from osmesa_spark.operators.dedup import connected_components
+
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    # chain 0-1-2, clique {10,11,12}, pair {20,21}; everything else isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = connected_components(pairs)
+    out = leakage_safe_split(docs, comp)
+
+    # (1) both endpoints of every pair share a split
+    e = (
+        pairs.join(out.select(F.col("doc_id").alias("id_a"),
+                              F.col("split").alias("sa")), "id_a")
+        .join(out.select(F.col("doc_id").alias("id_b"),
+                         F.col("split").alias("sb")), "id_b")
+    )
+    assert e.where(F.col("sa") != F.col("sb")).count() == 0
+
+    # (2) isolated docs = per-doc assignment
+    clustered = {r["node"] for r in comp.collect()}
+    base = {r["doc_id"]: r["split"]
+            for r in dataset_split(docs).collect()}
+    for r in out.collect():
+        if r["doc_id"] not in clustered:
+            assert r["split"] == base[r["doc_id"]]
+            assert r["group_key"] == r["doc_id"]
+
+    # (3) merging chain{0,1,2} with pair{20,21} gives one shared split
+    merged = connected_components(
+        pairs.union(spark.createDataFrame([(2, 20)], "id_a long, id_b long"))
+    )
+    out2 = leakage_safe_split(docs, merged)
+    fam = out2.where(F.col("doc_id").isin([0, 1, 2, 20, 21]))
+    assert fam.select("split").distinct().count() == 1
+    assert fam.select("group_key").distinct().count() == 1
