@@ -501,3 +501,57 @@ def write_training_shards(
     manifest = shard_manifest(sharded, id_col=id_col, text_col=text_col)
     manifest.coalesce(1).write.mode("overwrite").parquet(path + "/manifest")
     return manifest
+
+
+def prepare_pretraining_shards(
+    docs: DataFrame,
+    path: str,
+    mixture: dict[str, float],
+    n_shards: int = 16,
+    pack_budget: int = 512,
+    min_quality: float = 0.5,
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """Raw document table → on-disk training shards, end to end — the full
+    pretraining-data pipeline as ONE composed app:
+
+      1. `neardup_dedup_corpus`: MinHash/LSH → Jaccard verify → connected
+         components → keep-best representative per near-dup cluster;
+      2. `leakage_safe_split` keyed by the SAME cluster labels (zero extra
+         graph work), so the split is stable even if a cluster's kept
+         representative changes between runs — the split key is the
+         cluster, not the doc;
+      3. quality gate + `mixture_sample` on the train split (target domain
+         mixture, binding stratum kept whole);
+      4. `pack_assignment` into token-budget training packs;
+      5. `write_training_shards`: deterministic hash shards, one file per
+         shard, order-independent manifest checksums.
+
+    Every stage is an individually hash-oracled operator; this wrapper
+    adds only materialization discipline (the dup-graph verdict table and
+    the sampled train set each feed two branches — localCheckpoint each
+    once, never re-run the LSH/sampling shuffles). Returns the manifest.
+    """
+    from osmesa_spark.operators import curation as cur
+
+    verdicts = neardup_dedup_corpus(
+        docs, threshold=neardup_threshold
+    ).localCheckpoint()
+    components = verdicts.select(
+        F.col("doc_id").alias("node"), F.col("component").alias("component_id")
+    )
+    reps = verdicts.where(F.col("kept") & (F.col("quality") >= min_quality))
+    split = cur.leakage_safe_split(
+        reps.select("doc_id", "lang", "quality"), components
+    )
+    train = split.where(F.col("split") == "train")
+    sampled = cur.mixture_sample(train, "lang", mixture).localCheckpoint()
+    withtext = sampled.select("doc_id", "lang", "quality", "group_key").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    packs = cur.pack_assignment(withtext, budget=pack_budget)
+    final = withtext.join(
+        packs.select(F.col("id").alias("doc_id"), "n_tokens", "pack_id"),
+        "doc_id",
+    )
+    return write_training_shards(final, path, n_shards=n_shards)

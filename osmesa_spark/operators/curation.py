@@ -416,3 +416,28 @@ def shard_manifest(
             (F.sum(doc_h) % _MANIFEST_PRIME).alias("checksum"),
         )
     )
+
+
+def merge_manifests(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two shard manifests over DISJOINT row sets into the manifest
+    of their union — without touching the data.
+
+    This is the incremental-ingest contract: append a new batch's manifest
+    to yesterday's instead of rescanning the corpus. Counts and token sums
+    add, id ranges widen, and the mod-prime checksum adds (sum-fold is a
+    homomorphism: checksum(A ∪ B) = (checksum(A) + checksum(B)) mod p for
+    disjoint A, B) — property-tested against a from-scratch recompute.
+    One union + one #shards-row agg."""
+    cols = ["shard", "n_docs", "n_tokens", "id_lo", "id_hi", "checksum"]
+    return (
+        a.select(cols)
+        .unionAll(b.select(cols))
+        .groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("id_lo").alias("id_lo"),
+            F.max("id_hi").alias("id_hi"),
+            (F.sum("checksum") % _MANIFEST_PRIME).alias("checksum"),
+        )
+    )

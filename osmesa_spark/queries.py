@@ -594,6 +594,103 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_funnel",
+    f"""
+    WITH {EVENTS_MICRO_CTE},
+    s1 AS (
+        SELECT user_id, ts, event_type, event_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER w AS first_view
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)),
+    s2 AS (
+        SELECT user_id, ts, event_type, first_view,
+               MIN(CASE WHEN event_type = 'click' AND first_view < ts
+                        THEN ts END) OVER w AS first_click
+        FROM s1
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)),
+    per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,
+               MIN(CASE WHEN event_type = 'click' AND first_view < ts
+                        THEN ts END) AS c,
+               MIN(CASE WHEN event_type = 'purchase' AND first_click < ts
+                        THEN ts END) AS p
+        FROM s2 GROUP BY user_id)
+    SELECT COUNT(CASE WHEN v IS NOT NULL THEN 1 END)::BIGINT AS n_view,
+           COUNT(CASE WHEN c IS NOT NULL THEN 1 END)::BIGINT AS n_view_click,
+           COUNT(CASE WHEN p IS NOT NULL THEN 1 END)::BIGINT AS n_full_funnel
+    FROM per_user
+    """,
+    doc="ordered conversion funnel (view → click → purchase, strictly "
+    "increasing event time): stacked per-user running-min windows — "
+    "first_view cummin, then first_click cummin gated on it — so the "
+    "whole funnel is ONE user-keyed shuffle with the in-partition sort "
+    "REUSED across both window ops and the final agg; no per-user event "
+    "arrays collected, no self-joins per stage (the naive k-stage funnel "
+    "is k-1 joins). Output one row of stage counts (events-OLAP "
+    "extension)",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1 = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(w)
+        .alias("first_view"),
+    )
+    s2 = s1.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "first_view",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("first_view") < F.col("ts")),
+                F.col("ts"),
+            )
+        )
+        .over(w)
+        .alias("first_click"),
+    )
+    per_user = s2.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("v"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("first_view") < F.col("ts")),
+                F.col("ts"),
+            )
+        ).alias("c"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("first_click") < F.col("ts")),
+                F.col("ts"),
+            )
+        ).alias("p"),
+    )
+    return per_user.agg(
+        F.count(F.col("v")).alias("n_view"),
+        F.count(F.col("c")).alias("n_view_click"),
+        F.count(F.col("p")).alias("n_full_funnel"),
+    )
+
+
+@register(
     "minor_version_assignment",
     f"""
     WITH {EVENTS_MICRO_CTE}
@@ -6092,6 +6189,7 @@ DRIVER_PRIORITY = [
     "mixture_temperature",
     "corpus_shard_manifest",
     "split_contamination_report",
+    "event_funnel",
     "osm_power_users",
     "cms_heavy_users",
     "corpus_curation_app",

@@ -246,6 +246,7 @@ EXTENSIONS_JVM_ONLY = [
     "mixture_temperature",
     "corpus_shard_manifest",
     "split_contamination_report",
+    "event_funnel",
 ]
 
 

@@ -1236,3 +1236,75 @@ def test_leakage_safe_split_invariants(spark):
     fam = out2.where(F.col("doc_id").isin([0, 1, 2, 20, 21]))
     assert fam.select("split").distinct().count() == 1
     assert fam.select("group_key").distinct().count() == 1
+
+
+def test_shard_manifest_merge_homomorphism(spark):
+    """manifest(A ∪ B) == merge(manifest(A), manifest(B)) for disjoint
+    batches — the incremental-ingest contract (no rescan on append)."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.curation import (
+        merge_manifests,
+        shard_assignment,
+        shard_manifest,
+    )
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text of doc "), F.col("id")).alias("text"),
+        )
+
+    a, b = docs(0, 300), docs(300, 520)
+    union = docs(0, 520)
+    m_inc = merge_manifests(
+        shard_manifest(shard_assignment(a, 8)),
+        shard_manifest(shard_assignment(b, 8)),
+    )
+    m_full = shard_manifest(shard_assignment(union, 8))
+    inc = sorted(map(tuple, m_inc.collect()))
+    full = sorted(map(tuple, m_full.collect()))
+    assert inc == full
+
+
+def test_event_funnel_ordering_semantics(spark):
+    """Stage counts honor STRICT event-time ordering: a click before the
+    first view doesn't count, a purchase before the first qualifying
+    click doesn't count, ties (same timestamp) don't advance the funnel."""
+    import datetime as dt
+
+    from osmesa_spark import queries as Q
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, typ, 0.0, "")
+
+    rows = [
+        # u1: full ordered funnel
+        ev(1, 1, "view", 0), ev(2, 1, "click", 5), ev(3, 1, "purchase", 9),
+        # u2: click BEFORE view, then purchase — click doesn't qualify,
+        # so neither does the purchase
+        ev(4, 2, "click", 0), ev(5, 2, "view", 5), ev(6, 2, "purchase", 9),
+        # u3: purchase before its click — reaches view+click only
+        ev(7, 3, "view", 0), ev(8, 3, "purchase", 2), ev(9, 3, "click", 4),
+        # u4: click at the SAME instant as the view — strict < blocks it
+        ev(10, 4, "view", 0), ev(11, 4, "click", 0),
+        # u5: never views
+        ev(12, 5, "click", 0), ev(13, 5, "purchase", 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        # reuse the other sf tables untouched; only events is read
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            os.symlink(src, os.path.join(d, f"{t}.parquet"))
+        out = Q.registry()["event_funnel"].spark(spark, d).collect()[0]
+    assert (out["n_view"], out["n_view_click"], out["n_full_funnel"]) == (4, 2, 1)

@@ -1098,3 +1098,63 @@ def test_streaming_phash_dedup(spark, tmp_path):
 
     bounded = spark.read.schema(schema).json(str(drop))
     assert streaming_phash_dedup(bounded).count() == 2
+
+
+def test_streaming_manifest_incremental_and_replay(spark, tmp_path):
+    """Two dropped files fold into the committed manifest; the result
+    equals a from-scratch batch manifest of all rows; replaying an
+    already-applied batch_id is a no-op; an interrupted (unpointed)
+    version dir is invisible and GC'd by the next commit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.curation import shard_assignment, shard_manifest
+    from osmesa_spark.streaming.manifest_stream import (
+        ManifestTable,
+        run_streaming_manifest,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("streamed doc "), F.col("id")).alias("text"),
+        )
+
+    docs(0, 200).coalesce(1).write.parquet(str(src / "b0"))
+    docs(200, 350).coalesce(1).write.parquet(str(src / "b1"))
+
+    table_path = str(tmp_path / "manifest_table")
+    q = run_streaming_manifest(spark, str(src) + "/*/", table_path,
+                               n_shards=4)
+    q.processAllAvailable()
+    q.stop()
+
+    table = ManifestTable(table_path, n_shards=4)
+    got = {r["shard"]: r.asDict()
+           for r in table.read(spark).collect()}
+    want = {r["shard"]: r.asDict()
+            for r in shard_manifest(shard_assignment(docs(0, 350), 4)).collect()}
+    assert got == want
+    assert sum(r["n_docs"] for r in got.values()) == 350
+
+    # replay: same or older batch_id must not change committed state
+    last = table.last_batch()
+    before = table._current_version()
+    table.merge_batch(docs(0, 200), batch_id=last)
+    assert table._current_version() == before
+
+    # crash-sim: a staged version dir without a pointer flip is invisible…
+    orphan = os.path.join(table_path, "v_99999999999999999999")
+    os.makedirs(orphan)
+    assert table._current_version() == before
+    # …and the next successful commit garbage-collects it
+    table.merge_batch(docs(350, 400), batch_id=last + 1)
+    assert not os.path.exists(orphan)
+    got2 = {r["shard"]: r.asDict() for r in table.read(spark).collect()}
+    want2 = {r["shard"]: r.asDict()
+             for r in shard_manifest(shard_assignment(docs(0, 400), 4)).collect()}
+    assert got2 == want2
