@@ -39,6 +39,8 @@ HEADLINE = [
     "day_key_histogram",
     "event_sessions",
     "event_funnel",
+    "event_props_rollup",
+    "event_type_pivot",
     "haversine_user_path",
     "tile_histogram",
     "exact_dedup_docs",

@@ -555,3 +555,59 @@ def prepare_pretraining_shards(
         "doc_id",
     )
     return write_training_shards(final, path, n_shards=n_shards)
+
+
+def dataset_datasheet(spark: SparkSession, sf_dir: str, path: str) -> dict:
+    """Emit a machine-readable "datasheet" for the corpus at `sf_dir` —
+    the release-documentation artifact (Gebru et al., Datasheets for
+    Datasets) a training-data pipeline publishes next to its shards:
+
+      * composition: per-language docs/tokens/distinct-texts/quality
+        (`corpus_profile`) and per-source token shares with uniform-mix
+        sampling weights (`source_mix_weights`);
+      * duplication: near-dup cluster census (`dedup_cluster_stats`);
+      * quality: decile-bin histogram — the per-doc `doc_quality_bins`
+        output aggregated to ≤ 10 rows here (never per-doc rows to the
+        driver);
+      * contamination: near-dup pairs straddling train/test under the
+        per-doc vs cluster-keyed split (`split_contamination_report`).
+
+    Every section is the output of an already hash-oracled registry query
+    — the datasheet adds NO new computation semantics, only assembly. All
+    collected sections are bounded aggregates (languages × sources × 10
+    bins × 2 policies), never corpus rows, so assembly is driver-safe at
+    any corpus size. Written atomically (tmp + rename). Returns the dict."""
+    import json as _json
+    import os
+
+    from osmesa_spark import queries as Q
+
+    registry = Q.registry()
+
+    def rows(name: str) -> list[dict]:
+        return [r.asDict() for r in registry[name].spark(spark, sf_dir).collect()]
+
+    bins = (
+        registry["doc_quality_bins"]
+        .spark(spark, sf_dir)
+        .groupBy("quality_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("quality_bin")
+    )
+    sheet = {
+        "composition_by_lang": rows("corpus_profile"),
+        "composition_by_source": rows("source_mix_weights"),
+        "duplication_clusters": rows("dedup_cluster_stats"),
+        "quality_bins": [r.asDict() for r in bins.collect()],
+        "split_contamination": rows("split_contamination_report"),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(sheet, f, indent=1, default=str)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return sheet

@@ -691,6 +691,134 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_props_rollup",
+    f"""
+    WITH {EVENTS_MICRO_CTE}
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_events,
+           COUNT(CAST(json_extract(props, '$.k') AS INT))::BIGINT AS n_with_k,
+           SUM(CAST(json_extract(props, '$.k') AS INT))::BIGINT AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS INT))::INT AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS INT))::INT AS max_k,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k
+    FROM ev GROUP BY event_type ORDER BY event_type
+    """,
+    doc="schema-on-read JSON properties column: ONE vectorized from_json "
+    "parse per row against a declared schema (the scale-correct pattern — "
+    "per-field get_json_object re-parses the document k times; at 100 TB "
+    "the parse is the cost), then a plain partial-agg rollup. Malformed "
+    "or missing keys surface as nulls (PERMISSIVE), counted separately "
+    "(events-OLAP extension)",
+)
+def q_event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "event_type_pivot",
+    f"""
+    WITH {EVENTS_MICRO_CTE}
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS n_view,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS n_click,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END)::BIGINT AS n_signup,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT
+               AS n_purchase,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS n_error,
+           ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN value END), 0), 4) AS purchase_value
+    FROM ev GROUP BY user_id
+    """,
+    doc="wide per-user activity matrix via pivot with EXPLICIT pivot "
+    "values — the scale-correct form: without the value list Spark runs "
+    "an extra collect-distinct pass over the corpus just to discover "
+    "column names (and an unbounded type domain would mint unbounded "
+    "columns). One partial-agg shuffle; oracle = conditional-aggregation "
+    "CASE sums, the relational identity of pivot (events-OLAP extension)",
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["view", "click", "signup", "purchase", "error"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}")
+            for t in types
+        ],
+        F.round(F.coalesce(F.col("purchase_v"), F.lit(0.0)), 4).alias(
+            "purchase_value"
+        ),
+    )
+
+
+@register(
+    "event_counts_unpivot",
+    f"""
+    WITH {EVENTS_MICRO_CTE},
+    wide AS (
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS n_view,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT
+                   AS n_click,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT
+                   AS n_purchase
+        FROM ev GROUP BY user_id)
+    SELECT user_id, metric, n FROM wide
+    UNPIVOT (n FOR metric IN (n_view, n_click, n_purchase))
+    """,
+    doc="unpivot/melt — the dual of the pivot row: wide per-user counts "
+    "back to tidy long form via DataFrame.unpivot (one row per retained "
+    "metric column; zero-count cells KEPT — unpivot emits every named "
+    "column, unlike a long-form groupBy which never sees absent combos). "
+    "Pure projection over the pivot agg: no extra shuffle beyond the "
+    "groupBy (events-OLAP extension)",
+)
+def q_event_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["view", "click", "purchase"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                for t in types
+            ],
+        )
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=[f"n_{t}" for t in types],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )
+
+
+@register(
     "minor_version_assignment",
     f"""
     WITH {EVENTS_MICRO_CTE}
@@ -6185,12 +6313,16 @@ DRIVER_PRIORITY = [
     "lsh_miss_rate",
     "source_dup_matrix",
     "embedding_drift",
+    "osm_power_users",
     "split_leakage_safe",
     "mixture_temperature",
     "corpus_shard_manifest",
     "split_contamination_report",
     "event_funnel",
-    "osm_power_users",
+    "event_props_rollup",
+    "event_type_pivot",
+    "event_counts_unpivot",
+    # r6-new but already driver-evidenced in the r5 window — safe to spill
     "cms_heavy_users",
     "corpus_curation_app",
     # driver evidence is round 2 only — rotate back in

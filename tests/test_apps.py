@@ -441,3 +441,28 @@ def test_prepare_pretraining_shards_end_to_end(spark, tmp_path):
               docs, str(tmp_path / "corpus2"), mixture={"en": 0.8, "es": 0.2},
               n_shards=4, min_quality=0.0).collect()}
     assert m1 == m3
+
+
+def test_dataset_datasheet_sections_and_consistency(spark, tmp_path):
+    """Datasheet assembles the five oracled sections, totals agree across
+    sections, and the file is valid JSON written atomically."""
+    import json
+
+    from osmesa_spark.apps import dataset_datasheet
+
+    out = str(tmp_path / "datasheet.json")
+    sheet = dataset_datasheet(spark, "/root/testdata/sf0.001", out)
+    on_disk = json.load(open(out))
+    assert set(sheet) == {
+        "composition_by_lang", "composition_by_source",
+        "duplication_clusters", "quality_bins", "split_contamination",
+    }
+    assert set(on_disk) == set(sheet)
+    # cross-section consistency: both composition views count every doc
+    n_by_lang = sum(r["n_docs"] for r in sheet["composition_by_lang"])
+    n_by_bins = sum(r["n_docs"] for r in sheet["quality_bins"])
+    assert n_by_lang == n_by_bins > 0
+    # contamination section carries both policies
+    assert {r["policy"] for r in sheet["split_contamination"]} == {
+        "per_doc", "per_cluster",
+    }

@@ -247,6 +247,9 @@ EXTENSIONS_JVM_ONLY = [
     "corpus_shard_manifest",
     "split_contamination_report",
     "event_funnel",
+    "event_props_rollup",
+    "event_type_pivot",
+    "event_counts_unpivot",
 ]
 
 
