@@ -51,6 +51,7 @@ HEADLINE = [
     "mixture_temperature",
     "corpus_shard_manifest",
     "split_contamination_report",
+    "token_budget_plan",
     "simhash_pairs",
     "doc_winnow_fingerprints",
     "neardup_winnow_pairs",

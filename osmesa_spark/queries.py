@@ -4869,6 +4869,127 @@ def q_split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_budget_plan",
+    """
+    WITH per AS (
+        SELECT source,
+               SUM(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                   AS n_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens)::BIGINT AS w_tot,
+                   COUNT(*)::BIGINT AS n_src FROM per),
+    ordered AS (
+        SELECT per.source, per.n_tokens, tot.w_tot, tot.n_src,
+               7 * tot.w_tot AS t2,
+               ROW_NUMBER() OVER (ORDER BY per.n_tokens, per.source) AS k,
+               COALESCE(SUM(per.n_tokens) OVER (
+                   ORDER BY per.n_tokens, per.source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS cum_prev
+        FROM per, tot),
+    flagged AS (
+        SELECT *,
+               (8 * n_tokens * (n_src - k + 1)
+                  <= t2 - 8 * cum_prev) AS saturated
+        FROM ordered),
+    sat AS (SELECT COALESCE(SUM(CASE WHEN saturated THEN n_tokens END), 0)
+                       ::BIGINT AS sat_n,
+                   COALESCE(SUM(CASE WHEN saturated THEN 1 END), 0)
+                       ::BIGINT AS sat_k
+            FROM flagged)
+    SELECT source, n_tokens, saturated,
+           ROUND(CASE WHEN saturated THEN 4.0 * n_tokens
+                      ELSE (t2 - 8.0 * sat_n) / 2 / (n_src - sat_k) END,
+                 2) AS alloc_tokens,
+           ROUND(CASE WHEN saturated THEN 4.0
+                      ELSE (t2 - 8.0 * sat_n) / 2
+                           / (n_src - sat_k) / n_tokens END,
+                 4) AS epochs
+    FROM flagged, sat ORDER BY source
+    """,
+    doc="epoch-capped token-budget water-filling (the data-constrained "
+    "scaling setting, Muennighoff et al. 2023: repeat data up to ~4 "
+    "epochs): allocate T = 3.5x corpus tokens across sources toward a "
+    "UNIFORM target mix, no source repeated past 4 epochs — small "
+    "sources saturate at the cap, their shortfall redistributes to the "
+    "rest. Closed form, no iteration: sort sources by tokens, one "
+    "cumulative-sum window pass; each saturation test is a PURE BIGINT "
+    "inequality (the half-token budget is carried DOUBLED — t2 = 7*W — "
+    "so 3.5x stays integral), bit-exact cross-engine; only the final "
+    "allocation divides. #sources-row "
+    "frame: one corpus agg, then window + broadcast joins on rows that "
+    "fit in a cache line (training-data extension)",
+)
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.groupBy("source")
+        .agg(F.sum(text_fns.token_count("text")).alias("n_tokens"))
+        .localCheckpoint()
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("w_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    w = Window.orderBy("n_tokens", "source")
+    ordered = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("t2", F.lit(7) * F.col("w_tot"))
+        .withColumn("k", F.row_number().over(w))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+    flagged = ordered.withColumn(
+        "saturated",
+        F.lit(8) * F.col("n_tokens") * (F.col("n_src") - F.col("k") + 1)
+        <= F.col("t2") - F.lit(8) * F.col("cum_prev"),
+    ).localCheckpoint()
+    sat = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sat_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.lit(1))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sat_k"),
+    )
+    leftover = (F.col("t2") - 8.0 * F.col("sat_n")) / 2 / (
+        F.col("n_src") - F.col("sat_k")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(sat))
+        .select(
+            "source",
+            "n_tokens",
+            "saturated",
+            F.round(
+                F.when(F.col("saturated"), 4.0 * F.col("n_tokens")).otherwise(
+                    leftover
+                ),
+                2,
+            ).alias("alloc_tokens"),
+            F.round(
+                F.when(F.col("saturated"), F.lit(4.0)).otherwise(
+                    leftover / F.col("n_tokens")
+                ),
+                4,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "corpus_shard_manifest",
     """
     SELECT shard,
@@ -6322,6 +6443,7 @@ DRIVER_PRIORITY = [
     "event_props_rollup",
     "event_type_pivot",
     "event_counts_unpivot",
+    "token_budget_plan",
     # r6-new but already driver-evidenced in the r5 window — safe to spill
     "cms_heavy_users",
     "corpus_curation_app",

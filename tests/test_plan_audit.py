@@ -250,6 +250,7 @@ EXTENSIONS_JVM_ONLY = [
     "event_props_rollup",
     "event_type_pivot",
     "event_counts_unpivot",
+    "token_budget_plan",
 ]
 
 

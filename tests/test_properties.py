@@ -1308,3 +1308,38 @@ def test_event_funnel_ordering_semantics(spark):
             os.symlink(src, os.path.join(d, f"{t}.parquet"))
         out = Q.registry()["event_funnel"].spark(spark, d).collect()[0]
     assert (out["n_view"], out["n_view_click"], out["n_full_funnel"]) == (4, 2, 1)
+
+
+def test_token_budget_plan_waterfill_invariants(spark):
+    """On a skewed source distribution: tiny sources saturate at exactly
+    4 epochs, the giant absorbs the redistributed budget below the cap,
+    and the allocation conserves the total T = 3.5x corpus tokens."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from osmesa_spark import queries as Q
+
+    rows = []
+    did = 0
+    for src in ("a", "b", "c"):          # 10 tokens each
+        rows.append((did, " ".join(["w"] * 10), "en", src, 10)); did += 1
+    for _ in range(10):                   # source d: 10 x 1000 tokens
+        rows.append((did, " ".join(["w"] * 1000), "en", "d", 1000)); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["source"]: r.asDict()
+               for r in Q.registry()["token_budget_plan"].spark(spark, d).collect()}
+    # W = 10030, T = 35105: a/b/c saturate at 4 epochs (40 tokens each),
+    # d gets the remaining 34985 = 3.4985 epochs
+    for s in ("a", "b", "c"):
+        assert got[s]["saturated"] and got[s]["epochs"] == 4.0
+        assert got[s]["alloc_tokens"] == 40.0
+    assert not got["d"]["saturated"]
+    assert got["d"]["alloc_tokens"] == 34985.0
+    assert abs(got["d"]["epochs"] - 3.4985) < 1e-9
+    assert sum(r["alloc_tokens"] for r in got.values()) == 35105.0
