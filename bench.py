@@ -187,6 +187,13 @@ def main() -> None:
         "streaming_minutely_batch": streaming_sec,
         "streaming_tile_batch": tile_sec,
         "sf": sf_val,
+        # cross-run comparability markers: a loaded machine inflates every
+        # median uniformly (r5→r6 driver runs differed ~1.29× on identical
+        # code) — record ambient load + query count so that inflation is
+        # diagnosable instead of read as a plan regression
+        "n_queries": len(timings),
+        "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+        "cpus": os.cpu_count(),
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -207,6 +214,12 @@ def main() -> None:
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= 2400:
             break
+    if len(line) > 2400:
+        # last-resort fallback: a parseable line with the headline metric
+        # beats an oversized one the driver records as parsed:null — the
+        # full per-query detail is always in bench_details.json anyway
+        compact["queries"] = {"__truncated__": len(timings)}
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

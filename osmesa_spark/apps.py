@@ -355,6 +355,7 @@ def neardup_dedup_corpus(
     num_hashes: int = 16,
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """End-to-end NEAR-duplicate corpus dedup — the fuzzy counterpart of
     `curate_training_corpus`'s exact-dedup stage (the RefinedWeb-family
@@ -378,8 +379,12 @@ def neardup_dedup_corpus(
     from osmesa_spark.operators import dedup as dd
 
     sigs = dd.minhash_signatures(docs, num_hashes=num_hashes)
+    # max_bucket defaults ON here (unlike the raw operator): the shipped
+    # 100 TB chain must be skew-proof out of the box — a degenerate LSH
+    # bucket (empty/boilerplate collisions) routes through exact
+    # full-signature star edges instead of an O(n²) pair explosion
     cand = dd.lsh_candidate_pairs(
-        sigs, bands=bands, rows_per_band=rows_per_band
+        sigs, bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket
     )
     verified = dd.jaccard_verify(docs, cand, threshold=threshold)
     comp = dd.connected_components(verified.select("id_a", "id_b"))

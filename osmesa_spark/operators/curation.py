@@ -108,8 +108,15 @@ def leakage_safe_split(
         F.col("component_id").alias("__lss_comp"),
     )
     joined = df.join(comp, F.col(id_col) == F.col("__lss_node"), "left")
-    group = F.coalesce(F.col("__lss_comp"), F.col(id_col).cast("bigint"))
-    bucket = split_bucket(group.cast("string"), seed)
+    # Coalesce on the STRING forms: casting a non-numeric string id to
+    # bigint would null the hash input and silently dump every unclustered
+    # doc into the last split instead of matching dataset_split's
+    # string-hash assignment. String coalesce is identical for numeric ids
+    # (bigint→string round-trips) and correct for opaque ones.
+    group = F.coalesce(
+        F.col("__lss_comp").cast("string"), F.col(id_col).cast("string")
+    )
+    bucket = split_bucket(group, seed)
     return joined.select(
         *[F.col(c) for c in df.columns],
         group.alias("group_key"),
@@ -381,9 +388,15 @@ def shard_assignment(
 
 
 # order-independent manifest checksum: per-doc 60-bit portable hashes are
-# folded mod this prime so the shard sum never overflows BIGINT even at
-# 10^12 docs/shard, and any row added/dropped/altered flips the digest
+# folded mod this prime (residues < 1e9). The fold happens in TWO levels —
+# per-(shard, salt) partial sums are reduced mod p before the final
+# per-shard sum — so no intermediate ever exceeds ~1e9 × _MANIFEST_SALTS
+# ≈ 1e12 and the digest stays overflow-free past 10^12 docs/shard (a
+# single-level sum would wrap silently at ~9.2e9 docs/shard). Modular
+# reduction is associative over grouping, so the two-level digest is
+# bit-identical to the single-level one.
 _MANIFEST_PRIME = 1_000_000_007
+_MANIFEST_SALTS = 1024
 
 
 def shard_manifest(
@@ -406,15 +419,26 @@ def shard_manifest(
 
     toks = token_count(text_col) if token_col is None else token_col
     doc_h = _portable_hash(F.col(id_col).cast("string"), 23) % _MANIFEST_PRIME
-    return (
-        sharded.groupBy("shard")
+    # two-level fold: the salt spreads each shard over _MANIFEST_SALTS
+    # partial groups (also de-skewing a hot shard's reduce), the inner
+    # `% p` bounds every partial, and the outer sum of < p partials can't
+    # wrap — same digest value, no silent BIGINT overflow at extreme scale
+    partial = (
+        sharded.groupBy("shard", (doc_h % _MANIFEST_SALTS).alias("__salt"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(toks.cast("bigint")).alias("n_tokens"),
             F.min(id_col).alias("id_lo"),
             F.max(id_col).alias("id_hi"),
-            (F.sum(doc_h) % _MANIFEST_PRIME).alias("checksum"),
+            (F.sum(doc_h) % _MANIFEST_PRIME).alias("cs"),
         )
+    )
+    return partial.groupBy("shard").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("id_lo").alias("id_lo"),
+        F.max("id_hi").alias("id_hi"),
+        (F.sum("cs") % _MANIFEST_PRIME).alias("checksum"),
     )
 
 

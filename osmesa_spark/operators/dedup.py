@@ -169,13 +169,24 @@ def lsh_candidate_pairs(
     `max_bucket` caps degenerate buckets at 100 TB scale: a bucket holding
     millions of ids (boilerplate/empty-text collisions) would materialize
     one reducer-side array AND emit useless O(n²) candidates — standard
-    LSH practice (datasketch, Spark MinHashLSH) drops or samples such
-    buckets, since exact grouping of their members is cheaper via exact
-    dedup on the full signature. Dropped-bucket members still pair through
-    their other (band, bucket) memberships. None (default) keeps exact
-    semantics for the fixture-scale oracle."""
+    LSH practice (datasketch, Spark MinHashLSH) bounds such buckets, since
+    exact grouping of their members is cheaper than pairing them. Members
+    of an over-cap bucket are NOT silently dropped: they are routed
+    through exact FULL-SIGNATURE dedup — grouped by the whole minhash
+    signature and connected to the group's min-id representative by
+    linear star edges — so certainly-duplicate docs (the usual cause of a
+    degenerate bucket) still reach the verify/CC stages, while
+    distinct-signature hash collisions (the useless O(n²) part) are the
+    only thing skipped; those may still pair via their other bands. The
+    cap branch never collects an over-cap member list: it is a count
+    aggregate + two broadcast joins + a min-by-key join, all linear.
+    None (default) keeps exact all-pairs semantics for the fixture-scale
+    oracle."""
     banded = sigs.select(
         "id",
+        # full-signature fingerprint for the over-cap exact-dedup route;
+        # one narrow bigint per membership, never the sig array itself
+        F.xxhash64("sig").alias("sig_key"),
         F.explode(
             F.array(
                 *[
@@ -195,19 +206,46 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", "sig_key", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        # three consumers below (size census, anti-join, semi-join) — pin
+        # the banded projection once so the minhash lineage (the md5 hot
+        # path) never re-executes per branch
+        banded = banded.localCheckpoint(eager=False)
+        over = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+            .select("band", "bucket")
+        )
+        # over-cap (band,bucket) keys are pathologies, few by definition —
+        # broadcast them as an exclusion list rather than shuffling the
+        # corpus-sized membership table against itself
+        small = banded.join(F.broadcast(over), ["band", "bucket"], "left_anti")
+        members = (
+            banded.join(F.broadcast(over), ["band", "bucket"], "left_semi")
+            .select("id", "sig_key")
+            .distinct()
+        )
+        reps = members.groupBy("sig_key").agg(F.min("id").alias("__rep"))
+        star = (
+            members.join(reps, "sig_key")
+            .where(F.col("id") != F.col("__rep"))
+            .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+        )
+    else:
+        small, star = banded, None
     buckets = (
-        banded.groupBy("band", "bucket")
+        small.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    if max_bucket is not None:
-        buckets = buckets.where(F.size("ids") <= max_bucket)
-    return (
-        buckets.select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    pairs = buckets.select(
+        F.explode(_pair_combinations(F.col("ids"))).alias("p")
+    ).select("p.id_a", "p.id_b")
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def jaccard_verify(

@@ -2581,7 +2581,7 @@ def _band_bucket_sql(bands: int = 4, rows: int = 4) -> str:
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, num_hashes=16)
-    return dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).select(
+    return dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=1000).select(
         F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint")
     )
 
@@ -2610,7 +2610,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, num_hashes=16)
-    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=1000)
     return dd.jaccard_verify(d, pairs, threshold=0.5).select(
         F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "jaccard"
     )
@@ -2647,7 +2647,7 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, num_hashes=16)
-    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=1000)
     return dd.containment_verify(d, pairs, threshold=0.8).select(
         F.col("id_a").cast("bigint"),
         F.col("id_b").cast("bigint"),
@@ -2681,7 +2681,7 @@ def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, num_hashes=16)
-    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=1000)
     return dd.connected_components(pairs).select(
         F.col("node").cast("bigint"), "component_id"
     )
@@ -2727,7 +2727,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, num_hashes=16)
-    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=1000)
     comp = dd.connected_components(pairs)
     return cur.leakage_safe_split(d.select("doc_id"), comp).select(
         F.col("doc_id").cast("bigint"),
@@ -2772,7 +2772,7 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, num_hashes=16)
-    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=1000)
     comp = dd.connected_components(pairs)
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -2893,7 +2893,7 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, num_hashes=16)
-    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=1000)
     verified = dd.jaccard_verify(d, cand, threshold=0.5).select(
         "id_a", "id_b"
     )
@@ -2975,7 +2975,7 @@ def q_lsh_miss_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, num_hashes=16)
-    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=1000)
     ids = sigs.select(F.col("id").alias("doc_id"))
     a = ids.select(F.col("doc_id").alias("id_a"))
     b = ids.select(F.col("doc_id").alias("id_b"))
@@ -3062,7 +3062,7 @@ def q_lsh_miss_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, num_hashes=16)
-    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=1000)
     dup = (
         cand.select(F.col("id_a").alias("doc_id"))
         .unionByName(cand.select(F.col("id_b").alias("doc_id")))
@@ -3142,7 +3142,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d, num_hashes=16)
-    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=1000)
     shd = d.select(
         F.col("doc_id").alias("id"),
         F.array_distinct(_shingles("text", 3)).alias("shs"),
@@ -4819,7 +4819,7 @@ def q_split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dd.minhash_signatures(d, num_hashes=16)
     # pairs feed BOTH the component labeling and the straddle join below —
     # materialize the LSH pipeline once (pairs ≪ corpus)
-    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).localCheckpoint()
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=1000).localCheckpoint()
     comp = dd.connected_components(pairs)
     ids = d.select("doc_id")
     assign = (

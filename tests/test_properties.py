@@ -462,9 +462,11 @@ def test_asof_join_differential_vs_pandas(spark):
 
 
 def test_lsh_max_bucket_cap(spark):
-    """max_bucket drops degenerate buckets (the 100 TB boilerplate-collision
-    guard) while identical docs still pair through their other bands when
-    under the cap."""
+    """max_bucket bounds degenerate buckets (the 100 TB boilerplate-collision
+    guard): over-cap buckets emit linear full-signature star edges instead
+    of O(n²) pairs, so the identical clique stays connected at n-1 edges."""
+    from pyspark.sql import functions as F
+
     from osmesa_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -479,7 +481,10 @@ def test_lsh_max_bucket_cap(spark):
     capped = lsh_candidate_pairs(
         sigs, bands=4, rows_per_band=4, max_bucket=10
     )
-    assert capped.count() == 0  # every band-bucket of the clique is over cap
+    got = [(r["id_a"], r["id_b"]) for r in capped.collect()]
+    # every band-bucket of the clique is over cap → exactly the 19 star
+    # edges (min id 0 → each other member), never the 190 clique pairs
+    assert sorted(got) == [(0, i) for i in range(1, 20)]
 
 
 def test_remove_duplicated_spans_hand_case(spark):
@@ -1226,7 +1231,7 @@ def test_leakage_safe_split_invariants(spark):
     for r in out.collect():
         if r["doc_id"] not in clustered:
             assert r["split"] == base[r["doc_id"]]
-            assert r["group_key"] == r["doc_id"]
+            assert r["group_key"] == str(r["doc_id"])
 
     # (3) merging chain{0,1,2} with pair{20,21} gives one shared split
     merged = connected_components(
@@ -1236,6 +1241,24 @@ def test_leakage_safe_split_invariants(spark):
     fam = out2.where(F.col("doc_id").isin([0, 1, 2, 20, 21]))
     assert fam.select("split").distinct().count() == 1
     assert fam.select("group_key").distinct().count() == 1
+
+    # (4) NON-NUMERIC string ids: unclustered docs must still match
+    # dataset_split's string-hash assignment, never fall through a null
+    # bigint cast into the last split
+    sdocs = spark.createDataFrame(
+        [("doc-aa",), ("doc-bb",), ("doc-cc",), ("u-1",), ("u-2",)],
+        "doc_id string",
+    )
+    sout = {r["doc_id"]: (r["split"], r["group_key"])
+            for r in leakage_safe_split(
+                sdocs, comp.limit(0).selectExpr(
+                    "cast(node as string) node", "component_id")
+            ).collect()}
+    sbase = {r["doc_id"]: r["split"] for r in dataset_split(sdocs).collect()}
+    assert {s for s, _ in sout.values()} != {"test"}
+    for did, (split, gk) in sout.items():
+        assert split == sbase[did]
+        assert gk == did
 
 
 def test_shard_manifest_merge_homomorphism(spark):
@@ -1343,3 +1366,70 @@ def test_token_budget_plan_waterfill_invariants(spark):
     assert got["d"]["alloc_tokens"] == 34985.0
     assert abs(got["d"]["epochs"] - 3.4985) < 1e-9
     assert sum(r["alloc_tokens"] for r in got.values()) == 35105.0
+
+
+def test_lsh_max_bucket_bounds_degenerate_buckets(spark):
+    """A degenerate LSH bucket (many identical docs) must NOT explode into
+    O(n²) candidates when capped — over-cap buckets route through exact
+    full-signature star edges, so (1) the candidate count is linear,
+    (2) the identical family is still fully connected after CC, and
+    (3) docs pairing only through healthy buckets are unaffected."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators import dedup as dd
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 4
+    rows = [(i, boiler) for i in range(40)]  # one degenerate family
+    rows += [
+        (100, "a genuinely unique document about spark partitioning and joins"),
+        (101, "a genuinely unique document about spark partitioning and joins!"),
+        (200, "totally unrelated text with nothing shared across the corpus"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dd.minhash_signatures(docs, num_hashes=16)
+
+    uncapped = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    capped = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=10)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 40 * 39 // 2  # quadratic without the cap
+    assert n_cap <= 39 + 5  # star edges + the healthy near-dup pairs
+
+    # the identical family stays ONE component under the cap
+    comp = dd.connected_components(capped)
+    fam = comp.where(F.col("node") < 40)
+    assert fam.count() == 40
+    assert fam.select("component_id").distinct().count() == 1
+
+    # healthy-bucket pairs survive untouched
+    cap_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    un_pairs = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert ((100, 101) in cap_pairs) == ((100, 101) in un_pairs)
+    assert not any(200 in p for p in cap_pairs)
+
+
+def test_phash_max_bucket_bounds_degenerate_buckets(spark):
+    """phash_pairs twin of the LSH cap: a fingerprint-identical family
+    bigger than max_bucket yields linear hamming-0 star edges, not O(n²)
+    pairs, and an independent near-dup pair still surfaces."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators import multimodal as mm
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(i * 3, boiler) for i in range(30)]  # image-kind ids, same body
+    rows += [(900, boiler[:-10] + "lazy cat xx")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = mm.phash_pairs(docs, max_hamming=11)
+    capped = mm.phash_pairs(docs, max_hamming=11, max_bucket=5)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 30 * 29 // 2
+    # 29 star edges for the family + (family rep, 900) near-dup pairs
+    assert n_cap <= 29 + 31
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in capped.collect()}
+    fam_edges = {p for p in got if p[0] < 900 and p[1] < 900}
+    assert all(got[p] == 0 for p in fam_edges)
+    # star connectivity: every family member reachable from the min id
+    nodes = {n for p in fam_edges for n in p}
+    assert nodes == {i * 3 for i in range(30)}
