@@ -105,6 +105,7 @@ HEADLINE = [
     "osm_relation_assembly_deep",
     "osm_coedit_pagerank",
     "osm_snapshot_diff",
+    "osm_way_tile_cover",
 ]
 
 

@@ -560,7 +560,23 @@ def write_augdiff_dropdir(
     total = 0
     for seq in range(1000, 1000 + n_sequences):
         lines = []
-        for i in range(per_seq):
+        for feature in _augdiff_features(rng, seq, per_seq):
+            lines.append(json.dumps(feature))
+            total += 1
+            if corrupt_every and total % corrupt_every == 0:
+                lines.append('{"sequence": %d, "id": BROKEN' % seq)
+        with open(os.path.join(out_dir, f"{seq}.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return total
+
+
+def _augdiff_features(rng, seq: int, per_seq: int):
+    """One sequence's flattened augmented-diff feature dicts (shared by the
+    flat and pair-format drop-dir writers; rng call order is the
+    determinism contract)."""
+    out = []
+    for i in range(per_seq):
+        if True:  # indentation shim: body unchanged from the inline loop
             eid = rng.randint(1, 500)
             version = rng.randint(1, 4)
             visible = rng.random() > 0.05
@@ -623,12 +639,78 @@ def write_augdiff_dropdir(
                 "geom": geom,
                 "prevGeom": prev_geom,
             }
-            lines.append(json.dumps(feature))
+            out.append(feature)
+    return out
+
+
+def _geojson_geometry(gtype: str, geom: list[dict]) -> dict:
+    coords = [[p["lon"], p["lat"]] for p in geom]
+    if gtype == "Point":
+        return {"type": "Point", "coordinates": coords[0]}
+    if gtype == "Polygon":
+        return {"type": "Polygon", "coordinates": [coords]}
+    return {"type": "LineString", "coordinates": coords}
+
+
+def write_augdiff_pairs_dropdir(
+    out_dir: str,
+    n_sequences: int = 5,
+    per_seq: int = 40,
+    seed: int = 42,
+    corrupt_every: int | None = None,
+) -> int:
+    """The REAL augmented-diff wire format (updater/package.scala:69-128
+    readFeatures): per line one GeoJSON FeatureCollection whose features
+    are keyed "old"/"new"; \\u001e RFC 7464 record separators prefixed the
+    way the overpass-diff publisher emits them. Same rng stream as
+    `write_augdiff_dropdir`, so the flattened content is IDENTICAL — the
+    translator parity test compares the two reads row for row."""
+    rng = random.Random(seed + 2)
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0
+    for seq in range(1000, 1000 + n_sequences):
+        lines = []
+        for f in _augdiff_features(rng, seq, per_seq):
+            props = {
+                "id": f["id"],
+                "type": f["type"],
+                "version": f["version"],
+                "minorVersion": f["minorVersion"],
+                "timestamp": f["updated"],
+                "visible": f["visible"],
+                "tags": f["tags"],
+                "changeset": f["changeset"],
+                "uid": f["uid"],
+                "user": f["user"],
+                "augmentedDiff": f["sequence"],
+            }
+            feats = []
+            if f["prevGeom"] is not None:
+                feats.append({
+                    "type": "Feature",
+                    "id": "old",
+                    "geometry": _geojson_geometry(f["geomType"], f["prevGeom"]),
+                    "properties": {**props, "tags": f["prevTags"] or {}},
+                })
+            feats.append({
+                "type": "Feature",
+                "id": "new",
+                "geometry": _geojson_geometry(f["geomType"], f["geom"]),
+                "properties": props,
+            })
+            lines.append(
+                "\u001e" + json.dumps(
+                    {"type": "FeatureCollection", "features": feats}
+                )
+            )
             total += 1
             if corrupt_every and total % corrupt_every == 0:
-                lines.append('{"sequence": %d, "id": BROKEN' % seq)
-        with open(os.path.join(out_dir, f"{seq}.jsonl"), "w") as f:
-            f.write("\n".join(lines) + "\n")
+                lines.append(
+                    '{"type": "FeatureCollection", "features": [BROKEN %d'
+                    % total
+                )
+        with open(os.path.join(out_dir, f"{seq}.jsonl"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
     return total
 
 

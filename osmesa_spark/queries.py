@@ -6377,16 +6377,14 @@ register_osm_queries(register)
 
 
 # The driver's per-round correctness file records the FIRST 50 registry
-# entries; local tests cover all of them identically. Round-5 window: the
+# entries; local tests cover all of them identically. Round-7 window: the
 # osm_* parity pipelines stay (window-integrity test requires them — now
-# 18 with the new osm_changeset_metadata and osm_geocode_realworld), then
-# (a) queries NEW or CHANGED this round (building_match now end-to-end on
-# the isolated-twin fixture, user_cardinality_approx's HLL invariant
-# oracle, the hybrid star-CC wiring behind dedup_components /
-# dedup_cluster_stats, the relation-member stitch dedup), and (b) the
-# stalest cohort rotated back in — everything whose only driver evidence
-# is round 2, plus the oldest round-3 names (asof, tfidf, kmeans, the
-# multimodal trio, LSH/cosine dedup). Triple-green r4 rows rotate out;
+# 27 with the new osm_way_tile_cover), then (a) the 3 r6 entries that
+# fell past slot 50 un-checked (event pivot/unpivot, token budget), (b)
+# every query whose plan changed this round (the max_bucket=1000
+# exact-routing cap across the LSH chains, the two-level manifest
+# checksum, the string-safe leakage hash), and (c) the stalest cohort —
+# the r3-evidence spill list queued in r6. Triple-green rows rotate out;
 # everything stays covered by tests/test_queries_oracle.py.
 DRIVER_PRIORITY = [
     # reference-parity pipelines (must stay in the window)
@@ -6416,50 +6414,72 @@ DRIVER_PRIORITY = [
     "osm_changeset_duration",
     "osm_geometry_validity",
     "osm_map_age",
-    # new or changed THIS round (r6) — need fresh driver evidence
+    "osm_way_tile_cover",
+    "osm_power_users",
+    # NEW this round (r7) — the 3 r6 entries that fell past slot 50 and
+    # have never been driver-checked go first (VERDICT r6 #3)
+    "event_type_pivot",
+    "event_counts_unpivot",
+    "token_budget_plan",
+    # CHANGED this round (r7): every query whose LSH chain now caps
+    # degenerate buckets (max_bucket=1000 + exact-signature star routing),
+    # plus the two-level manifest checksum and the string-safe
+    # leakage-split hash — fixture outputs are value-identical, but the
+    # plans changed, so they need fresh driver evidence
+    "minhash_lsh_pairs",
+    "neardup_jaccard",
+    "neardup_containment",
+    "dedup_components",
+    "dedup_cluster_stats",
+    "split_leakage_safe",
+    "split_contamination_report",
+    "source_dup_matrix",
+    "lsh_miss_rate",
+    "minhash_calibration",
+    "neardup_dedup_app",
     "multimodal_phash_pairs",
+    "corpus_shard_manifest",
+    # stalest driver evidence (r3 cohort spill list from r6) — rotate in
+    "haversine_user_path",
+    "kv_map_assembly",
+    "map_merge_simplify",
+    "doc_bigram_topk",
+    "doc_token_entropy",
+    "pricing_summary",
+    # below this line: spills past the 50-slot window, next in line for r8
+    "right_outer_parts",
+    "source_mix_weights",
+    "supplier_region_rollup",
+    "tile_histogram",
+    "tokenizer_fertility",
+    "user_statistics",
     "embedding_rp_project",
     "knn_rp",
     "ann_recall_rp",
     "price_quantiles_sketch",
-    "neardup_dedup_app",
     "ivf_append",
-    "minhash_calibration",
     "decontaminate_semantic",
     "corpus_ngram_diversity",
     "quality_dup_correlation",
     "doc_chunking",
     "hybrid_rrf_retrieval",
     "ann_recall_trunc",
-    "lsh_miss_rate",
-    "source_dup_matrix",
     "embedding_drift",
-    "osm_power_users",
-    "split_leakage_safe",
     "mixture_temperature",
-    "corpus_shard_manifest",
-    "split_contamination_report",
     "event_funnel",
     "event_props_rollup",
-    "event_type_pivot",
-    "event_counts_unpivot",
-    "token_budget_plan",
-    # r6-new but already driver-evidenced in the r5 window — safe to spill
     "cms_heavy_users",
     "corpus_curation_app",
-    # driver evidence is round 2 only — rotate back in
     "dedup_keep_best",
     "doc_pack_assignment",
     "embedding_label_stats",
     "pii_scrub",
     "stratified_sample",
     "word_frequencies",
-    # round-3 cohort, oldest first by risk (kernels/joins before pure aggs)
     "kmeans_clusters",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",
-    "minhash_lsh_pairs",
     "neardup_cosine",
     "neardup_sparse_cosine",
     "decontaminate_overlap",
@@ -6472,19 +6492,6 @@ DRIVER_PRIORITY = [
     "doc_bm25_topk",
     "doc_winnow_fingerprints",
     "embedding_quantize",
-    # below this line: spills past the 50-slot window, next in line for r7
-    "haversine_user_path",
-    "kv_map_assembly",
-    "map_merge_simplify",
-    "doc_bigram_topk",
-    "doc_token_entropy",
-    "pricing_summary",
-    "right_outer_parts",
-    "source_mix_weights",
-    "supplier_region_rollup",
-    "tile_histogram",
-    "tokenizer_fertility",
-    "user_statistics",
 ]
 
 

@@ -193,6 +193,100 @@ OSM_GEOMETRY_VALIDITY_SQL = f"""
 """
 
 
+_COVER_ZOOM = 4  # fixture ways span ~60° — zoom 4 gives real multi-tile fans
+
+
+def osm_way_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-element MVT updater's PRE-ENCODE DataFrame (G11 fan-out,
+    updater/package.scala:182-208 `tile()`): every reconstructed way
+    version fanned to each (tx, ty) its geometry's bbox covers at zoom 4,
+    through the SAME `diffs_with_tiles` operator `update_tiles` groups on
+    — covering keys and vertex counts are the grouped-shuffle payload the
+    executor-side clip consumes. Pure Column Web-Mercator pixel math +
+    two explode(sequence(lo, hi)) fans; the oracle replays bbox→pixel→
+    tile-range via min/max-vertex monotonicity + generate_series."""
+    from osmesa_spark.sinks import updater as U
+
+    h = _history(spark)
+    recon = G.reconstruct_way_geometries(
+        P.preprocess_ways(h), P.preprocess_nodes(h)
+    )
+    keyed = U.diffs_with_tiles(
+        recon.select(F.lit(0).alias("sequence"), "*"), zoom=_COVER_ZOOM
+    )
+    return keyed.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("version").cast("int").alias("version"),
+        F.col("zoom").cast("int").alias("zoom"),
+        F.col("tx").cast("bigint").alias("tx"),
+        F.col("ty").cast("bigint").alias("ty"),
+        F.size("px").cast("int").alias("nverts"),
+    )
+
+
+def _way_tile_cover_sql() -> str:
+    n = 1 << _COVER_ZOOM
+    scale = float(n * 4096)
+    hi = n * 4096 - 1
+    max_lat = 85.05112877980659
+    ux = "((({0}) + 180.0) / 360.0)"
+    clat = f"RADIANS(LEAST(GREATEST(({{0}}), -{max_lat}), {max_lat}))"
+    uy = (
+        f"((1.0 - LN(TAN({clat}) + 1.0/COS({clat})) / PI()) / 2.0)"
+    )
+
+    def px(expr: str) -> str:
+        return (
+            f"LEAST(GREATEST(FLOOR({ux.format(expr)} * {scale}), 0), {hi})"
+            f"::BIGINT"
+        )
+
+    def py(expr: str) -> str:
+        return (
+            f"LEAST(GREATEST(FLOOR({uy.format(expr)} * {scale}), 0), {hi})"
+            f"::BIGINT"
+        )
+
+    # lon→pixel-x is increasing, lat→pixel-y is DEcreasing: the pixel bbox
+    # of the vertex set is the pixel transform of the lon/lat bbox with the
+    # y bounds swapped (floor/clamp are monotone)
+    return f"""
+    WITH {_NV_CTE},
+    wx AS (
+        SELECT w.id AS way_id, w.version AS way_version, w.timestamp AS wts,
+               u.ref
+        FROM read_parquet('{_HISTORY}') w,
+             LATERAL (SELECT unnest(w.nds) AS ref) u
+        WHERE w.type = 'way'),
+    wb AS (
+        SELECT way_id, way_version, COUNT(*) AS nverts,
+               MIN(nv.lon) AS lonmin, MAX(nv.lon) AS lonmax,
+               MIN(nv.lat) AS latmin, MAX(nv.lat) AS latmax
+        FROM wx JOIN nv ON wx.ref = nv.id
+             AND nv.timestamp <= wx.wts
+             AND wx.wts < COALESCE(nv.valid_until, TIMESTAMP '9999-01-01')
+        WHERE nv.lon IS NOT NULL AND nv.lat IS NOT NULL AND nv.visible
+        GROUP BY way_id, way_version
+        HAVING COUNT(*) >= 2),
+    tr AS (
+        SELECT way_id, way_version, nverts,
+               {px('lonmin')} // 4096 AS txmin,
+               {px('lonmax')} // 4096 AS txmax,
+               {py('latmax')} // 4096 AS tymin,
+               {py('latmin')} // 4096 AS tymax
+        FROM wb),
+    fx AS (
+        SELECT way_id, way_version, nverts, tymin, tymax,
+               unnest(generate_series(txmin, txmax)) AS tx
+        FROM tr)
+    SELECT way_id AS id, way_version::INT AS version,
+           {_COVER_ZOOM}::INT AS zoom, tx::BIGINT AS tx,
+           unnest(generate_series(tymin, tymax))::BIGINT AS ty,
+           nverts::INT AS nverts
+    FROM fx
+    """
+
+
 def osm_utm_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar ring areas via the TRUE UTM pipeline (transformLatLngToUtm +
     shoelace, stats/package.scala:17-32,49-60) next to the spherical-excess
@@ -1346,6 +1440,16 @@ def register_osm_queries(register) -> None:
         doc="way geometry reconstruction: posexplode nds + temporal join + area rule — "
         "reconstructWayGeometries parity (J5/J6/A6)",
     )(osm_way_reconstruction)
+    register(
+        "osm_way_tile_cover",
+        _way_tile_cover_sql(),
+        doc="per-element MVT updater fan-out (G11 pre-encode DataFrame, "
+        "updater/package.scala:182-208): reconstructed way versions keyed "
+        "to EVERY covering (tx, ty) at zoom 4 through diffs_with_tiles — "
+        "bbox pixel cover + explode(sequence(lo,hi)); oracle replays "
+        "bbox→pixel→tile-range via vertex min/max monotonicity + "
+        "generate_series",
+    )(osm_way_tile_cover)
     register(
         "osm_changeset_stats",
         OSM_CHANGESET_STATS_SQL,

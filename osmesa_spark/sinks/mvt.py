@@ -12,10 +12,14 @@ Parity targets in the reference:
   * concurrent tile IO — ForkJoinPool(8) in `Footprints.scala:42-53` (G10)
 
 The reference links geotrellis' vectortile codec; we implement the
-vector-tile **spec 2.1 protobuf wire format** directly (~150 LoC, no
+vector-tile **spec 2.1 protobuf wire format** directly (~200 LoC, no
 dependency): varint/zigzag primitives, Tile>Layer>Feature/Value messages,
-point geometries as MoveTo command sequences. Only what the pipelines emit
-is supported (point features, int/string/bool/float values).
+and all three geometry classes — POINT as MoveTo×n, LINESTRING as
+(MoveTo, LineTo×(n-1)) per part, POLYGON as (MoveTo, LineTo×(n-1),
+ClosePath) per ring (rings stored OPEN; ClosePath carries the closure,
+per spec §4.3.4.4). Multi-part geometries are additional parts in the
+same command stream, exactly how geotrellis' StrictLayer writes
+MultiLine/MultiPolygon. Values: int/string/bool/float.
 
 Scale notes: the sink consumes the already-aggregated per-tile rows (one
 row per tile after `collect_list` of its cells), so executor memory is
@@ -38,6 +42,11 @@ SEQUENCES_LAYER = "__sequences__"
 MAX_COMMITTED_SEQUENCES = 1000  # VectorGrid.scala:48-49
 DEFAULT_EXTENT = 4096
 _GEOM_POINT = 1
+_GEOM_LINESTRING = 2
+_GEOM_POLYGON = 3
+_CMD_MOVETO = 1
+_CMD_LINETO = 2
+_CMD_CLOSEPATH = 7
 
 
 # ---------------------------------------------------------------------------
@@ -113,9 +122,16 @@ def _fields(buf: bytes):
 @dataclass
 class MvtFeature:
     fid: int | None
-    geom_type: int  # 1=point
-    points: list[tuple[int, int]]  # extent-local integer coords
+    geom_type: int  # 1=point, 2=linestring, 3=polygon
+    points: list[tuple[int, int]]  # type 1: extent-local integer coords
     tags: dict[str, object] = field(default_factory=dict)
+    # types 2/3: geometry parts in extent-local integer coords. For
+    # LINESTRING each part is a polyline (≥2 vertices); >1 part is a
+    # MultiLineString. For POLYGON each part is an OPEN ring (no repeated
+    # closing vertex — ClosePath carries the closure); ring winding
+    # distinguishes exterior (positive shoelace area in screen coords)
+    # from interior, per spec 2.1 §4.3.4.4.
+    parts: list[list[tuple[int, int]]] = field(default_factory=list)
 
 
 def _encode_value(v: object) -> bytes:
@@ -147,33 +163,120 @@ def _decode_value(buf: bytes) -> object:
     return None
 
 
-def _encode_point_geometry(points: list[tuple[int, int]]) -> bytes:
-    cmds = [(1 | (len(points) << 3))]  # MoveTo × n
+def _encode_geometry(f: "MvtFeature") -> bytes:
+    """Feature → spec 2.1 command stream. The cursor is relative across
+    parts (geotrellis writes MultiLine/MultiPolygon the same way)."""
+    cmds: list[int] = []
     cx = cy = 0
-    for x, y in points:
+    if f.geom_type == _GEOM_POINT:
+        cmds.append(_CMD_MOVETO | (len(f.points) << 3))
+        for x, y in f.points:
+            cmds.append(_zigzag(x - cx))
+            cmds.append(_zigzag(y - cy))
+            cx, cy = x, y
+        return b"".join(_varint(c) for c in cmds)
+    if f.geom_type not in (_GEOM_LINESTRING, _GEOM_POLYGON):
+        raise ValueError(f"unsupported geometry type {f.geom_type}")
+    for part in f.parts:
+        pts = part
+        if (
+            f.geom_type == _GEOM_POLYGON
+            and len(pts) > 1
+            and pts[0] == pts[-1]
+        ):
+            pts = pts[:-1]  # rings are stored open; ClosePath closes them
+        if len(pts) < (3 if f.geom_type == _GEOM_POLYGON else 2):
+            raise ValueError(
+                f"geometry type {f.geom_type} part needs "
+                f">= {3 if f.geom_type == _GEOM_POLYGON else 2} vertices"
+            )
+        x, y = pts[0]
+        cmds.append(_CMD_MOVETO | (1 << 3))
         cmds.append(_zigzag(x - cx))
         cmds.append(_zigzag(y - cy))
         cx, cy = x, y
+        cmds.append(_CMD_LINETO | ((len(pts) - 1) << 3))
+        for x, y in pts[1:]:
+            cmds.append(_zigzag(x - cx))
+            cmds.append(_zigzag(y - cy))
+            cx, cy = x, y
+        if f.geom_type == _GEOM_POLYGON:
+            cmds.append(_CMD_CLOSEPATH | (1 << 3))
     return b"".join(_varint(c) for c in cmds)
 
 
-def _decode_point_geometry(raw: list[int]) -> list[tuple[int, int]]:
-    points: list[tuple[int, int]] = []
+def _decode_geometry(
+    raw: list[int], geom_type: int
+) -> tuple[list[tuple[int, int]], list[list[tuple[int, int]]]]:
+    """Command stream → (points, parts); points filled for POINT features,
+    parts (open rings / polylines) for LINESTRING and POLYGON."""
+    parts: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
     cx = cy = 0
     i = 0
     while i < len(raw):
         cmd = raw[i]
         cmd_id, count = cmd & 0x7, cmd >> 3
         i += 1
-        if cmd_id == 1:  # MoveTo
+        if cmd_id == _CMD_MOVETO:
+            if cur:
+                parts.append(cur)
+                cur = []
             for _ in range(count):
                 cx += _unzigzag(raw[i])
                 cy += _unzigzag(raw[i + 1])
                 i += 2
-                points.append((cx, cy))
-        else:  # pragma: no cover - only point layers are produced
+                cur.append((cx, cy))
+        elif cmd_id == _CMD_LINETO:
+            for _ in range(count):
+                cx += _unzigzag(raw[i])
+                cy += _unzigzag(raw[i + 1])
+                i += 2
+                cur.append((cx, cy))
+        elif cmd_id == _CMD_CLOSEPATH:
+            parts.append(cur)  # ring stays open in the model
+            cur = []
+        else:
             raise ValueError(f"unsupported geometry command {cmd_id}")
-    return points
+    if cur:
+        parts.append(cur)
+    if geom_type == _GEOM_POINT:
+        return [p for part in parts for p in part], []
+    return [], parts
+
+
+def ring_area2(pts: list[tuple[int, int]]) -> int:
+    """Twice the signed shoelace area of an open ring in SCREEN coords
+    (y down): positive = exterior winding per spec 2.1 §4.3.4.4."""
+    n = len(pts)
+    s = 0
+    for i in range(n):
+        x0, y0 = pts[i]
+        x1, y1 = pts[(i + 1) % n]
+        s += x0 * y1 - x1 * y0
+    return -s  # screen y-axis points down: negate the math convention
+
+
+def feature_area2(f: "MvtFeature") -> int:
+    """Twice the absolute area of a polygon feature (exterior rings minus
+    holes) — the GenerateVT.scala:255-256 area-descending sort key."""
+    if f.geom_type != _GEOM_POLYGON:
+        return 0
+    return sum(ring_area2(p) for p in f.parts)
+
+
+def layer_feature_order(feats: list["MvtFeature"]) -> list["MvtFeature"]:
+    """makeLayer/StrictLayer write order (updater/package.scala:325-341):
+    points, then lines, then polygons — polygons area-descending
+    (GenerateVT.scala:255-256) so bigger footprints render underneath."""
+    pts = [f for f in feats if f.geom_type == _GEOM_POINT]
+    lns = [f for f in feats if f.geom_type == _GEOM_LINESTRING]
+    pls = sorted(
+        (f for f in feats if f.geom_type == _GEOM_POLYGON),
+        key=feature_area2,
+        reverse=True,
+    )
+    return pts + lns + pls
 
 
 def encode_tile(
@@ -205,7 +308,7 @@ def encode_tile(
                 packed = b"".join(_varint(t) for t in tag_ints)
                 body += _len_field(2, packed)
             body += _key(3, 0) + _varint(f.geom_type)
-            body += _len_field(4, _encode_point_geometry(f.points))
+            body += _len_field(4, _encode_geometry(f))
             feat_bufs.append(bytes(body))
         layer = bytearray()
         layer += _key(15, 0) + _varint(2)  # version
@@ -265,12 +368,14 @@ def decode_tile(buf: bytes) -> dict[str, list[MvtFeature]]:
                 keys[tag_ints[i]]: values[tag_ints[i + 1]]
                 for i in range(0, len(tag_ints), 2)
             }
+            pts, parts = _decode_geometry(raw_geom, geom_type)
             feats.append(
                 MvtFeature(
                     fid=fid,
                     geom_type=geom_type,
-                    points=_decode_point_geometry(raw_geom),
+                    points=pts,
                     tags=tags,
+                    parts=parts,
                 )
             )
         layers[name] = feats

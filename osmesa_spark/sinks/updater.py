@@ -19,9 +19,21 @@ existing tile state, so it reuses the read-modify-write executor path of
 `sinks.mvt` — the DataFrame side only computes tile keys (pure column
 Web-Mercator math) and groups; all feature-merge logic is per-tile local.
 Idempotence comes from the same committed-sequence layer as the pyramid
-sink. Large-scale note: one diff feature touches exactly one tile per zoom
-(points), so the shuffle is `groupBy(zoom, tx, ty)` over narrow rows —
-partial aggregation applies to the collect_list, bounded by tile occupancy.
+sink.
+
+Geometry coverage (updater/package.scala:182-208 `tile`): a point touches
+exactly one tile per zoom; a way/relation LineString or Polygon touches
+EVERY tile its geometry overlaps — the DataFrame side fans each feature
+out to its bounding-box tile range (explode over `sequence(txmin, txmax)`
+× `sequence(tymin, tymax)`, pure Column math), and the executor-side
+write clips the geometry to each tile's extent (the reference's
+`.intersection(sk.extent(layout))` per SpatialKey) — Liang-Barsky for
+polylines, Sutherland–Hodgman for rings; bbox-overcounted tiles whose
+clip comes back empty are skipped before any write. Large-scale note:
+the shuffle stays `groupBy(zoom, tx, ty)` over narrow rows (vertex
+arrays ride along once per covered tile, the same duplication the
+reference's flatMap produces); partial aggregation applies to the
+collect_list, bounded by tile occupancy × feature size.
 """
 
 from __future__ import annotations
@@ -42,11 +54,18 @@ EXTENT = mvt.DEFAULT_EXTENT
 # tile schema strategies (executor-side, per tile)
 # ---------------------------------------------------------------------------
 
+def _ekey(f) -> tuple[str, int]:
+    """Element key = (type, id) — the reference's `elementId` is the
+    type-qualified id string (e.g. "w123"), so a node and a way sharing a
+    numeric id never collide in a tile (updater/package.scala:249-252)."""
+    return (str(f.tags.get("__type", "")), int(f.tags["__id"]))
+
+
 def _apply_snapshot(existing: list, updates: list) -> list:
-    """Latest visible version per element id wins; deletes drop."""
-    by_id = {int(f.tags["__id"]): f for f in existing}
+    """Latest visible version per element wins; deletes drop."""
+    by_id = {_ekey(f): f for f in existing}
     for u in updates:
-        eid = int(u.tags["__id"])
+        eid = _ekey(u)
         cur = by_id.get(eid)
         if cur is not None and int(cur.tags.get("__version", -1)) >= int(
             u.tags["__version"]
@@ -64,37 +83,35 @@ def _apply_history(existing: list, updates: list) -> list:
     (History.scala:15-25 sorts by __version/__minorVersion)."""
     feats = list(existing)
     for u in sorted(
-        updates,
-        key=lambda f: (int(f.tags["__id"]), int(f.tags["__version"])),
+        updates, key=lambda f: (_ekey(f), int(f.tags["__version"]))
     ):
-        eid = int(u.tags["__id"])
+        eid = _ekey(u)
         prev = [
             f
             for f in feats
-            if int(f.tags["__id"]) == eid and "__validUntil" not in f.tags
+            if _ekey(f) == eid and "__validUntil" not in f.tags
         ]
         for p in prev:
             if int(p.tags["__version"]) < int(u.tags["__version"]):
                 p.tags["__validUntil"] = u.tags["__updated"]
         if not any(
-            int(f.tags["__id"]) == eid
+            _ekey(f) == eid
             and int(f.tags["__version"]) == int(u.tags["__version"])
             for f in feats
         ):
             feats.append(u)
-    feats.sort(key=lambda f: (int(f.tags["__id"]), int(f.tags["__version"])))
+    feats.sort(key=lambda f: (_ekey(f), int(f.tags["__version"])))
     return feats
 
 
 def _apply_urchn(existing: list, updates: list) -> list:
     """Authorship lineage per element: keep creation author, update
     lastAuthor/lastEdit/versions."""
-    by_id = {int(f.tags["__id"]): f for f in existing}
+    by_id = {_ekey(f): f for f in existing}
     for u in sorted(
-        updates,
-        key=lambda f: (int(f.tags["__id"]), int(f.tags["__version"])),
+        updates, key=lambda f: (_ekey(f), int(f.tags["__version"]))
     ):
-        eid = int(u.tags["__id"])
+        eid = _ekey(u)
         cur = by_id.get(eid)
         if cur is None:
             u.tags["__creation_author"] = u.tags["__author"]
@@ -118,9 +135,10 @@ SCHEMAS = {
 # DataFrame side: tile keys + grouped upsert
 # ---------------------------------------------------------------------------
 
-def _feature_tags(schema: str):
+def _feature_tags(schema: str, has_type: bool):
     base = {
         "__id": F.col("id"),
+        "__type": F.col("type") if has_type else F.lit(""),
         "__version": F.col("version"),
         "__updated": F.floor(F.unix_timestamp("updated")).cast("bigint"),
         "__visible": F.coalesce("visible", F.lit(True)),
@@ -130,33 +148,245 @@ def _feature_tags(schema: str):
     return F.struct(*[v.alias(k) for k, v in base.items()])
 
 
-def point_diffs_with_tiles(diffs: DataFrame, zoom: int) -> DataFrame:
-    """Point-geometry diff features keyed by (zoom, tx, ty) + extent-local
-    pixel coords — pure column Web-Mercator math (updater/package.scala
-    groups by SpatialKey the same way)."""
-    pts = diffs.where(
-        (F.col("geomType") == "Point") & (F.size("geom") >= 1)
-    ).select(
-        "*",
-        F.get(F.col("geom"), F.lit(0))["lon"].alias("lon"),
-        F.get(F.col("geom"), F.lit(0))["lat"].alias("lat"),
+def _pixel_arrays(geom_col: str, zoom: int):
+    """geom array<{lon,lat}> → (px, py) arrays of GLOBAL integer pixel
+    coords at `zoom` (extent 4096/tile), clamped to the world."""
+    n = 1 << zoom
+    scale = float(n) * EXTENT
+    hi = n * EXTENT - 1
+    px = F.transform(
+        geom_col,
+        lambda v: F.least(
+            F.greatest(
+                F.floor(geo.lon_to_unit(v["lon"]) * scale).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(hi).cast("bigint"),
+        ),
     )
-    n = float(1 << zoom)
-    ux, uy = geo.lon_to_unit(F.col("lon")), geo.lat_to_unit(F.col("lat"))
-    px = (ux * n * EXTENT).cast("bigint")
-    py = (uy * n * EXTENT).cast("bigint")
-    return pts.select(
+    py = F.transform(
+        geom_col,
+        lambda v: F.least(
+            F.greatest(
+                F.floor(geo.lat_to_unit(v["lat"]) * scale).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(hi).cast("bigint"),
+        ),
+    )
+    return px, py
+
+
+def diffs_with_tiles(diffs: DataFrame, zoom: int) -> DataFrame:
+    """Diff features of ALL geometry types keyed by EVERY covering
+    (zoom, tx, ty) — the `tile()` fan-out of updater/package.scala:182-208:
+    prevKeys ∪ currKeys per feature, geometry carried along for the
+    per-tile clip at write time.
+
+    Pure Column math end to end: vertex → global pixel via the shared
+    Web-Mercator transforms, tile range = bbox of current ∪ previous
+    geometry, fan-out = two `explode(sequence(lo, hi))`. A point fans to
+    exactly 1 tile (2 if it moved tiles between versions); a way fans to
+    its bbox cover — tiles the geometry misses are dropped by the clip
+    before any write happens."""
+    base = diffs.where(F.size("geom") >= 1)
+    px, py = _pixel_arrays("geom", zoom)
+    if "prevGeom" in diffs.columns:
+        prev = F.coalesce(
+            F.col("prevGeom"),
+            F.array().cast("array<struct<lon:double,lat:double>>"),
+        )
+        ppx, ppy = _pixel_arrays(prev, zoom)
+    else:
+        ppx = F.array().cast("array<bigint>")
+        ppy = F.array().cast("array<bigint>")
+    allx = F.concat(px, ppx)
+    ally = F.concat(py, ppy)
+    ext = F.lit(EXTENT).cast("bigint")
+    etype = F.col("type") if "type" in diffs.columns else F.lit("")
+    g = base.select(
+        "sequence", "id", etype.alias("type"), "version", "updated",
+        "visible", "user", "geomType",
+        px.alias("px"), py.alias("py"),
+        (F.array_min(allx) / ext).cast("bigint").alias("txmin"),
+        (F.array_max(allx) / ext).cast("bigint").alias("txmax"),
+        (F.array_min(ally) / ext).cast("bigint").alias("tymin"),
+        (F.array_max(ally) / ext).cast("bigint").alias("tymax"),
+    )
+    return g.select(
         F.lit(zoom).alias("zoom"),
-        (px / EXTENT).cast("bigint").alias("tx"),
-        (py / EXTENT).cast("bigint").alias("ty"),
-        (px % EXTENT).cast("int").alias("fx"),
-        (py % EXTENT).cast("int").alias("fy"),
-        "sequence",
-        "id",
-        "version",
-        "updated",
-        "visible",
-        "user",
+        F.explode(F.sequence("txmin", "txmax")).alias("tx"),
+        "*",
+    ).select(
+        "zoom",
+        "tx",
+        F.explode(F.sequence("tymin", "tymax")).alias("ty"),
+        "sequence", "id", "type", "version", "updated", "visible", "user",
+        "geomType", "px", "py",
+    )
+
+
+def point_diffs_with_tiles(diffs: DataFrame, zoom: int) -> DataFrame:
+    """Point-only compatibility wrapper over `diffs_with_tiles`: one tile
+    per feature + extent-local (fx, fy)."""
+    keyed = diffs_with_tiles(
+        diffs.where(F.col("geomType") == "Point"), zoom
+    )
+    ext = F.lit(EXTENT).cast("bigint")
+    return keyed.select(
+        "zoom", "tx", "ty",
+        (F.element_at("px", 1) - F.col("tx") * ext).cast("int").alias("fx"),
+        (F.element_at("py", 1) - F.col("ty") * ext).cast("int").alias("fy"),
+        "sequence", "id", "version", "updated", "visible", "user",
+    ).where(
+        (F.col("fx") >= 0) & (F.col("fx") < EXTENT)
+        & (F.col("fy") >= 0) & (F.col("fy") < EXTENT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# executor-side clipping (the reference's .intersection(sk.extent(layout)))
+# ---------------------------------------------------------------------------
+
+def _clip_segment(x0, y0, x1, y1, lo, hi):
+    """Liang-Barsky segment × box clip → ((cx0,cy0),(cx1,cy1),t0,t1) or
+    None when the segment misses the box entirely."""
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, x0 - lo), (dx, hi - x0),
+        (-dy, y0 - lo), (dy, hi - y0),
+    ):
+        if p == 0:
+            if q < 0:
+                return None
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return None
+            if r > t0:
+                t0 = r
+        else:
+            if r < t0:
+                return None
+            if r < t1:
+                t1 = r
+    return (
+        (x0 + t0 * dx, y0 + t0 * dy),
+        (x0 + t1 * dx, y0 + t1 * dy),
+        t0,
+        t1,
+    )
+
+
+def _rp(p):
+    return (int(round(p[0])), int(round(p[1])))
+
+
+def _clip_polyline(pts, lo=0.0, hi=float(EXTENT)):
+    """Clip a polyline to [lo,hi]², splitting where it leaves the box.
+    Returns a list of parts (each ≥2 distinct integer vertices)."""
+    parts, cur = [], []
+
+    def flush():
+        nonlocal cur
+        if len(cur) >= 2:
+            parts.append(cur)
+        cur = []
+
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        res = _clip_segment(x0, y0, x1, y1, lo, hi)
+        if res is None:
+            flush()
+            continue
+        p0, p1, t0, t1 = res
+        p0, p1 = _rp(p0), _rp(p1)
+        if t0 > 0.0 or not cur:
+            flush()
+            cur = [p0]
+        if cur[-1] != p1:
+            cur.append(p1)
+        if t1 < 1.0:
+            flush()
+    flush()
+    return parts
+
+
+def _clip_ring(pts, lo=0.0, hi=float(EXTENT)):
+    """Sutherland–Hodgman ring × box clip. Input/output rings are OPEN
+    (no repeated closing vertex); returns [] when the intersection is
+    empty or degenerate (<3 distinct vertices)."""
+    ring = list(pts)
+    if len(ring) > 1 and ring[0] == ring[-1]:
+        ring = ring[:-1]
+    for inside, isect in (
+        (lambda p: p[0] >= lo,
+         lambda a, b: (lo, a[1] + (b[1] - a[1]) * (lo - a[0]) / (b[0] - a[0]))),
+        (lambda p: p[0] <= hi,
+         lambda a, b: (hi, a[1] + (b[1] - a[1]) * (hi - a[0]) / (b[0] - a[0]))),
+        (lambda p: p[1] >= lo,
+         lambda a, b: (a[0] + (b[0] - a[0]) * (lo - a[1]) / (b[1] - a[1]), lo)),
+        (lambda p: p[1] <= hi,
+         lambda a, b: (a[0] + (b[0] - a[0]) * (hi - a[1]) / (b[1] - a[1]), hi)),
+    ):
+        if not ring:
+            return []
+        out = []
+        prev = ring[-1]
+        prev_in = inside(prev)
+        for p in ring:
+            p_in = inside(p)
+            if p_in:
+                if not prev_in:
+                    out.append(isect(prev, p))
+                out.append(p)
+            elif prev_in:
+                out.append(isect(prev, p))
+            prev, prev_in = p, p_in
+        ring = out
+    snapped = []
+    for p in ring:
+        q = _rp(p)
+        if not snapped or snapped[-1] != q:
+            snapped.append(q)
+    if len(snapped) > 1 and snapped[0] == snapped[-1]:
+        snapped = snapped[:-1]
+    return snapped if len(snapped) >= 3 else []
+
+
+def _tile_local_feature(f, tx: int, ty: int):
+    """Clip one fanned-out diff row's CURRENT geometry to tile (tx, ty)
+    and build the MvtFeature, or None when the geometry misses the tile
+    (bbox overcount, or the element moved away — the caller turns that
+    into a departure for snapshot semantics)."""
+    ox, oy = tx * EXTENT, ty * EXTENT
+    xs = [int(v) - ox for v in f["px"]]
+    ys = [int(v) - oy for v in f["py"]]
+    gt = f["geomType"]
+    tags = dict(f["tags"].asDict())
+    if gt == "Point":
+        x, y = xs[0], ys[0]
+        if not (0 <= x < EXTENT and 0 <= y < EXTENT):
+            return None
+        return mvt.MvtFeature(
+            fid=int(tags["__id"]), geom_type=mvt._GEOM_POINT,
+            points=[(x, y)], tags=tags,
+        )
+    if gt == "Polygon":
+        ring = _clip_ring(list(zip(xs, ys)))
+        if not ring:
+            return None
+        return mvt.MvtFeature(
+            fid=int(tags["__id"]), geom_type=mvt._GEOM_POLYGON,
+            points=[], tags=tags, parts=[ring],
+        )
+    parts = _clip_polyline(list(zip(xs, ys)))
+    if not parts:
+        return None
+    return mvt.MvtFeature(
+        fid=int(tags["__id"]), geom_type=mvt._GEOM_LINESTRING,
+        points=[], tags=tags, parts=parts,
     )
 
 
@@ -174,14 +404,14 @@ def update_tiles(
     if schema not in SCHEMAS:
         raise ValueError(f"unknown tile schema {schema!r} (have {sorted(SCHEMAS)})")
     ship_package(diffs.sparkSession)
-    keyed = point_diffs_with_tiles(diffs, zoom)
+    keyed = diffs_with_tiles(diffs, zoom)
     tagged = keyed.select(
         "zoom",
         "tx",
         "ty",
         F.struct(
-            "fx", "fy", "sequence",
-            _feature_tags(schema).alias("tags"),
+            "px", "py", "geomType", "sequence",
+            _feature_tags(schema, has_type=True).alias("tags"),
         ).alias("f"),
     )
     tiles = tagged.groupBy("zoom", "tx", "ty").agg(
@@ -198,24 +428,39 @@ def update_tiles(
             batch_seqs = set()
             for f in sorted(
                 row["fs"],
-                key=lambda f: (int(f["tags"]["__id"]), int(f["tags"]["__version"])),
+                key=lambda f: (
+                    str(f["tags"]["__type"]),
+                    int(f["tags"]["__id"]),
+                    int(f["tags"]["__version"]),
+                ),
             ):
                 if f["sequence"] in seqs:
                     continue  # idempotent re-delivery
                 batch_seqs.add(int(f["sequence"]))
-                updates.append(
-                    mvt.MvtFeature(
-                        fid=int(f["tags"]["__id"]),
-                        geom_type=1,
-                        points=[(int(f["fx"]), int(f["fy"]))],
-                        tags=dict(f["tags"].asDict()),
-                    )
-                )
+                feat = _tile_local_feature(f, int(tx), int(ty))
+                if feat is None:
+                    # bbox overcount, or the element's current geometry
+                    # left this tile (it was fanned here via prevGeom) —
+                    # a DEPARTURE: snapshot drops the element from the
+                    # tile; history/urchn keep the last state it had here
+                    if schema == "snapshot":
+                        tags = dict(f["tags"].asDict())
+                        tags["__visible"] = False
+                        updates.append(
+                            mvt.MvtFeature(
+                                fid=int(tags["__id"]), geom_type=1,
+                                points=[(0, 0)], tags=tags,
+                            )
+                        )
+                    continue
+                updates.append(feat)
             if not updates:
                 continue
             merged = apply_fn(existing_layers.get(layer_name, []), updates)
             layers = {
-                layer_name: merged,
+                # StrictLayer write order: points, lines, polygons
+                # (area-descending) — GenerateVT.scala:255-256
+                layer_name: mvt.layer_feature_order(merged),
                 mvt.SEQUENCES_LAYER: mvt._sequence_layer(
                     seqs + sorted(batch_seqs)
                 ),

@@ -238,3 +238,36 @@ class HashtagDictTable(ParquetUpsertTable):
         ).select("id", "hashtag")
         self._commit(existing.unionByName(assigned))
         return self.read(spark)
+
+
+class ErrorsTable(ParquetUpsertTable):
+    """Dead-letter `errors` table (deployment/sql/05-errors.sql shape,
+    written by the ErrorHandler at
+    StreamingChangesetStatsUpdater.scala:149-216): unparseable replication
+    payloads land here with their sequence so an operator can replay or
+    inspect them.
+
+    Parquet twin of the PG table's `ON CONFLICT DO NOTHING`: rows are
+    keyed by (sequence, payload hash) and re-deliveries of an
+    already-recorded error are anti-joined away — append-only otherwise,
+    so the table is safe under foreachBatch retries."""
+
+    def append_errors(self, batch: DataFrame) -> None:
+        keyed = batch.select(
+            "ts",
+            F.col("sequence").cast("int").alias("sequence"),
+            "payload",
+            F.xxhash64("payload").alias("payload_hash"),
+        ).dropDuplicates(["sequence", "payload_hash"])
+        existing = self.read(batch.sparkSession)
+        if existing is not None:
+            keyed = keyed.join(
+                existing.select("sequence", "payload_hash"),
+                ["sequence", "payload_hash"],
+                "left_anti",
+            )
+            if keyed.isEmpty():
+                return
+            self._commit(existing.unionByName(keyed))
+        else:
+            self._commit(keyed)

@@ -40,10 +40,28 @@ def read_augmented_diffs(
     max_files_per_trigger: int | None = 1,
     start_sequence: int | None = None,
     end_sequence: int | None = None,
+    wire_format: str = "flat",
 ) -> DataFrame:
     """Bounded or unbounded read of the augmented-diff drop dir.
     Corrupt lines land in `_corrupt` for the dead-letter sink (S6 ErrorHandler
-    semantics: StreamingChangesetStatsUpdater.scala:149-216)."""
+    semantics: StreamingChangesetStatsUpdater.scala:149-216).
+
+    `wire_format="flat"` (default) reads per-line flattened
+    AUGMENTED_DIFFS JSON; `"pairs"` reads the reference's real wire format
+    — per-line {old, new} GeoJSON FeatureCollections
+    (updater/package.scala:69-128) — through the same output schema."""
+    if wire_format == "pairs":
+        df = read_augmented_diff_pairs(
+            spark, drop_dir, streaming=streaming,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        if start_sequence is not None:
+            df = df.where(F.col("sequence") >= start_sequence)
+        if end_sequence is not None:
+            df = df.where(F.col("sequence") <= end_sequence)
+        return df
+    if wire_format != "flat":
+        raise ValueError(f"unknown wire_format {wire_format!r}")
     schema = T.StructType(
         schemas.AUGMENTED_DIFFS.fields + [T.StructField("_corrupt", T.StringType())]
     )
@@ -70,6 +88,146 @@ def read_augmented_diffs(
     if end_sequence is not None:
         df = df.where(F.col("sequence") <= end_sequence)
     return df
+
+
+# ---------------------------------------------------------------------------
+# real augmented-diff WIRE format: per-line {old, new} GeoJSON feature pairs
+# (updater/package.scala:69-128 readFeatures: each line is a
+# FeatureCollection MAP keyed "old"/"new"; RFC 7464 \u001e record
+# separators tolerated)
+# ---------------------------------------------------------------------------
+
+def _geojson_vertices(geometry: dict) -> tuple[str, list[dict] | None]:
+    """GeoJSON geometry → (geomType, VERTICES rows). Polygon keeps the
+    exterior ring (the VERTICES model is single-ring — holes are folded
+    upstream by the keyhole convention, like load_countries_geojson)."""
+    gt = geometry.get("type")
+    coords = geometry.get("coordinates")
+    if gt == "Point":
+        pts = [coords]
+    elif gt == "LineString":
+        pts = coords
+    elif gt == "Polygon":
+        pts = coords[0] if coords else []
+    elif gt == "MultiPolygon":
+        pts = coords[0][0] if coords and coords[0] else []
+        gt = "Polygon"
+    else:
+        raise ValueError(f"unsupported geometry type {gt!r}")
+    return gt, [{"lon": float(x), "lat": float(y)} for x, y, *_ in pts]
+
+
+def _parse_pair_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import json
+
+    cols = [f.name for f in schemas.AUGMENTED_DIFFS.fields] + ["_corrupt"]
+
+    def empty_row() -> dict:
+        return {c: None for c in cols}
+
+    for pdf in batches:
+        out: list[dict] = []
+        for _, raw in pdf.iterrows():
+            line = raw["value"].replace("\u001e", "").strip()
+            if not line:
+                continue
+            seq_hint = None
+            base = os.path.basename(str(raw.get("path", "")))
+            stem = base.split(".")[0]
+            if stem.isdigit():
+                seq_hint = int(stem)
+            try:
+                fc = json.loads(line)
+                feats = {
+                    str(f.get("id")): f for f in fc["features"]
+                }
+                new = feats["new"]
+                old = feats.get("old")
+                props = new.get("properties") or {}
+                gtype, verts = _geojson_vertices(new["geometry"])
+                prev_verts = None
+                if old is not None and old.get("geometry"):
+                    _, prev_verts = _geojson_vertices(old["geometry"])
+                row = empty_row()
+                row.update(
+                    sequence=int(
+                        props.get("augmentedDiff", seq_hint or 0)
+                    ),
+                    id=int(props["id"]),
+                    type=str(props.get("type", "")),
+                    version=int(props["version"])
+                    if props.get("version") is not None
+                    else None,
+                    minorVersion=int(props.get("minorVersion", 0)),
+                    updated=pd.Timestamp(props["timestamp"])
+                    if props.get("timestamp")
+                    else None,
+                    visible=bool(props.get("visible", True)),
+                    tags=props.get("tags") or {},
+                    prevTags=(old.get("properties") or {}).get("tags")
+                    if old is not None
+                    else None,
+                    nds=[int(n) for n in props["nds"]]
+                    if props.get("nds")
+                    else None,
+                    geomType=gtype,
+                    geom=verts,
+                    prevGeom=prev_verts,
+                    changeset=int(props["changeset"])
+                    if props.get("changeset") is not None
+                    else None,
+                    uid=int(props["uid"])
+                    if props.get("uid") is not None
+                    else None,
+                    user=props.get("user"),
+                    _corrupt=None,
+                )
+                out.append(row)
+            except (ValueError, KeyError, TypeError, IndexError):
+                row = empty_row()
+                row.update(sequence=seq_hint or 0, _corrupt=line)
+                out.append(row)
+        yield pd.DataFrame(out, columns=cols)
+
+
+def read_augmented_diff_pairs(
+    spark: SparkSession,
+    drop_dir: str,
+    streaming: bool = False,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Read the reference's REAL augmented-diff wire format — one GeoJSON
+    FeatureCollection per line whose features are keyed "old"/"new"
+    (updater/package.scala:69-128) — and flatten each pair into one
+    AUGMENTED_DIFFS row (+_corrupt dead-letter column), so everything
+    downstream (stats rollup, tile updaters, errors sink) is byte-
+    compatible with the flat JSONL path. Parse is Arrow-batched Python on
+    executors (kernel-defined: heterogeneous GeoJSON coordinate nesting
+    has no from_json schema), one pass per line, identical for batch and
+    streaming."""
+    pattern = os.path.join(drop_dir, "*.jsonl")
+    if streaming:
+        reader = spark.readStream.format("text")
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = reader.load(pattern)
+    else:
+        raw = spark.read.format("text").load(pattern)
+    raw = raw.select(F.input_file_name().alias("path"), "value")
+    from osmesa_spark.session import ship_package
+
+    ship_package(spark)
+    # nullable clones: corrupt pair lines carry nulls even in fields the
+    # flattened schema declares required (the _corrupt column is the
+    # contract there), and Arrow enforces declared nullability hard
+    schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, True)
+            for f in schemas.AUGMENTED_DIFFS.fields
+        ]
+        + [T.StructField("_corrupt", T.StringType())]
+    )
+    return raw.mapInPandas(_parse_pair_batches, schema=schema)
 
 
 def split_errors(df: DataFrame) -> tuple[DataFrame, DataFrame]:

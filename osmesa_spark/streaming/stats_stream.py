@@ -179,6 +179,61 @@ def run_streaming_stats_to_upsert(
     )
 
 
+def run_streaming_errors_to_table(
+    errors_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+):
+    """Dead-letter branch sink: the `split_errors` stream → persistent
+    `errors` table (05-errors.sql shape; ErrorHandler parity,
+    StreamingChangesetStatsUpdater.scala:149-216). Idempotent under
+    foreachBatch retries via the table's (sequence, payload-hash)
+    conflict key. Returns the query."""
+    from osmesa_spark.sinks.upsert import ErrorsTable
+
+    table = ErrorsTable(table_path)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        table.append_errors(batch)
+
+    return (
+        errors_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
+def run_streaming_stats_with_deadletter(
+    raw_diffs_stream: DataFrame,
+    table_path: str,
+    errors_path: str,
+    checkpoint_dir: str,
+    proc_name: str = "augmented-diff-stats",
+    countries: BBoxCountries | None = None,
+):
+    """The reference's full StreamingChangesetStatsUpdater wiring: ONE raw
+    augmented-diff stream (carrying `_corrupt`) split into the stats
+    rollup → idempotent upsert AND the dead-letter → errors-table branch
+    (ErrorHandler). Two independent streaming queries over the same file
+    source — each owns its offsets/checkpoint, so a crash in one never
+    stalls or double-applies the other; both sinks are idempotent, so the
+    pair is exactly-once end to end. Returns (stats_query, errors_query)."""
+    from osmesa_spark.sources.replication import split_errors
+
+    good, errors = split_errors(raw_diffs_stream)
+    stats_q = run_streaming_stats_to_upsert(
+        good, table_path, f"{checkpoint_dir}/stats",
+        proc_name=proc_name, countries=countries,
+    )
+    errors_q = run_streaming_errors_to_table(
+        errors, errors_path, f"{checkpoint_dir}/errors"
+    )
+    return stats_q, errors_q
+
+
 def merged_changeset_stream(
     diffs: DataFrame, changeset_meta: DataFrame
 ) -> DataFrame:

@@ -38,25 +38,47 @@ _tag_values = st.one_of(
     st.floats(allow_nan=False, allow_infinity=False, width=64),
 )
 
-_features = st.lists(
-    st.builds(
-        lambda fid, pts, tags: mvt.MvtFeature(
-            fid=fid, geom_type=1, points=pts, tags=tags
-        ),
-        st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
-        st.lists(
-            st.tuples(
-                st.integers(min_value=0, max_value=4095),
-                st.integers(min_value=0, max_value=4095),
-            ),
-            min_size=1,
-            max_size=4,
-        ),
-        st.dictionaries(
-            st.text(min_size=1, max_size=10), _tag_values, max_size=4
-        ),
+_coord = st.tuples(
+    st.integers(min_value=0, max_value=4095),
+    st.integers(min_value=0, max_value=4095),
+)
+
+_point_feature = st.builds(
+    lambda fid, pts, tags: mvt.MvtFeature(
+        fid=fid, geom_type=1, points=pts, tags=tags
     ),
-    max_size=5,
+    st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+    st.lists(_coord, min_size=1, max_size=4),
+    st.dictionaries(st.text(min_size=1, max_size=10), _tag_values, max_size=4),
+)
+
+# polyline parts: ≥2 vertices, no consecutive duplicates (a zero-length
+# LineTo would decode identically but compare unequal)
+_line_part = st.lists(_coord, min_size=2, max_size=5).filter(
+    lambda p: all(a != b for a, b in zip(p, p[1:]))
+)
+_line_feature = st.builds(
+    lambda fid, parts, tags: mvt.MvtFeature(
+        fid=fid, geom_type=2, points=[], tags=tags, parts=parts
+    ),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+    st.lists(_line_part, min_size=1, max_size=3),
+    st.dictionaries(st.text(min_size=1, max_size=10), _tag_values, max_size=4),
+)
+
+# open rings: ≥3 distinct vertices, first != last
+_ring = st.lists(_coord, min_size=3, max_size=6, unique=True)
+_poly_feature = st.builds(
+    lambda fid, parts, tags: mvt.MvtFeature(
+        fid=fid, geom_type=3, points=[], tags=tags, parts=parts
+    ),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+    st.lists(_ring, min_size=1, max_size=3),
+    st.dictionaries(st.text(min_size=1, max_size=10), _tag_values, max_size=4),
+)
+
+_features = st.lists(
+    st.one_of(_point_feature, _line_feature, _poly_feature), max_size=5
 )
 
 
@@ -70,7 +92,9 @@ def test_mvt_codec_round_trip(layers):
         assert len(got) == len(feats)
         for a, b in zip(feats, got):
             assert a.fid == b.fid
+            assert a.geom_type == b.geom_type
             assert a.points == b.points
+            assert a.parts == b.parts
             assert set(a.tags) == set(b.tags)
             for k, v in a.tags.items():
                 if isinstance(v, float):

@@ -80,25 +80,28 @@ def test_update_tiles_snapshot_end_to_end(spark, diffs, tmp_path):
 
     tiles = read_all()
     assert any(tiles.values())
-    # snapshot invariant: one feature per element id PER TILE, all visible
-    # (the fixture reuses element ids at unrelated coords, so the same id
-    # may appear in different tiles — that is expected)
+    # snapshot invariant: one feature per ELEMENT (type, id) PER TILE, all
+    # visible (the fixture reuses numeric ids across nodes and ways, and
+    # at unrelated coords across tiles — both are expected; the element
+    # key is type-qualified like the reference's elementId)
     for p, feats in tiles.items():
         seen = set()
         for f in feats:
-            eid = int(f.tags["__id"])
-            assert eid not in seen, f"duplicate element in snapshot tile {p}"
-            seen.add(eid)
+            ekey = (f.tags["__type"], int(f.tags["__id"]))
+            assert ekey not in seen, f"duplicate element in snapshot tile {p}"
+            seen.add(ekey)
             assert f.tags["__visible"] is True
     flat = {
-        (p, int(f.tags["__id"]), int(f.tags["__version"]))
+        (p, f.tags["__type"], int(f.tags["__id"]), int(f.tags["__version"]))
         for p, fs in tiles.items()
         for f in fs
     }
+    # ways made it in as line/polygon features, points as points
+    assert {f.geom_type for fs in tiles.values() for f in fs} >= {1, 2, 3}
     # re-apply the same diffs -> sequences committed -> unchanged
     U.update_tiles(diffs, root, schema="snapshot", zoom=6)
     flat2 = {
-        (p, int(f.tags["__id"]), int(f.tags["__version"]))
+        (p, f.tags["__type"], int(f.tags["__id"]), int(f.tags["__version"]))
         for p, fs in read_all().items()
         for f in fs
     }
@@ -124,3 +127,119 @@ def test_update_tiles_history_accumulates(spark, diffs, tmp_path):
 def test_update_tiles_rejects_unknown_schema(spark, diffs, tmp_path):
     with pytest.raises(ValueError):
         U.update_tiles(diffs, str(tmp_path / "t"), schema="nope")
+
+
+def _write_seq(dirpath, seq, features):
+    import json
+    import os
+
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, f"{seq}.jsonl"), "w") as fh:
+        fh.write("\n".join(json.dumps(f) for f in features) + "\n")
+
+
+def _way_feature(seq, eid, version, coords, gtype="LineString", visible=True):
+    return {
+        "sequence": seq, "id": eid, "type": "way", "version": version,
+        "minorVersion": 0, "updated": "2024-01-01T00:00:00",
+        "visible": visible, "tags": {"highway": "primary"},
+        "prevTags": None, "changeset": 1, "uid": 7, "user": "u7",
+        "geomType": gtype,
+        "geom": [{"lon": x, "lat": y} for x, y in coords],
+        "prevGeom": None,
+    }
+
+
+def test_update_tiles_way_spans_two_tiles_history(spark, tmp_path):
+    """A way crossing a tile boundary must land in BOTH covering tiles,
+    clipped to each tile's extent (updater/package.scala:182-208 fan-out +
+    per-key intersection), and history-schema versioning must work per
+    tile independently."""
+    from osmesa_spark.sources import replication as R
+
+    # zoom 1: tile x boundary at lon 0 — a way from lon -5 to +5 spans
+    # tiles (0, y) and (1, y)
+    drop = str(tmp_path / "ad")
+    _write_seq(drop, 2000, [
+        _way_feature(2000, 42, 1, [(-5.0, 10.0), (5.0, 10.0)]),
+    ])
+    diffs = R.read_augmented_diffs(spark, drop)
+    root = str(tmp_path / "tiles")
+    U.update_tiles(diffs, root, schema="history", zoom=1)
+
+    paths = sorted(glob.glob(f"{root}/**/*.mvt.gz", recursive=True))
+    assert len(paths) == 2, paths
+
+    def feats(p):
+        return mvt.decode_tile(gzip.decompress(open(p, "rb").read()))["elements"]
+
+    west, east = (feats(p) for p in paths)  # 1/0/y then 1/1/y
+    assert len(west) == 1 and len(east) == 1
+    for side in (west, east):
+        f = side[0]
+        assert f.geom_type == 2 and len(f.parts) == 1
+        assert int(f.tags["__id"]) == 42 and f.tags["__type"] == "way"
+    # clip shares the boundary vertex: west part ends at x=4096, east
+    # starts at x=0, same pixel row
+    (wpart,), (epart,) = west[0].parts, east[0].parts
+    assert wpart[-1][0] == mvt.DEFAULT_EXTENT or wpart[0][0] == mvt.DEFAULT_EXTENT
+    assert epart[0][0] == 0 or epart[-1][0] == 0
+    assert {p[1] for p in wpart} == {p[1] for p in epart}
+
+    # a second version closes the first IN EACH tile (history semantics)
+    _write_seq(drop, 2001, [
+        _way_feature(2001, 42, 2, [(-5.0, 10.0), (5.0, 10.2)]),
+    ])
+    diffs2 = R.read_augmented_diffs(spark, drop)
+    U.update_tiles(diffs2, root, schema="history", zoom=1)
+    for p in paths:
+        fs = feats(p)
+        assert len(fs) == 2
+        v1 = next(f for f in fs if int(f.tags["__version"]) == 1)
+        v2 = next(f for f in fs if int(f.tags["__version"]) == 2)
+        assert "__validUntil" in v1.tags
+        assert "__validUntil" not in v2.tags
+
+
+def test_update_tiles_polygon_clip_and_departure(spark, tmp_path):
+    """Polygon diffs are clipped per covering tile; when a later version
+    moves the element out of a tile it previously covered, the snapshot
+    schema removes it there (prevGeom fan-out = reference prevKeys)."""
+    from osmesa_spark.sources import replication as R
+
+    drop = str(tmp_path / "ad")
+    # zoom 2 at lat≈0, lon≈45: tile x boundary at lon 0/90, y boundary at
+    # lat 0 — a square straddling the equator covers 2 tiles
+    sq = [(40.0, -2.0), (50.0, -2.0), (50.0, 2.0), (40.0, 2.0), (40.0, -2.0)]
+    _write_seq(drop, 3000, [_way_feature(3000, 9, 1, sq, gtype="Polygon")])
+    diffs = R.read_augmented_diffs(spark, drop)
+    root = str(tmp_path / "tiles")
+    U.update_tiles(diffs, root, schema="snapshot", zoom=2)
+    paths = sorted(glob.glob(f"{root}/**/*.mvt.gz", recursive=True))
+    assert len(paths) == 2, paths
+    for p in paths:
+        layers = mvt.decode_tile(gzip.decompress(open(p, "rb").read()))
+        (f,) = layers["elements"]
+        assert f.geom_type == 3 and len(f.parts) == 1
+        assert len(f.parts[0]) >= 3  # clipped ring, stored open
+        assert mvt.ring_area2(f.parts[0]) != 0
+
+    # v2 moves the square fully north of the equator: the southern tile
+    # must drop the element (departure), the northern one replaces it
+    sq2 = [(40.0, 1.0), (50.0, 1.0), (50.0, 4.0), (40.0, 4.0), (40.0, 1.0)]
+    _write_seq(drop, 3001, [
+        dict(_way_feature(3001, 9, 2, sq2, gtype="Polygon"),
+             prevGeom=[{"lon": x, "lat": y} for x, y in sq]),
+    ])
+    diffs2 = R.read_augmented_diffs(spark, drop)
+    U.update_tiles(diffs2, root, schema="snapshot", zoom=2)
+    remaining = {}
+    for p in paths:
+        layers = mvt.decode_tile(gzip.decompress(open(p, "rb").read()))
+        remaining[p] = layers["elements"]
+    north = [p for p in paths if "/1.mvt.gz" in p]
+    south = [p for p in paths if "/2.mvt.gz" in p]
+    assert len(north) == 1 and len(south) == 1
+    assert len(remaining[north[0]]) == 1
+    assert int(remaining[north[0]][0].tags["__version"]) == 2
+    assert remaining[south[0]] == []
