@@ -639,6 +639,13 @@ def with_support(
     Cells with no anchors keep q = 0 → p_sup = p/2, matching the
     reference's zero support sum.
 
+    Measured alternative (r7): replacing the cell window with a
+    groupBy(cell).max + broadcast join-back needs a localCheckpoint of the
+    support aggregate (it becomes a two-consumer subtree) and came out
+    SLOWER at sf0.1 (median 4.30 s vs 3.95 s over 3 reps, same machine) —
+    the extra materialization costs more than the window's sort saves.
+    Keep the window.
+
     `anchor_pred` overrides the p-threshold anchor rule with an arbitrary
     Column predicate over the scored columns (e.g. an exact integer-area
     criterion immune to cross-engine float-rounding at the threshold).

@@ -181,7 +181,17 @@ def lsh_candidate_pairs(
     cap branch never collects an over-cap member list: it is a count
     aggregate + two broadcast joins + a min-by-key join, all linear.
     None (default) keeps exact all-pairs semantics for the fixture-scale
-    oracle."""
+    oracle. Measured cost of the cap (sf0.1, local[32], A/B same session):
+    ~0.3-0.5 s per call (~25-40%) — the census pass + signature
+    materialization that bound reducer memory; worth it everywhere a real
+    corpus can contain boilerplate floods."""
+    if max_bucket is not None:
+        # the cap branch fans into three consumers (size census, anti-join,
+        # semi-join): pin the SIGNATURES once — one narrow row per doc —
+        # so the minhash md5 hot path never re-executes per branch; the
+        # banding below is cheap integer/concat work each consumer
+        # re-derives from the materialized rows
+        sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "id",
         # full-signature fingerprint for the over-cap exact-dedup route;
@@ -208,10 +218,6 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("id", "sig_key", "bb.band", "bb.bucket")
     if max_bucket is not None:
-        # three consumers below (size census, anti-join, semi-join) — pin
-        # the banded projection once so the minhash lineage (the md5 hot
-        # path) never re-executes per branch
-        banded = banded.localCheckpoint(eager=False)
         over = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("__n"))
