@@ -273,6 +273,67 @@ def edit_histogram_app(
     return VG.pyramid(base, base_zoom=base_zoom)
 
 
+def tile_updater(
+    spark: SparkSession,
+    replication_dir: str,
+    tile_root: str,
+    schema: str = "snapshot",
+    min_zoom: int = 12,
+    max_zoom: int | None = None,
+    start_sequence: int | None = None,
+    end_sequence: int | None = None,
+    wire_format: str = "flat",
+    layer_name: str = "elements",
+) -> int:
+    """TileUpdater CLI parity (updater/TileUpdater.scala:14-140): read a
+    bounded run of augmented-diff sequences from the replication source
+    and apply them to the vector-tile store across the min..max zoom
+    range under the chosen tile schema (snapshot | history | urchn).
+    Corrupt payloads are dropped here exactly like the CLI (the streaming
+    ingest is where the dead-letter errors table hangs). All zooms ride
+    ONE fan-out plan and one grouped write pass (`update_tiles` unions the
+    per-zoom keyings). Returns tiles touched."""
+    from osmesa_spark.sinks import updater as U
+    from osmesa_spark.sources import replication as R
+
+    diffs = R.read_augmented_diffs(
+        spark,
+        replication_dir,
+        start_sequence=start_sequence,
+        end_sequence=end_sequence,
+        wire_format=wire_format,
+    )
+    good, _ = R.split_errors(diffs)
+    zooms = list(range(min_zoom, (max_zoom or min_zoom) + 1))
+    return U.update_tiles(
+        good, tile_root, schema=schema, zoom=zooms, layer_name=layer_name
+    )
+
+
+def footprint_vt_zips(
+    spark: SparkSession,
+    geoms: DataFrame,
+    root: str,
+    min_zoom: int = 10,
+    max_zoom: int = 12,
+) -> dict[str, int]:
+    """GenerateVT batch run over REAL geometries — the bm pipeline's
+    actual use (building footprints / match overlays as polygons,
+    GenerateVT.scala:85-115 + 120-261): per zoom, bbox fan-out → per-tile
+    clip → StrictLayer ordering (polygons area-descending) → MVT bytes →
+    zip-of-8-zooms packaging. `geoms`: (id, geomType, geom array of
+    {lon,lat}). All zoom levels union into one frame so the packaging
+    sink sees a single pyramid. Returns {"zips": n_archives}."""
+    from osmesa_spark.sinks import updater as U
+    from osmesa_spark.sinks.mvt import save_pyramid_in_zips
+
+    geoms = geoms.localCheckpoint()  # one scan feeds every zoom level
+    encoded = U.generate_geometry_vt(geoms, min_zoom)
+    for z in range(min_zoom + 1, max_zoom + 1):
+        encoded = encoded.unionByName(U.generate_geometry_vt(geoms, z))
+    return {"zips": save_pyramid_in_zips(encoded, root)}
+
+
 def generate_vt_zips(
     spark: SparkSession,
     history: DataFrame,

@@ -394,17 +394,30 @@ def update_tiles(
     diffs: DataFrame,
     root: str,
     schema: str = "snapshot",
-    zoom: int = 12,
+    zoom: int | list[int] = 12,
     layer_name: str = "elements",
 ) -> int:
     """Apply one micro-batch / bounded set of diffs to the tile store under
-    `root` using the chosen tile schema. Returns tiles touched."""
+    `root` using the chosen tile schema. Returns tiles touched.
+
+    `zoom` may be a list (the TileUpdater CLI's min-zoom..max-zoom range,
+    updater/TileUpdater.scala:36-50): the per-zoom fan-outs union into ONE
+    plan, so all zooms ride a single (zoom, tx, ty) shuffle and one write
+    pass — the reference loops updateTiles per zoom and re-reads the diff
+    file each time."""
     from osmesa_spark.session import ship_package
 
     if schema not in SCHEMAS:
         raise ValueError(f"unknown tile schema {schema!r} (have {sorted(SCHEMAS)})")
     ship_package(diffs.sparkSession)
-    keyed = diffs_with_tiles(diffs, zoom)
+    zooms = [zoom] if isinstance(zoom, int) else sorted(set(zoom))
+    if len(zooms) > 1:
+        # one consumer per zoom level below — pin the (usually micro-batch
+        # sized) diff set so the source parse never re-executes per zoom
+        diffs = diffs.localCheckpoint(eager=False)
+    keyed = diffs_with_tiles(diffs, zooms[0])
+    for z in zooms[1:]:
+        keyed = keyed.unionByName(diffs_with_tiles(diffs, z))
     tagged = keyed.select(
         "zoom",
         "tx",
@@ -477,3 +490,168 @@ def update_tiles(
 
     tiles.foreachPartition(write_partition)
     return tiles.count()
+
+
+def run_streaming_element_tiles(
+    diffs_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    schema: str = "snapshot",
+    zoom: int | list[int] = 12,
+    layer_name: str = "elements",
+):
+    """Streaming twin of the TileUpdater batch CLI: attach the per-element
+    tile upsert as a foreachBatch sink on an augmented-diff stream (the
+    reference loops the CLI off the replication poller; committed-sequence
+    idempotence makes micro-batch retries and replays no-ops). Returns
+    the StreamingQuery."""
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        update_tiles(
+            batch, root, schema=schema, zoom=zoom, layer_name=layer_name
+        )
+
+    return (
+        diffs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# GenerateVT-parity geometry vector tiles (bm/GenerateVT.scala:120-261)
+# ---------------------------------------------------------------------------
+
+def geometry_tile_cover(
+    df: DataFrame,
+    zoom: int,
+    id_col: str = "id",
+    geom_col: str = "geom",
+    geom_type_col: str = "geomType",
+) -> DataFrame:
+    """(id, geomType, geom) rows → one row per covering (zoom, tx, ty)
+    with global pixel arrays — `GenerateVT.keyToLayout`'s
+    keysForGeometry fan-out as pure Column bbox math (the per-tile exact
+    intersection happens in the encode kernel, exactly like
+    `timedIntersect` runs per SpatialKey in the reference)."""
+    base = df.where(F.size(geom_col) >= 1)
+    px, py = _pixel_arrays(geom_col, zoom)
+    ext = F.lit(EXTENT).cast("bigint")
+    g = base.select(
+        F.col(id_col).alias("id"),
+        F.col(geom_type_col).alias("geomType"),
+        px.alias("px"),
+        py.alias("py"),
+        (F.array_min(px) / ext).cast("bigint").alias("txmin"),
+        (F.array_max(px) / ext).cast("bigint").alias("txmax"),
+        (F.array_min(py) / ext).cast("bigint").alias("tymin"),
+        (F.array_max(py) / ext).cast("bigint").alias("tymax"),
+    )
+    return g.select(
+        F.lit(zoom).alias("zoom"),
+        F.explode(F.sequence("txmin", "txmax")).alias("tx"),
+        "*",
+    ).select(
+        "zoom",
+        "tx",
+        F.explode(F.sequence("tymin", "tymax")).alias("ty"),
+        "id",
+        "geomType",
+        "px",
+        "py",
+    )
+
+
+def generate_geometry_vt(
+    df: DataFrame,
+    zoom: int,
+    layer_name: str = "features",
+    id_col: str = "id",
+    geom_col: str = "geom",
+    geom_type_col: str = "geomType",
+    gzip_bytes: bool = True,
+) -> DataFrame:
+    """Encode lon/lat geometries (Point | LineString | Polygon) into one
+    MVT per covering tile at `zoom` — the GenerateVT.makeVectorTiles path
+    (bm/GenerateVT.scala:120-261) on the DataFrame plan: bbox fan-out,
+    per-tile clip (the reference's timedIntersect), StrictLayer feature
+    order with polygons area-descending (GenerateVT.scala:255-256), one
+    Arrow-batched codec kernel. Returns (zoom, tx, ty, data binary) —
+    feed `save_tiles_in_zips` / `save_pyramid_in_zips`."""
+    import io as _io
+
+    from pyspark.sql import types as T
+
+    from osmesa_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    keyed = geometry_tile_cover(
+        df, zoom, id_col=id_col, geom_col=geom_col,
+        geom_type_col=geom_type_col,
+    )
+    grouped = keyed.select(
+        "zoom", "tx", "ty",
+        F.struct("id", "geomType", "px", "py").alias("f"),
+    ).groupBy("zoom", "tx", "ty").agg(F.collect_list("f").alias("fs"))
+    schema = T.StructType(
+        [
+            T.StructField("zoom", T.IntegerType()),
+            T.StructField("tx", T.LongType()),
+            T.StructField("ty", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+
+    def encode_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                tx, ty = int(row["tx"]), int(row["ty"])
+                feats = []
+                for f in row["fs"]:
+                    feat = _tile_local_feature(
+                        {
+                            "px": f["px"],
+                            "py": f["py"],
+                            "geomType": f["geomType"],
+                            "tags": _Tags({"__id": int(f["id"])}),
+                        },
+                        tx,
+                        ty,
+                    )
+                    if feat is not None:
+                        feats.append(feat)
+                if not feats:
+                    continue
+                buf = mvt.encode_tile(
+                    {layer_name: mvt.layer_feature_order(feats)}
+                )
+                if gzip_bytes:
+                    bio = _io.BytesIO()
+                    with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0) as gz:
+                        gz.write(buf)
+                    buf = bio.getvalue()
+                out.append(
+                    {"zoom": int(row["zoom"]), "tx": tx, "ty": ty, "data": buf}
+                )
+            yield pd.DataFrame(
+                out, columns=["zoom", "tx", "ty", "data"]
+            )
+
+    return grouped.mapInPandas(encode_batch, schema=schema)
+
+
+class _Tags:
+    """Row-like shim so `_tile_local_feature` (written for grouped Row
+    structs with .asDict()) also accepts plain dict tags."""
+
+    def __init__(self, d: dict):
+        self._d = d
+
+    def asDict(self) -> dict:
+        return dict(self._d)

@@ -243,3 +243,167 @@ def test_update_tiles_polygon_clip_and_departure(spark, tmp_path):
     assert len(remaining[north[0]]) == 1
     assert int(remaining[north[0]][0].tags["__version"]) == 2
     assert remaining[south[0]] == []
+
+
+def test_tile_updater_app_multi_zoom(spark, tmp_path):
+    """TileUpdater CLI parity: one run covers the full zoom range in a
+    single plan; per-zoom content matches individual single-zoom runs,
+    and re-running is a no-op (sequence idempotence per tile)."""
+    from osmesa_spark import apps as A
+    from osmesa_spark.datagen import write_augdiff_pairs_dropdir
+
+    drop = str(tmp_path / "ad")
+    write_augdiff_pairs_dropdir(drop, n_sequences=2, per_seq=15)
+    root = str(tmp_path / "tiles")
+    n = A.tile_updater(
+        spark, drop, root, schema="snapshot", min_zoom=1, max_zoom=3,
+        wire_format="pairs",
+    )
+    assert n > 0
+    by_zoom = {}
+    for p in glob.glob(f"{root}/**/*.mvt.gz", recursive=True):
+        z = int(p[len(root) + 1:].split("/")[0])
+        feats = mvt.decode_tile(gzip.decompress(open(p, "rb").read()))["elements"]
+        by_zoom.setdefault(z, set()).update(
+            (p[len(root):], f.tags["__type"], int(f.tags["__id"]),
+             int(f.tags["__version"]))
+            for f in feats
+        )
+    assert set(by_zoom) == {1, 2, 3}
+
+    # single-zoom twin run produces identical zoom-2 content
+    from osmesa_spark.sources import replication as R
+
+    solo = str(tmp_path / "solo")
+    good, _ = R.split_errors(
+        R.read_augmented_diffs(spark, drop, wire_format="pairs")
+    )
+    from osmesa_spark.sinks import updater as U
+
+    U.update_tiles(good, solo, schema="snapshot", zoom=2)
+    solo_set = set()
+    for p in glob.glob(f"{solo}/**/*.mvt.gz", recursive=True):
+        feats = mvt.decode_tile(gzip.decompress(open(p, "rb").read()))["elements"]
+        solo_set.update(
+            (p[len(solo):], f.tags["__type"], int(f.tags["__id"]),
+             int(f.tags["__version"]))
+            for f in feats
+        )
+    assert solo_set == by_zoom[2]
+
+    # idempotent re-run
+    n2 = A.tile_updater(
+        spark, drop, root, schema="snapshot", min_zoom=1, max_zoom=3,
+        wire_format="pairs",
+    )
+    after = set()
+    for p in glob.glob(f"{root}/**/*.mvt.gz", recursive=True):
+        feats = mvt.decode_tile(gzip.decompress(open(p, "rb").read()))["elements"]
+        after.update(
+            (p[len(root):], f.tags["__type"], int(f.tags["__id"]),
+             int(f.tags["__version"]))
+            for f in feats
+        )
+    assert after == set().union(*by_zoom.values())
+
+
+def test_streaming_element_tiles_matches_batch(spark, tmp_path):
+    """Streaming per-element updater twin: the stream-applied tile store
+    must equal the batch-applied one feature for feature (same schema
+    logic, committed-sequence idempotence absorbs retries)."""
+    from osmesa_spark.datagen import write_augdiff_pairs_dropdir
+    from osmesa_spark.sources import replication as R
+
+    drop = str(tmp_path / "ad")
+    write_augdiff_pairs_dropdir(drop, n_sequences=3, per_seq=12)
+    good, _ = R.split_errors(
+        R.read_augmented_diffs(spark, drop, wire_format="pairs")
+    )
+    batch_root = str(tmp_path / "batch")
+    U.update_tiles(good, batch_root, schema="history", zoom=2)
+
+    stream_root = str(tmp_path / "stream")
+    raw = R.read_augmented_diffs(
+        spark, drop, streaming=True, wire_format="pairs"
+    )
+    sgood, _ = R.split_errors(raw)
+    q = U.run_streaming_element_tiles(
+        sgood, stream_root, str(tmp_path / "ckpt"), schema="history", zoom=2
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snap(root):
+        out = set()
+        for p in glob.glob(f"{root}/**/*.mvt.gz", recursive=True):
+            feats = mvt.decode_tile(
+                gzip.decompress(open(p, "rb").read())
+            )["elements"]
+            out.update(
+                (p[len(root):], f.tags["__type"], int(f.tags["__id"]),
+                 int(f.tags["__version"]),
+                 int(f.tags.get("__validUntil", -1)))
+                for f in feats
+            )
+        return out
+
+    assert snap(stream_root) == snap(batch_root)
+    assert len(snap(stream_root)) > 0
+
+
+def test_footprint_vt_zips_polygons(spark, tmp_path):
+    """GenerateVT polygon path: real ring geometries → clipped per-tile
+    polygon features, area-descending within each tile layer, packaged
+    into the zip pyramid."""
+    import io
+    import zipfile
+
+    from osmesa_spark import apps as A
+
+    rows = [
+        # big square straddling lon 0 (tile boundary at every zoom)
+        (1, "Polygon", [{"lon": x, "lat": y} for x, y in
+                        [(-3.0, 1.0), (5.0, 1.0), (5.0, 7.0), (-3.0, 7.0),
+                         (-3.0, 1.0)]]),
+        # small square inside the big one's east half
+        (2, "Polygon", [{"lon": x, "lat": y} for x, y in
+                        [(1.0, 2.0), (2.0, 2.0), (2.0, 3.0), (1.0, 3.0),
+                         (1.0, 2.0)]]),
+        # a way crossing both
+        (3, "LineString", [{"lon": -4.0, "lat": 4.0}, {"lon": 6.0, "lat": 4.0}]),
+        (4, "Point", [{"lon": 1.5, "lat": 2.5}]),
+    ]
+    geoms = spark.createDataFrame(
+        rows,
+        "id long, geomType string, "
+        "geom array<struct<lon:double,lat:double>>",
+    )
+    root = str(tmp_path / "vt")
+    out = A.footprint_vt_zips(spark, geoms, root, min_zoom=3, max_zoom=5)
+    assert out["zips"] >= 1
+
+    feats_by_tile = {}
+    for zp in glob.glob(f"{root}/**/*.zip", recursive=True):
+        with zipfile.ZipFile(zp) as zf:
+            for name in zf.namelist():
+                raw = gzip.decompress(zf.read(name))
+                feats_by_tile[name] = mvt.decode_tile(raw)["features"]
+    assert feats_by_tile
+    seen_ids = {f.fid for fs in feats_by_tile.values() for f in fs}
+    assert seen_ids == {1, 2, 3, 4}
+    for name, fs in feats_by_tile.items():
+        # StrictLayer order: points, lines, polygons area-desc
+        kinds = [f.geom_type for f in fs]
+        assert kinds == sorted(kinds), (name, kinds)
+        areas = [mvt.feature_area2(f) for f in fs if f.geom_type == 3]
+        assert areas == sorted(areas, reverse=True), (name, areas)
+        for f in fs:
+            if f.geom_type == 3:
+                assert len(f.parts) == 1 and len(f.parts[0]) >= 3
+                assert mvt.ring_area2(f.parts[0]) > 0
+    # the big polygon (id 1) must appear in >= 2 tiles at zoom 5
+    z5 = [n for n, fs in feats_by_tile.items()
+          if n.startswith("5/") and any(f.fid == 1 for f in fs)]
+    assert len(z5) >= 2
