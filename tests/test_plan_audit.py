@@ -242,6 +242,7 @@ EXTENSIONS_JVM_ONLY = [
     "price_quantiles_sketch",
     "osm_snapshot_diff",
     "osm_coedit_pagerank",
+    "osm_way_tile_cover",
     "split_leakage_safe",
     "mixture_temperature",
     "corpus_shard_manifest",
