@@ -73,6 +73,8 @@ HEADLINE = [
     "doc_bm25_topk",
     "doc_bpe_train",
     "doc_quality_bins",
+    "doc_gopher_rules",
+    "source_doc_cap",
     "multimodal_resize",
     "multimodal_phash_pairs",
     "curation_pipeline",

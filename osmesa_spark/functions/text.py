@@ -189,3 +189,105 @@ def scrub_pii(text: Column | str) -> Column:
     text = F.col(text) if isinstance(text, str) else text
     scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+
+
+def gopher_quality_flags(text: Column | str) -> Column:
+    """The Gopher document-quality rule bundle (Rae et al. 2021, table A1
+    — the filter set MassiveWeb shipped with and most later pretraining
+    pipelines reuse) as ONE struct of pure-Column signals + per-rule
+    booleans + overall `keep`:
+
+      * word count in [50, 100_000]
+      * mean word length in [3, 10]
+      * symbol-to-word ratio (#, ellipsis) <= 0.1
+      * <= 90% of lines start with a bullet
+      * <= 30% of lines end with an ellipsis
+      * >= 80% of words contain an alphabetic character
+      * >= 2 distinct English stopwords present (the/be/to/of/and/that/
+        have/with)
+
+    Everything is split/length/regex Column algebra — whole-stage codegen,
+    no UDF — and every signal is emitted so downstream curation can tune
+    thresholds without recomputing. Ratios are rounded 4dp for
+    cross-engine hash stability."""
+    text = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1))
+    sum_wl = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = sum_wl / nw
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell3 = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    n_ell1 = F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    symbol_frac = (n_hash + n_ell3 + n_ell1) / nw
+    lines = F.split(text, r"\n")
+    nl = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.aggregate(
+            lines,
+            F.lit(0).cast("bigint"),
+            lambda acc, l: acc
+            + F.when(
+                F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"), 1
+            ).otherwise(0),
+        )
+        / nl
+    )
+    ellipsis_frac = (
+        F.aggregate(
+            lines,
+            F.lit(0).cast("bigint"),
+            lambda acc, l: acc
+            + F.when(
+                F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"), 1
+            ).otherwise(0),
+        )
+        / nl
+    )
+    alpha_words_frac = (
+        F.aggregate(
+            words,
+            F.lit(0).cast("bigint"),
+            lambda acc, w: acc + F.when(w.rlike("[A-Za-z]"), 1).otherwise(0),
+        )
+        / nw
+    )
+    n_stop = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.lower(text),
+                F.lit(r"\b(the|be|to|of|and|that|have|with)\b"),
+                1,
+            )
+        )
+    )
+    r_words = (n_words >= 50) & (n_words <= 100_000)
+    r_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r_sym = symbol_frac <= 0.1
+    r_bullet = bullet_frac <= 0.9
+    r_ell = ellipsis_frac <= 0.3
+    r_alpha = alpha_words_frac >= 0.8
+    r_stop = n_stop >= 2
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_frac, 4).alias("symbol_frac"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        F.round(alpha_words_frac, 4).alias("alpha_words_frac"),
+        n_stop.alias("n_stopwords"),
+        r_words.alias("r_word_count"),
+        r_wl.alias("r_word_len"),
+        r_sym.alias("r_symbols"),
+        r_bullet.alias("r_bullets"),
+        r_ell.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        (
+            r_words & r_wl & r_sym & r_bullet & r_ell & r_alpha & r_stop
+        ).alias("keep"),
+    )

@@ -1504,6 +1504,136 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_gopher_rules",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS words,
+               regexp_split_to_array(text, '\\n') AS lines,
+               length(text)
+                 - length(replace(text, '#', ''))
+                 + (length(text) - length(replace(text, '...', ''))) / 3
+                 + length(text) - length(replace(text, '…', '')) AS n_sym,
+               len(list_distinct(regexp_extract_all(lower(text),
+                   '\\b(the|be|to|of|and|that|have|with)\\b', 1)))
+                 AS n_stopwords
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               GREATEST(len(words), 1) AS nw,
+               GREATEST(len(lines), 1) AS nl,
+               list_sum(list_transform(words, w -> length(w))) AS sum_wl,
+               list_sum(list_transform(words, w ->
+                   CASE WHEN regexp_matches(w, '[A-Za-z]')
+                        THEN 1 ELSE 0 END)) AS n_alpha_words,
+               list_sum(list_transform(lines, l ->
+                   CASE WHEN substr(ltrim(l), 1, 1) IN ('-', '*', '•')
+                        THEN 1 ELSE 0 END)) AS n_bullet,
+               list_sum(list_transform(lines, l ->
+                   CASE WHEN rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'
+                        THEN 1 ELSE 0 END)) AS n_ell_lines,
+               n_sym, n_stopwords
+        FROM f)
+    SELECT doc_id,
+           n_words::INT AS n_words,
+           ROUND(sum_wl / nw, 4) AS mean_word_len,
+           ROUND(n_sym / nw, 4) AS symbol_frac,
+           ROUND(n_bullet / nl, 4) AS bullet_frac,
+           ROUND(n_ell_lines / nl, 4) AS ellipsis_frac,
+           ROUND(n_alpha_words / nw, 4) AS alpha_words_frac,
+           n_stopwords::INT AS n_stopwords,
+           (n_words BETWEEN 50 AND 100000) AS r_word_count,
+           (sum_wl / nw BETWEEN 3.0 AND 10.0) AS r_word_len,
+           (n_sym / nw <= 0.1) AS r_symbols,
+           (n_bullet / nl <= 0.9) AS r_bullets,
+           (n_ell_lines / nl <= 0.3) AS r_ellipsis,
+           (n_alpha_words / nw >= 0.8) AS r_alpha_words,
+           (n_stopwords >= 2) AS r_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (sum_wl / nw BETWEEN 3.0 AND 10.0)
+            AND (n_sym / nw <= 0.1)
+            AND (n_bullet / nl <= 0.9)
+            AND (n_ell_lines / nl <= 0.3)
+            AND (n_alpha_words / nw >= 0.8)
+            AND (n_stopwords >= 2)) AS keep
+    FROM g
+    """,
+    doc="Gopher document-quality rule bundle (Rae et al. '21 table A1 — "
+    "the MassiveWeb filter set most pretraining pipelines reuse): word "
+    "count / mean word length / symbol ratio / bullet + ellipsis line "
+    "fractions / alpha-word fraction / distinct-stopword floor, every "
+    "signal emitted beside its rule verdict + the overall keep. Pure "
+    "split/length/regex Column algebra in whole-stage codegen; one "
+    "projection, no shuffle — the 100 TB shape is a map-only pass "
+    "(text-analysis extension)",
+)
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.functions.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", gopher_quality_flags("text").alias("g")).select(
+        "doc_id", "g.*"
+    )
+
+
+@register(
+    "source_doc_cap",
+    f"""
+    WITH f AS (
+        SELECT doc_id, source,
+               length(text) AS n_chars_c,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|in|a|is|for)\\b', 1)) AS stop_hits
+        FROM documents),
+    q AS (
+        SELECT doc_id, source,
+               ROUND(
+                 (alpha / GREATEST(n_chars_c, 1)) * 0.5
+                 + (CASE WHEN n_chars_c / GREATEST(n_tokens, 1)
+                              BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) * 0.25
+                 + LEAST((stop_hits / GREATEST(n_tokens, 1)) * 5.0, 1.0)
+                   * 0.25,
+               4) AS quality
+        FROM f),
+    r AS (
+        SELECT doc_id, source, quality,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rk
+        FROM q)
+    SELECT doc_id, source, quality, rk::INT AS source_rank,
+           (rk <= 40) AS kept
+    FROM r
+    """,
+    doc="per-domain document cap (the Gopher/FineWeb 'domain cap' "
+    "anti-spam rule: no source may dominate the corpus): rank every doc "
+    "within its source by quality (4dp, ties to lowest id) and keep the "
+    "top K=40. One rank window partitioned by source — the shuffle is "
+    "keyed by the same column every per-domain stage uses, and state per "
+    "group is O(1) (streaming rank), so a hot domain costs sort time, "
+    "never memory (curation extension)",
+)
+def q_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", "source", quality_score("text").alias("quality"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.row_number().over(w).cast("int").alias("source_rank"),
+        (F.row_number().over(w) <= 40).alias("kept"),
+    )
+
+
+@register(
     "doc_quality_bins",
     """
     WITH f AS (
@@ -6439,14 +6569,17 @@ DRIVER_PRIORITY = [
     "neardup_dedup_app",
     "multimodal_phash_pairs",
     "corpus_shard_manifest",
+    # BRAND NEW this round (r7): Gopher rule bundle + domain cap
+    "doc_gopher_rules",
+    "source_doc_cap",
     # stalest driver evidence (r3 cohort spill list from r6) — rotate in
     "haversine_user_path",
     "kv_map_assembly",
     "map_merge_simplify",
     "doc_bigram_topk",
+    # below this line: spills past the 50-slot window, next in line for r8
     "doc_token_entropy",
     "pricing_summary",
-    # below this line: spills past the 50-slot window, next in line for r8
     "right_outer_parts",
     "source_mix_weights",
     "supplier_region_rollup",

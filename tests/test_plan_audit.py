@@ -243,6 +243,8 @@ EXTENSIONS_JVM_ONLY = [
     "osm_snapshot_diff",
     "osm_coedit_pagerank",
     "osm_way_tile_cover",
+    "doc_gopher_rules",
+    "source_doc_cap",
     "split_leakage_safe",
     "mixture_temperature",
     "corpus_shard_manifest",
