@@ -60,6 +60,7 @@ HEADLINE = [
     "knn_ivf",
     "knn_lsh",
     "knn_quantized",
+    "knn_binary_rerank",
     "knn_pq",
     "knn_ivfpq",
     "knn_rp",

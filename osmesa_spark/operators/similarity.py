@@ -1201,3 +1201,96 @@ def kmeans_assign(
     return df.select(
         F.col(id_col), best["cid"].cast("int").alias("cluster")
     )
+
+
+def binary_sign_pack(vec: Column, dim: int) -> list[Column]:
+    """Sign-binarize a float vector into ⌈dim/32⌉ POSITIVE bigint words
+    (32 sign bits each — staying under 2^32 keeps every word positive in
+    both engines, no sign-bit arithmetic games). Bit j of word w is set
+    when vec[32w + j] > 0. Disjoint powers of two sum to their bitwise
+    OR, so the fold is plain `+` in whole-stage codegen."""
+    words = []
+    for w in range((dim + 31) // 32):
+        lo = w * 32
+        n = min(32, dim - lo)
+        expr = F.lit(0).cast("bigint")
+        for j in range(n):  # static bit literals: one codegen add-chain
+            expr = expr + F.when(
+                F.element_at(vec, lo + j + 1) > 0,
+                F.lit(1 << j).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        words.append(expr)
+    return words
+
+
+def knn_binary_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization ANN (the modern memory-bound recipe: RaBitQ /
+    faiss IndexBinaryFlat / every vector DB's "binary quantization +
+    rescore" mode): sign-binarize to 1 bit/dimension, shortlist the top
+    `shortlist` per query by Hamming distance (xor + bit_count over 2
+    bigint words — 32x less memory traffic than float dots), then rerank
+    ONLY the shortlist with exact cosine.
+
+    Scale shape: the Hamming pass scans (id, 2 bigints) per corpus row
+    against broadcast queries — pure codegen, the scan never touches the
+    float vectors (column pruning keeps them out of the shortlist scan);
+    the exact rerank joins the float vectors back for `shortlist` rows
+    per query only. Output: (query_id, neighbor_id, rank), self excluded,
+    ties by (cos desc, neighbor_id)."""
+    from osmesa_spark.util import ensure_parallelism
+
+    qwords = binary_sign_pack(F.col(vec_col), dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[w.alias(f"qb{i}") for i, w in enumerate(qwords)],
+    )
+    c = ensure_parallelism(corpus, id_col)
+    cwords = binary_sign_pack(F.col(vec_col), dim)
+    cb = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[w.alias(f"cb{i}") for i, w in enumerate(cwords)],
+    )
+    ham = None
+    for i in range(len(qwords)):
+        t = F.bit_count(F.col(f"qb{i}").bitwiseXOR(F.col(f"cb{i}")))
+        ham = t if ham is None else ham + t
+    wham = Window.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col("neighbor_id")
+    )
+    short = (
+        cb.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", ham.alias("hamming"))
+        .withColumn("hrank", F.row_number().over(wham))
+        .where(F.col("hrank") <= shortlist)
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    rer = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -2253,6 +2253,57 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_binary_rerank",
+    """
+    WITH p AS (
+        SELECT vec_id,
+               list_sum(list_transform(generate_series(1, 32), i ->
+                   CASE WHEN embedding[i] > 0
+                        THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS b0,
+               list_sum(list_transform(generate_series(33, 64), i ->
+                   CASE WHEN embedding[i] > 0
+                        THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS b1,
+               list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, b0 AS qb0, b1 AS qb1, v AS qv
+          FROM p WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, b0 AS cb0, b1 AS cb1, v AS cv
+          FROM p),
+    h AS (SELECT query_id, neighbor_id, qv, cv,
+                 bit_count(xor(qb0, cb0)) + bit_count(xor(qb1, cb1))
+                   AS hamming
+          FROM q JOIN c ON query_id <> neighbor_id),
+    s AS (SELECT query_id, neighbor_id, qv, cv,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY hamming, neighbor_id) AS hrank
+          FROM h),
+    r AS (SELECT query_id, neighbor_id,
+                 ROUND(list_dot_product(qv, cv)
+                       / GREATEST(sqrt(list_dot_product(qv, qv))
+                                  * sqrt(list_dot_product(cv, cv)),
+                                  1e-12), 6) AS cos
+          FROM s WHERE hrank <= 32),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id)::INT AS rank
+        FROM r)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="binary-quantization ANN with exact rescore (the RaBitQ / faiss "
+    "IndexBinaryFlat / vector-DB 'BQ + rerank' recipe): 1 sign bit per "
+    "dimension packed into two positive 32-bit words, Hamming shortlist "
+    "via xor+bit_count over broadcast queries (the scan reads 2 bigints "
+    "per row, never the floats — 32x less memory traffic), exact cosine "
+    "rerank of the 32-deep shortlist only. Pure codegen end to end "
+    "(similarity-search extension)",
+)
+def q_knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.knn_binary_rerank(e, e.where(F.col("vec_id") < 8), k=5)
+
+
+@register(
     "knn_quantized",
     """
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -6572,12 +6623,13 @@ DRIVER_PRIORITY = [
     # BRAND NEW this round (r7): Gopher rule bundle + domain cap
     "doc_gopher_rules",
     "source_doc_cap",
+    "knn_binary_rerank",
     # stalest driver evidence (r3 cohort spill list from r6) — rotate in
     "haversine_user_path",
     "kv_map_assembly",
     "map_merge_simplify",
-    "doc_bigram_topk",
     # below this line: spills past the 50-slot window, next in line for r8
+    "doc_bigram_topk",
     "doc_token_entropy",
     "pricing_summary",
     "right_outer_parts",

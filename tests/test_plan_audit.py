@@ -245,6 +245,7 @@ EXTENSIONS_JVM_ONLY = [
     "osm_way_tile_cover",
     "doc_gopher_rules",
     "source_doc_cap",
+    "knn_binary_rerank",
     "split_leakage_safe",
     "mixture_temperature",
     "corpus_shard_manifest",

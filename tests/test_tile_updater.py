@@ -407,3 +407,38 @@ def test_footprint_vt_zips_polygons(spark, tmp_path):
     z5 = [n for n, fs in feats_by_tile.items()
           if n.startswith("5/") and any(f.fid == 1 for f in fs)]
     assert len(z5) >= 2
+
+
+def test_update_tiles_urchn_end_to_end(spark, tmp_path):
+    """urchn schema through the full grouped upsert: creation author
+    survives later edits, version counts accumulate across micro-batches,
+    and way features carry their lineage exactly like points."""
+    from osmesa_spark.sources import replication as R
+
+    drop = str(tmp_path / "ad")
+    base = [(-1.0, 5.0), (1.0, 5.0)]
+    f1 = _way_feature(4000, 77, 1, base)
+    f1["user"], f1["uid"] = "alice", 1
+    _write_seq(drop, 4000, [f1])
+    root = str(tmp_path / "tiles")
+    U.update_tiles(
+        R.read_augmented_diffs(spark, drop), root, schema="urchn", zoom=3
+    )
+
+    f2 = _way_feature(4001, 77, 2, [(-1.0, 5.0), (1.0, 5.2)])
+    f2["user"], f2["uid"] = "bob", 2
+    _write_seq(drop, 4001, [f2])
+    U.update_tiles(
+        R.read_augmented_diffs(spark, drop), root, schema="urchn", zoom=3
+    )
+
+    paths = glob.glob(f"{root}/**/*.mvt.gz", recursive=True)
+    assert paths
+    for p in paths:
+        feats = mvt.decode_tile(gzip.decompress(open(p, "rb").read()))["elements"]
+        (f,) = [x for x in feats if int(x.tags["__id"]) == 77]
+        assert f.tags["__creation_author"] == "alice"
+        assert f.tags["__author"] == "bob"
+        assert int(f.tags["__versions"]) == 2
+        assert int(f.tags["__version"]) == 2
+        assert f.geom_type == 2  # lineage rides the way geometry
