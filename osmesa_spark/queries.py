@@ -2304,6 +2304,100 @@ def q_knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_binary",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    bq AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+    bscored AS (
+        SELECT bq.query_id, v.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qv, v.v)
+                     / GREATEST(sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(v.v, v.v)), 1e-12),
+                     6) AS cos
+        FROM bq JOIN v ON bq.query_id <> v.vec_id),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM bscored) WHERE rank <= 5),
+    p AS (
+        SELECT vec_id,
+               list_sum(list_transform(generate_series(1, 32), i ->
+                   CASE WHEN embedding[i] > 0
+                        THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS b0,
+               list_sum(list_transform(generate_series(33, 64), i ->
+                   CASE WHEN embedding[i] > 0
+                        THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS b1,
+               list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, b0 AS qb0, b1 AS qb1, v AS qv
+          FROM p WHERE vec_id < 8),
+    h AS (SELECT query_id, c.vec_id AS neighbor_id, q.qv, c.v AS cv,
+                 bit_count(xor(qb0, c.b0)) + bit_count(xor(qb1, c.b1))
+                   AS hamming
+          FROM q JOIN p c ON query_id <> c.vec_id),
+    s AS (SELECT query_id, neighbor_id, qv, cv,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY hamming, neighbor_id) AS hrank
+          FROM h),
+    r AS (SELECT query_id, neighbor_id,
+                 ROUND(list_dot_product(qv, cv)
+                       / GREATEST(sqrt(list_dot_product(qv, qv))
+                                  * sqrt(list_dot_product(cv, cv)),
+                                  1e-12), 6) AS cos
+          FROM s WHERE hrank <= 8),
+    bqk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM r) WHERE rank <= 5),
+    hits AS (
+        SELECT bf.query_id, COUNT(*)::BIGINT AS hits
+        FROM bf JOIN bqk USING (query_id, neighbor_id)
+        GROUP BY bf.query_id)
+    SELECT q2.query_id,
+           ROUND(COALESCE(h2.hits, 0) / 5.0, 2) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM bf) q2
+    LEFT JOIN hits h2 USING (query_id)
+    ORDER BY query_id
+    """,
+    doc="ANN quality evaluation for the binary-quantization path: recall@5 "
+    "of sign-bit Hamming shortlist (depth 8) + exact rescore against the "
+    "full-precision brute force — the depth-vs-recall measurement that "
+    "sizes the rescore budget before shipping a BQ index. Completes the "
+    "recall matrix (LSH / PQ / IVF-PQ / RP / binary) (similarity "
+    "extension)",
+)
+def q_ann_recall_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    bf = sim.knn_bruteforce(e, q, k=5).select("query_id", "neighbor_id")
+    bq = sim.knn_binary_rerank(e, q, k=5, shortlist=8).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        bf.join(bq, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / 5.0, 2
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
     "knn_quantized",
     """
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -6624,6 +6718,7 @@ DRIVER_PRIORITY = [
     "doc_gopher_rules",
     "source_doc_cap",
     "knn_binary_rerank",
+    "ann_recall_binary",
     # stalest driver evidence (r3 cohort spill list from r6) — rotate in
     "haversine_user_path",
     "kv_map_assembly",

@@ -246,6 +246,7 @@ EXTENSIONS_JVM_ONLY = [
     "doc_gopher_rules",
     "source_doc_cap",
     "knn_binary_rerank",
+    "ann_recall_binary",
     "split_leakage_safe",
     "mixture_temperature",
     "corpus_shard_manifest",
