@@ -721,3 +721,79 @@ def building_match(
     return score_pairs(candidate_pairs(a, b, zoom, max_dist)).where(
         F.col("p") > threshold
     )
+
+
+def with_quadtree_address(
+    df: DataFrame,
+    xmin: Column,
+    ymin: Column,
+    xmax: Column,
+    ymax: Column,
+    max_divisions: int = 8,
+    division_set: set[int] | None = None,
+    partitions: int = 4099,
+) -> DataFrame:
+    """QuadTreePartitioner parity (bm/QuadTreePartitioner.scala:11-110):
+    hierarchical quadtree address of a geometry's NORMALIZED bbox — 2 bits
+    per division while both bbox corners agree on the quadrant (strict
+    `> 0.5` test, exactly the reference's getBits), address accumulating
+    only the divisions in `division_set`, then a plain hash partition id
+    (`address % partitions`, reference default 4099 — prime, coprime with
+    the 4-ary address radix so sibling quads spread).
+
+    Spark-first shape: the reference subclasses RDD Partitioner; here the
+    address is a pure COLUMN the engine can `repartition()` / groupBy on —
+    the same co-location contract without leaving the DataFrame planner.
+    Each division is ONE chained projection (named intermediate columns),
+    so the expression tree stays linear in `max_divisions` — Catalyst's
+    CollapseProject keeps multiply-referenced non-trivial intermediates
+    materialized instead of inlining them exponentially.
+
+    Adds: `qt_address` (bigint), `qt_partition` (int)."""
+    division_set = (
+        set(range(max_divisions + 1)) if division_set is None else division_set
+    )
+    out = df.withColumns(
+        {
+            "__qx0": (xmin + 180.0) / 360.0,
+            "__qy0": (ymin + 90.0) / 180.0,
+            "__qx1": (xmax + 180.0) / 360.0,
+            "__qy1": (ymax + 90.0) / 180.0,
+            "qt_address": F.lit(0).cast("bigint"),
+            "__qdone": F.lit(False),
+        }
+    )
+    for division in range(max_divisions + 1):
+        minb = (F.col("__qx0") > 0.5).cast("int") + (
+            F.col("__qy0") > 0.5
+        ).cast("int") * 2
+        maxb = (F.col("__qx1") > 0.5).cast("int") + (
+            F.col("__qy1") > 0.5
+        ).cast("int") * 2
+        agree = (minb == maxb) & ~F.col("__qdone")
+        cols = {
+            "__qb": F.when(agree, minb).otherwise(F.lit(-1)),
+        }
+        out = out.withColumns(cols)
+        b = F.col("__qb")
+        shift_x = F.when(b % 2 == 1, F.lit(0.5)).otherwise(F.lit(0.0))
+        shift_y = F.when(b >= 2, F.lit(0.5)).otherwise(F.lit(0.0))
+        step = {
+            "__qx0": F.when(b >= 0, (F.col("__qx0") - shift_x) * 2.0)
+            .otherwise(F.col("__qx0")),
+            "__qy0": F.when(b >= 0, (F.col("__qy0") - shift_y) * 2.0)
+            .otherwise(F.col("__qy0")),
+            "__qx1": F.when(b >= 0, (F.col("__qx1") - shift_x) * 2.0)
+            .otherwise(F.col("__qx1")),
+            "__qy1": F.when(b >= 0, (F.col("__qy1") - shift_y) * 2.0)
+            .otherwise(F.col("__qy1")),
+            "__qdone": F.col("__qdone") | (b < 0),
+        }
+        if division in division_set:
+            step["qt_address"] = F.when(
+                b >= 0, F.col("qt_address") * 4 + b.cast("bigint")
+            ).otherwise(F.col("qt_address"))
+        out = out.withColumns(step)
+    return out.withColumn(
+        "qt_partition", F.pmod(F.col("qt_address"), F.lit(partitions)).cast("int")
+    ).drop("__qx0", "__qy0", "__qx1", "__qy1", "__qb", "__qdone")

@@ -4405,6 +4405,231 @@ _BM_CAND_SQL = f"""
 
 
 @register(
+    "bm_quadtree_partition",
+    f"""
+    WITH
+    ra AS ({_BM_A_SQL}),
+    l0init AS (
+        SELECT id,
+               (x0 + 180.0) / 360.0 AS ax0,
+               (y0 + 90.0) / 180.0 AS ay0,
+               (x0 + w + 180.0) / 360.0 AS ax1,
+               (y0 + h + 90.0) / 180.0 AS ay1,
+               0::BIGINT AS addr, FALSE AS done
+        FROM ra),
+    b0 AS (
+        SELECT id, ax0, ay0, ax1, ay1, addr, done,
+               CASE WHEN done THEN -1
+                    WHEN ((ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT))
+                         = ((ax1 > 0.5)::INT + 2 * ((ay1 > 0.5)::INT))
+                    THEN (ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT)
+                    ELSE -1 END AS b
+        FROM l0init),
+    l0 AS (
+        SELECT id,
+               CASE WHEN b >= 0 THEN 2 * (ax0 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax0 END AS ax0,
+               CASE WHEN b >= 0 THEN 2 * (ay0 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay0 END AS ay0,
+               CASE WHEN b >= 0 THEN 2 * (ax1 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax1 END AS ax1,
+               CASE WHEN b >= 0 THEN 2 * (ay1 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay1 END AS ay1,
+               CASE WHEN b >= 0 THEN addr * 4 + b ELSE addr END AS addr,
+               (done OR b < 0) AS done
+        FROM b0),
+    b1 AS (
+        SELECT id, ax0, ay0, ax1, ay1, addr, done,
+               CASE WHEN done THEN -1
+                    WHEN ((ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT))
+                         = ((ax1 > 0.5)::INT + 2 * ((ay1 > 0.5)::INT))
+                    THEN (ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT)
+                    ELSE -1 END AS b
+        FROM l0),
+    l1 AS (
+        SELECT id,
+               CASE WHEN b >= 0 THEN 2 * (ax0 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax0 END AS ax0,
+               CASE WHEN b >= 0 THEN 2 * (ay0 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay0 END AS ay0,
+               CASE WHEN b >= 0 THEN 2 * (ax1 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax1 END AS ax1,
+               CASE WHEN b >= 0 THEN 2 * (ay1 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay1 END AS ay1,
+               CASE WHEN b >= 0 THEN addr * 4 + b ELSE addr END AS addr,
+               (done OR b < 0) AS done
+        FROM b1),
+    b2 AS (
+        SELECT id, ax0, ay0, ax1, ay1, addr, done,
+               CASE WHEN done THEN -1
+                    WHEN ((ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT))
+                         = ((ax1 > 0.5)::INT + 2 * ((ay1 > 0.5)::INT))
+                    THEN (ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT)
+                    ELSE -1 END AS b
+        FROM l1),
+    l2 AS (
+        SELECT id,
+               CASE WHEN b >= 0 THEN 2 * (ax0 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax0 END AS ax0,
+               CASE WHEN b >= 0 THEN 2 * (ay0 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay0 END AS ay0,
+               CASE WHEN b >= 0 THEN 2 * (ax1 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax1 END AS ax1,
+               CASE WHEN b >= 0 THEN 2 * (ay1 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay1 END AS ay1,
+               CASE WHEN b >= 0 THEN addr * 4 + b ELSE addr END AS addr,
+               (done OR b < 0) AS done
+        FROM b2),
+    b3 AS (
+        SELECT id, ax0, ay0, ax1, ay1, addr, done,
+               CASE WHEN done THEN -1
+                    WHEN ((ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT))
+                         = ((ax1 > 0.5)::INT + 2 * ((ay1 > 0.5)::INT))
+                    THEN (ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT)
+                    ELSE -1 END AS b
+        FROM l2),
+    l3 AS (
+        SELECT id,
+               CASE WHEN b >= 0 THEN 2 * (ax0 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax0 END AS ax0,
+               CASE WHEN b >= 0 THEN 2 * (ay0 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay0 END AS ay0,
+               CASE WHEN b >= 0 THEN 2 * (ax1 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax1 END AS ax1,
+               CASE WHEN b >= 0 THEN 2 * (ay1 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay1 END AS ay1,
+               CASE WHEN b >= 0 THEN addr * 4 + b ELSE addr END AS addr,
+               (done OR b < 0) AS done
+        FROM b3),
+    b4 AS (
+        SELECT id, ax0, ay0, ax1, ay1, addr, done,
+               CASE WHEN done THEN -1
+                    WHEN ((ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT))
+                         = ((ax1 > 0.5)::INT + 2 * ((ay1 > 0.5)::INT))
+                    THEN (ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT)
+                    ELSE -1 END AS b
+        FROM l3),
+    l4 AS (
+        SELECT id,
+               CASE WHEN b >= 0 THEN 2 * (ax0 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax0 END AS ax0,
+               CASE WHEN b >= 0 THEN 2 * (ay0 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay0 END AS ay0,
+               CASE WHEN b >= 0 THEN 2 * (ax1 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax1 END AS ax1,
+               CASE WHEN b >= 0 THEN 2 * (ay1 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay1 END AS ay1,
+               CASE WHEN b >= 0 THEN addr * 4 + b ELSE addr END AS addr,
+               (done OR b < 0) AS done
+        FROM b4),
+    b5 AS (
+        SELECT id, ax0, ay0, ax1, ay1, addr, done,
+               CASE WHEN done THEN -1
+                    WHEN ((ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT))
+                         = ((ax1 > 0.5)::INT + 2 * ((ay1 > 0.5)::INT))
+                    THEN (ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT)
+                    ELSE -1 END AS b
+        FROM l4),
+    l5 AS (
+        SELECT id,
+               CASE WHEN b >= 0 THEN 2 * (ax0 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax0 END AS ax0,
+               CASE WHEN b >= 0 THEN 2 * (ay0 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay0 END AS ay0,
+               CASE WHEN b >= 0 THEN 2 * (ax1 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax1 END AS ax1,
+               CASE WHEN b >= 0 THEN 2 * (ay1 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay1 END AS ay1,
+               CASE WHEN b >= 0 THEN addr * 4 + b ELSE addr END AS addr,
+               (done OR b < 0) AS done
+        FROM b5),
+    b6 AS (
+        SELECT id, ax0, ay0, ax1, ay1, addr, done,
+               CASE WHEN done THEN -1
+                    WHEN ((ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT))
+                         = ((ax1 > 0.5)::INT + 2 * ((ay1 > 0.5)::INT))
+                    THEN (ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT)
+                    ELSE -1 END AS b
+        FROM l5),
+    l6 AS (
+        SELECT id,
+               CASE WHEN b >= 0 THEN 2 * (ax0 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax0 END AS ax0,
+               CASE WHEN b >= 0 THEN 2 * (ay0 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay0 END AS ay0,
+               CASE WHEN b >= 0 THEN 2 * (ax1 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax1 END AS ax1,
+               CASE WHEN b >= 0 THEN 2 * (ay1 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay1 END AS ay1,
+               CASE WHEN b >= 0 THEN addr * 4 + b ELSE addr END AS addr,
+               (done OR b < 0) AS done
+        FROM b6),
+    b7 AS (
+        SELECT id, ax0, ay0, ax1, ay1, addr, done,
+               CASE WHEN done THEN -1
+                    WHEN ((ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT))
+                         = ((ax1 > 0.5)::INT + 2 * ((ay1 > 0.5)::INT))
+                    THEN (ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT)
+                    ELSE -1 END AS b
+        FROM l6),
+    l7 AS (
+        SELECT id,
+               CASE WHEN b >= 0 THEN 2 * (ax0 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax0 END AS ax0,
+               CASE WHEN b >= 0 THEN 2 * (ay0 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay0 END AS ay0,
+               CASE WHEN b >= 0 THEN 2 * (ax1 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax1 END AS ax1,
+               CASE WHEN b >= 0 THEN 2 * (ay1 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay1 END AS ay1,
+               CASE WHEN b >= 0 THEN addr * 4 + b ELSE addr END AS addr,
+               (done OR b < 0) AS done
+        FROM b7),
+    b8 AS (
+        SELECT id, ax0, ay0, ax1, ay1, addr, done,
+               CASE WHEN done THEN -1
+                    WHEN ((ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT))
+                         = ((ax1 > 0.5)::INT + 2 * ((ay1 > 0.5)::INT))
+                    THEN (ax0 > 0.5)::INT + 2 * ((ay0 > 0.5)::INT)
+                    ELSE -1 END AS b
+        FROM l7),
+    l8 AS (
+        SELECT id,
+               CASE WHEN b >= 0 THEN 2 * (ax0 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax0 END AS ax0,
+               CASE WHEN b >= 0 THEN 2 * (ay0 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay0 END AS ay0,
+               CASE WHEN b >= 0 THEN 2 * (ax1 - CASE WHEN b % 2 = 1
+                    THEN 0.5 ELSE 0.0 END) ELSE ax1 END AS ax1,
+               CASE WHEN b >= 0 THEN 2 * (ay1 - CASE WHEN b >= 2
+                    THEN 0.5 ELSE 0.0 END) ELSE ay1 END AS ay1,
+               CASE WHEN b >= 0 THEN addr * 4 + b ELSE addr END AS addr,
+               (done OR b < 0) AS done
+        FROM b8)
+    SELECT id, addr AS qt_address,
+           (addr % 4099)::INT AS qt_partition
+    FROM l8
+    """,
+    doc="QuadTreePartitioner parity (bm/QuadTreePartitioner.scala:11-110): "
+    "2-bit-per-division quadtree address of each building's normalized "
+    "bbox (strict >0.5 quadrant test, stop at corner disagreement or "
+    "division 8) + hash partition id mod 4099 — the reference's spatial "
+    "co-location contract as a pure COLUMN the planner can repartition/"
+    "groupBy on, instead of an RDD Partitioner subclass. Chained "
+    "per-division projections keep the expression tree linear; oracle "
+    "replays the identical recentering recurrence as a CTE chain (bm "
+    "extension)",
+)
+def q_bm_quadtree_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators import buildings as bm
+
+    a = bm.with_bbox(_bm_rects(spark, sf_dir, "a"))
+    return bm.with_quadtree_address(
+        a, F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy")
+    ).select("id", "qt_address", "qt_partition")
+
+
+@register(
     "building_match_volume",
     f"""
     WITH {_BM_CAND_SQL}
@@ -6719,6 +6944,7 @@ DRIVER_PRIORITY = [
     "source_doc_cap",
     "knn_binary_rerank",
     "ann_recall_binary",
+    "bm_quadtree_partition",
     # stalest driver evidence (r3 cohort spill list from r6) — rotate in
     "haversine_user_path",
     "kv_map_assembly",

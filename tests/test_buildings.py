@@ -225,3 +225,62 @@ def test_scores_batch_matches_scalar():
         pj_s = bm.projection_score(a, b, scale=1.0)
         assert abs(pv_b[i] - pv_s) < 1e-9, (i, pv_b[i], pv_s, len(a), len(b))
         assert abs(pj_b[i] - pj_s) < 1e-9, (i, pj_b[i], pj_s, len(a), len(b))
+
+
+def test_quadtree_address_matches_reference_recurrence(spark):
+    """with_quadtree_address must replay QuadTreePartitioner.getAddress
+    exactly (strict >0.5 quadrant test, recentering recurrence, stop at
+    corner disagreement or maxDivisions, divisionSet subsets) — checked
+    against a literal python transcription of the Scala loop over seeded
+    random bboxes spanning tiny buildings to continent-scale extents."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators import buildings as bm
+
+    def py_address(xmin, ymin, xmax, ymax, max_div=8, divset=None):
+        divset = set(range(max_div + 1)) if divset is None else divset
+        box = [(xmin + 180) / 360, (ymin + 90) / 180,
+               (xmax + 180) / 360, (ymax + 90) / 180]
+        addr, div = 0, 0
+
+        def bits(b):
+            mn = (1 if b[0] > 0.5 else 0) + (2 if b[1] > 0.5 else 0)
+            mx = (1 if b[2] > 0.5 else 0) + (2 if b[3] > 0.5 else 0)
+            return mn if mn == mx else None
+
+        b = bits(box)
+        while b is not None and div <= max_div:
+            if div in divset:
+                addr = (addr << 2) | b
+            sx = 0.5 if (b % 2 == 1) else 0.0
+            sy = 0.5 if b >= 2 else 0.0
+            box = [2 * (box[0] - sx), 2 * (box[1] - sy),
+                   2 * (box[2] - sx), 2 * (box[3] - sy)]
+            b = bits(box)
+            div += 1
+        return addr, addr % 4099
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(250):
+        x0 = rng.uniform(-179, 178)
+        y0 = rng.uniform(-89, 88)
+        w = rng.uniform(1e-5, 2.0 if i % 3 else 40.0)
+        h = rng.uniform(1e-5, 2.0 if i % 3 else 40.0)
+        rows.append((i, x0, y0, min(x0 + w, 180.0), min(y0 + h, 90.0)))
+    df = spark.createDataFrame(
+        rows, "id long, xmin double, ymin double, xmax double, ymax double"
+    )
+    for divset in (None, {0, 2, 4, 6, 8}):
+        out = bm.with_quadtree_address(
+            df, F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            division_set=divset,
+        )
+        got = {r["id"]: (r["qt_address"], r["qt_partition"])
+               for r in out.collect()}
+        for (i, x0, y0, x1, y1) in rows:
+            assert got[i] == py_address(x0, y0, x1, y1, divset=divset), (
+                i, divset
+            )

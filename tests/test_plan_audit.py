@@ -247,6 +247,7 @@ EXTENSIONS_JVM_ONLY = [
     "source_doc_cap",
     "knn_binary_rerank",
     "ann_recall_binary",
+    "bm_quadtree_partition",
     "split_leakage_safe",
     "mixture_temperature",
     "corpus_shard_manifest",
