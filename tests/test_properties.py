@@ -1457,3 +1457,67 @@ def test_phash_max_bucket_bounds_degenerate_buckets(spark):
     # star connectivity: every family member reachable from the min id
     nodes = {n for p in fam_edges for n in p}
     assert nodes == {i * 3 for i in range(30)}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-2000, max_value=6000),
+            st.integers(min_value=-2000, max_value=6000),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_clip_polyline_invariants(pts):
+    """Liang-Barsky polyline clip: every output vertex inside the box,
+    every part ≥2 vertices, no consecutive duplicates, and every INTERIOR
+    input segment (both endpoints strictly inside) survives verbatim in
+    some part."""
+    from osmesa_spark.sinks.updater import _clip_polyline
+
+    parts = _clip_polyline(pts)
+    for part in parts:
+        assert len(part) >= 2
+        for (x, y) in part:
+            assert 0 <= x <= 4096 and 0 <= y <= 4096
+        assert all(a != b for a, b in zip(part, part[1:]))
+    interior_segs = [
+        (a, b)
+        for a, b in zip(pts, pts[1:])
+        if all(0 < c < 4096 for c in (*a, *b)) and a != b
+    ]
+    joined = [seg for part in parts for seg in zip(part, part[1:])]
+    for a, b in interior_segs:
+        assert (a, b) in joined, (a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=-2000, max_value=5000),
+    st.integers(min_value=-2000, max_value=5000),
+    st.integers(min_value=1, max_value=7000),
+    st.integers(min_value=1, max_value=7000),
+)
+def test_clip_ring_rect_exact(x0, y0, w, h):
+    """Sutherland–Hodgman on an axis-aligned rectangle: the clipped ring's
+    area must equal the EXACT rectangle∩box intersection area (integer
+    geometry — no rounding slack), empty iff the intersection is
+    degenerate."""
+    from osmesa_spark.sinks import mvt
+    from osmesa_spark.sinks.updater import _clip_ring
+
+    x1, y1 = x0 + w, y0 + h
+    ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+    out = _clip_ring(ring)
+    iw = min(x1, 4096) - max(x0, 0)
+    ih = min(y1, 4096) - max(y0, 0)
+    expect = iw * ih if (iw > 0 and ih > 0) else 0
+    if expect == 0:
+        assert out == []
+    else:
+        assert len(out) >= 3
+        assert abs(mvt.ring_area2(out)) == 2 * expect
+        for (x, y) in out:
+            assert 0 <= x <= 4096 and 0 <= y <= 4096
