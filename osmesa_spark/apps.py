@@ -636,7 +636,11 @@ def dataset_datasheet(spark: SparkSession, sf_dir: str, path: str) -> dict:
         output aggregated to ≤ 10 rows here (never per-doc rows to the
         driver);
       * contamination: near-dup pairs straddling train/test under the
-        per-doc vs cluster-keyed split (`split_contamination_report`).
+        per-doc vs cluster-keyed split (`split_contamination_report`);
+      * filter yield: per-language Gopher rule pass rates + overall keep
+        fraction (`doc_gopher_rules` joined to language) — the "what
+        would this filter set discard" transparency number release docs
+        quote.
 
     Every section is the output of an already hash-oracled registry query
     — the datasheet adds NO new computation semantics, only assembly. All
@@ -663,12 +667,33 @@ def dataset_datasheet(spark: SparkSession, sf_dir: str, path: str) -> dict:
         )
         .orderBy("quality_bin")
     )
+    gopher = (
+        registry["doc_gopher_rules"]
+        .spark(spark, sf_dir)
+        .join(
+            Q._t(spark, sf_dir, "documents").select("doc_id", "lang"),
+            "doc_id",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.round(F.avg(F.col(r).cast("double")), 4).alias(r)
+                for r in (
+                    "r_word_count", "r_word_len", "r_symbols", "r_bullets",
+                    "r_ellipsis", "r_alpha_words", "r_stopwords", "keep",
+                )
+            ],
+        )
+        .orderBy("lang")
+    )
     sheet = {
         "composition_by_lang": rows("corpus_profile"),
         "composition_by_source": rows("source_mix_weights"),
         "duplication_clusters": rows("dedup_cluster_stats"),
         "quality_bins": [r.asDict() for r in bins.collect()],
         "split_contamination": rows("split_contamination_report"),
+        "gopher_filter_yield": [r.asDict() for r in gopher.collect()],
     }
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

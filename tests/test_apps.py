@@ -456,12 +456,21 @@ def test_dataset_datasheet_sections_and_consistency(spark, tmp_path):
     assert set(sheet) == {
         "composition_by_lang", "composition_by_source",
         "duplication_clusters", "quality_bins", "split_contamination",
+        "gopher_filter_yield",
     }
     assert set(on_disk) == set(sheet)
     # cross-section consistency: both composition views count every doc
     n_by_lang = sum(r["n_docs"] for r in sheet["composition_by_lang"])
     n_by_bins = sum(r["n_docs"] for r in sheet["quality_bins"])
     assert n_by_lang == n_by_bins > 0
+    # filter-yield section: every doc counted, rates are probabilities,
+    # keep can never exceed the loosest individual rule
+    gy = sheet["gopher_filter_yield"]
+    assert sum(r["n_docs"] for r in gy) == n_by_lang
+    for r in gy:
+        rates = [r[k] for k in r if k.startswith("r_")] + [r["keep"]]
+        assert all(0.0 <= x <= 1.0 for x in rates)
+        assert r["keep"] <= min(r[k] for k in r if k.startswith("r_"))
     # contamination section carries both policies
     assert {r["policy"] for r in sheet["split_contamination"]} == {
         "per_doc", "per_cluster",
