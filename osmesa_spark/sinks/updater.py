@@ -61,15 +61,25 @@ def _ekey(f) -> tuple[str, int]:
     return (str(f.tags.get("__type", "")), int(f.tags["__id"]))
 
 
+def _vkey(f) -> tuple[int, int]:
+    """(version, minorVersion) — History.scala:22-24 sorts minor within
+    major, so way-induced geometry-only updates order correctly."""
+    return (
+        int(f.tags["__version"]),
+        int(f.tags.get("__minorVersion") or 0),
+    )
+
+
 def _apply_snapshot(existing: list, updates: list) -> list:
     """Latest visible version per element wins; deletes drop."""
     by_id = {_ekey(f): f for f in existing}
     for u in updates:
         eid = _ekey(u)
         cur = by_id.get(eid)
-        if cur is not None and int(cur.tags.get("__version", -1)) >= int(
-            u.tags["__version"]
-        ):
+        if cur is not None and (
+            int(cur.tags.get("__version", -1)),
+            int(cur.tags.get("__minorVersion") or 0),
+        ) >= _vkey(u):
             continue
         if u.tags.get("__visible", True):
             by_id[eid] = u
@@ -82,9 +92,7 @@ def _apply_history(existing: list, updates: list) -> list:
     """Append every version; stamp __validUntil on the superseded one
     (History.scala:15-25 sorts by __version/__minorVersion)."""
     feats = list(existing)
-    for u in sorted(
-        updates, key=lambda f: (_ekey(f), int(f.tags["__version"]))
-    ):
+    for u in sorted(updates, key=lambda f: (_ekey(f), _vkey(f))):
         eid = _ekey(u)
         prev = [
             f
@@ -92,15 +100,13 @@ def _apply_history(existing: list, updates: list) -> list:
             if _ekey(f) == eid and "__validUntil" not in f.tags
         ]
         for p in prev:
-            if int(p.tags["__version"]) < int(u.tags["__version"]):
+            if _vkey(p) < _vkey(u):
                 p.tags["__validUntil"] = u.tags["__updated"]
         if not any(
-            _ekey(f) == eid
-            and int(f.tags["__version"]) == int(u.tags["__version"])
-            for f in feats
+            _ekey(f) == eid and _vkey(f) == _vkey(u) for f in feats
         ):
             feats.append(u)
-    feats.sort(key=lambda f: (_ekey(f), int(f.tags["__version"])))
+    feats.sort(key=lambda f: (_ekey(f), _vkey(f)))
     return feats
 
 
@@ -108,16 +114,14 @@ def _apply_urchn(existing: list, updates: list) -> list:
     """Authorship lineage per element: keep creation author, update
     lastAuthor/lastEdit/versions."""
     by_id = {_ekey(f): f for f in existing}
-    for u in sorted(
-        updates, key=lambda f: (_ekey(f), int(f.tags["__version"]))
-    ):
+    for u in sorted(updates, key=lambda f: (_ekey(f), _vkey(f))):
         eid = _ekey(u)
         cur = by_id.get(eid)
         if cur is None:
             u.tags["__creation_author"] = u.tags["__author"]
             u.tags["__versions"] = 1
             by_id[eid] = u
-        elif int(u.tags["__version"]) > int(cur.tags["__version"]):
+        elif _vkey(u) > _vkey(cur):
             u.tags["__creation_author"] = cur.tags["__creation_author"]
             u.tags["__versions"] = int(cur.tags["__versions"]) + 1
             by_id[eid] = u
@@ -135,12 +139,24 @@ SCHEMAS = {
 # DataFrame side: tile keys + grouped upsert
 # ---------------------------------------------------------------------------
 
-def _feature_tags(schema: str, has_type: bool):
+def _feature_tags(schema: str, cols: list[str]):
+    """System tag struct — the full History.scala:86-118 makeFeature set
+    where the source carries it: __id/__type/__version/__minorVersion/
+    __updated/__changeset/__uid/__user/__visible."""
+    def opt(name, default):
+        return F.col(name) if name in cols else default
+
     base = {
         "__id": F.col("id"),
-        "__type": F.col("type") if has_type else F.lit(""),
+        "__type": opt("type", F.lit("")),
         "__version": F.col("version"),
+        "__minorVersion": F.coalesce(
+            opt("minorVersion", F.lit(0)), F.lit(0)
+        ).cast("int"),
         "__updated": F.floor(F.unix_timestamp("updated")).cast("bigint"),
+        "__changeset": opt("changeset", F.lit(None).cast("bigint")),
+        "__uid": opt("uid", F.lit(None).cast("bigint")),
+        "__user": opt("user", F.lit(None).cast("string")),
         "__visible": F.coalesce("visible", F.lit(True)),
     }
     if schema == "urchn":
@@ -204,9 +220,18 @@ def diffs_with_tiles(diffs: DataFrame, zoom: int) -> DataFrame:
     ally = F.concat(py, ppy)
     ext = F.lit(EXTENT).cast("bigint")
     etype = F.col("type") if "type" in diffs.columns else F.lit("")
+    # optional payload columns ride along when the source carries them —
+    # the reference's makeFeature emits element tags + changeset/uid on
+    # every tiled feature (History.scala:86-118), the same duplication
+    # its flatMap produces
+    extras = [
+        c for c in ("minorVersion", "changeset", "uid", "tags", "prevTags")
+        if c in diffs.columns
+    ]
     g = base.select(
         "sequence", "id", etype.alias("type"), "version", "updated",
         "visible", "user", "geomType",
+        *extras,
         px.alias("px"), py.alias("py"),
         (F.array_min(allx) / ext).cast("bigint").alias("txmin"),
         (F.array_max(allx) / ext).cast("bigint").alias("txmax"),
@@ -222,7 +247,7 @@ def diffs_with_tiles(diffs: DataFrame, zoom: int) -> DataFrame:
         "tx",
         F.explode(F.sequence("tymin", "tymax")).alias("ty"),
         "sequence", "id", "type", "version", "updated", "visible", "user",
-        "geomType", "px", "py",
+        "geomType", *extras, "px", "py",
     )
 
 
@@ -365,6 +390,13 @@ def _tile_local_feature(f, tx: int, ty: int):
     ys = [int(v) - oy for v in f["py"]]
     gt = f["geomType"]
     tags = dict(f["tags"].asDict())
+    try:
+        el = f["el_tags"]
+    except (KeyError, ValueError):
+        el = None
+    if el:
+        # element tags merge UNDER the __system keys (History.scala:103)
+        tags = {**dict(el), **tags}
     if gt == "Point":
         x, y = xs[0], ys[0]
         if not (0 <= x < EXTENT and 0 <= y < EXTENT):
@@ -418,13 +450,26 @@ def update_tiles(
     keyed = diffs_with_tiles(diffs, zooms[0])
     for z in zooms[1:]:
         keyed = keyed.unionByName(diffs_with_tiles(diffs, z))
+    # element tags ride on every feature like the reference's makeFeature
+    # (History.scala:86-118); deletes keep their LAST tags — the P7
+    # visible/prevTags projection
+    if "tags" in keyed.columns:
+        if "prevTags" in keyed.columns:
+            el_tags = F.when(
+                F.coalesce("visible", F.lit(True)), F.col("tags")
+            ).otherwise(F.coalesce("prevTags", "tags"))
+        else:
+            el_tags = F.col("tags")
+    else:
+        el_tags = F.lit(None).cast("map<string,string>")
     tagged = keyed.select(
         "zoom",
         "tx",
         "ty",
         F.struct(
             "px", "py", "geomType", "sequence",
-            _feature_tags(schema, has_type=True).alias("tags"),
+            el_tags.alias("el_tags"),
+            _feature_tags(schema, keyed.columns).alias("tags"),
         ).alias("f"),
     )
     tiles = tagged.groupBy("zoom", "tx", "ty").agg(
@@ -445,6 +490,7 @@ def update_tiles(
                     str(f["tags"]["__type"]),
                     int(f["tags"]["__id"]),
                     int(f["tags"]["__version"]),
+                    int(f["tags"]["__minorVersion"] or 0),
                 ),
             ):
                 if f["sequence"] in seqs:

@@ -442,3 +442,45 @@ def test_update_tiles_urchn_end_to_end(spark, tmp_path):
         assert int(f.tags["__versions"]) == 2
         assert int(f.tags["__version"]) == 2
         assert f.geom_type == 2  # lineage rides the way geometry
+
+
+def test_feature_payload_and_minor_version_history(spark, tmp_path):
+    """Reference makeFeature payload parity (History.scala:86-118):
+    element tags + __changeset/__uid/__user ride on every tiled feature,
+    and a minorVersion-only update (way-induced geometry change) closes
+    the previous feature in the history schema."""
+    from osmesa_spark.sources import replication as R
+
+    drop = str(tmp_path / "ad")
+    f1 = _way_feature(5000, 11, 2, [(-1.0, 5.0), (1.0, 5.0)])
+    f1["changeset"], f1["uid"] = 777, 42
+    _write_seq(drop, 5000, [f1])
+    root = str(tmp_path / "tiles")
+    U.update_tiles(
+        R.read_augmented_diffs(spark, drop), root, schema="history", zoom=3
+    )
+    f2 = dict(f1, sequence=5001, minorVersion=1,
+              updated="2024-01-02T00:00:00",
+              geom=[{"lon": -1.0, "lat": 5.0}, {"lon": 1.0, "lat": 5.1}])
+    _write_seq(drop, 5001, [f2])
+    U.update_tiles(
+        R.read_augmented_diffs(spark, drop), root, schema="history", zoom=3
+    )
+
+    paths = glob.glob(f"{root}/**/*.mvt.gz", recursive=True)
+    assert paths  # the way spans the lon-0 boundary → 2 tiles at zoom 3
+    for p in paths:
+        feats = mvt.decode_tile(
+            gzip.decompress(open(p, "rb").read())
+        )["elements"]
+        assert len(feats) == 2
+        by_minor = {int(f.tags["__minorVersion"]): f for f in feats}
+        assert set(by_minor) == {0, 1}
+        # minor 0 closed by minor 1's timestamp; minor 1 open
+        assert "__validUntil" in by_minor[0].tags
+        assert "__validUntil" not in by_minor[1].tags
+        for f in feats:
+            assert f.tags["highway"] == "primary"  # element tags ride along
+            assert int(f.tags["__changeset"]) == 777
+            assert int(f.tags["__uid"]) == 42
+            assert f.tags["__user"] == "u7"
