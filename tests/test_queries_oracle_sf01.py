@@ -47,6 +47,12 @@ SCALE_SLICE = [
     # (LSH → verify → components → per-cluster argmax) re-verify at 10×
     "multimodal_phash_pairs",
     "neardup_dedup_app",
+    # r7: the Hamming-shortlist window's rank boundary and the quadtree
+    # address-depth distribution both move with corpus size
+    # (osm_way_tile_cover is fixture-driven — no scale axis — so it is
+    # NOT in this slice)
+    "knn_binary_rerank",
+    "bm_quadtree_partition",
 ]
 
 
