@@ -484,3 +484,60 @@ def test_feature_payload_and_minor_version_history(spark, tmp_path):
             assert int(f.tags["__changeset"]) == 777
             assert int(f.tags["__uid"]) == 42
             assert f.tags["__user"] == "u7"
+
+
+def test_relation_multipolygon_through_pairs_wire(spark, tmp_path):
+    """A relation-typed augmented-diff feature with MultiPolygon geometry
+    (the {old,new} pair wire format) must flow through flattening →
+    fan-out → clip → snapshot tiles as a polygon feature keyed
+    type='relation' — the way/relation claim end to end."""
+    import json
+    import os
+
+    from osmesa_spark.sources import replication as R
+
+    ring = [[-2.0, 1.0], [3.0, 1.0], [3.0, 5.0], [-2.0, 5.0], [-2.0, 1.0]]
+    island = [[8.0, 1.0], [9.0, 1.0], [9.0, 2.0], [8.0, 2.0], [8.0, 1.0]]
+    line = json.dumps({
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature", "id": "new",
+            "geometry": {"type": "MultiPolygon",
+                         "coordinates": [[ring], [island]]},
+            "properties": {
+                "id": 500, "type": "relation", "version": 1,
+                "minorVersion": 0, "timestamp": "2024-01-01T00:00:00",
+                "visible": True, "tags": {"type": "multipolygon",
+                                          "landuse": "forest"},
+                "changeset": 9, "uid": 3, "user": "u3",
+                "augmentedDiff": 6000,
+            },
+        }],
+    })
+    drop = str(tmp_path / "ad")
+    os.makedirs(drop, exist_ok=True)
+    with open(os.path.join(drop, "6000.jsonl"), "w") as fh:
+        fh.write(line + "\n")
+
+    diffs = R.read_augmented_diffs(spark, drop, wire_format="pairs")
+    good, errors = R.split_errors(diffs)
+    assert errors.count() == 0
+    (row,) = good.collect()
+    assert row["type"] == "relation" and row["geomType"] == "Polygon"
+    # VERTICES model is single-ring: the FIRST polygon's exterior
+    assert [(p["lon"], p["lat"]) for p in row["geom"]] == [
+        tuple(c) for c in ring
+    ]
+
+    root = str(tmp_path / "tiles")
+    U.update_tiles(good, root, schema="snapshot", zoom=3)
+    paths = glob.glob(f"{root}/**/*.mvt.gz", recursive=True)
+    assert len(paths) == 2  # exterior spans the lon-0 tile boundary
+    for p in paths:
+        (f,) = mvt.decode_tile(
+            gzip.decompress(open(p, "rb").read())
+        )["elements"]
+        assert f.geom_type == 3
+        assert f.tags["__type"] == "relation"
+        assert f.tags["landuse"] == "forest"
+        assert mvt.ring_area2(f.parts[0]) > 0
