@@ -6915,6 +6915,7 @@ DRIVER_PRIORITY = [
     "osm_geometry_validity",
     "osm_map_age",
     "osm_way_tile_cover",
+    "osm_way_tile_cover_pyramid",
     "osm_power_users",
     # NEW this round (r7) — the 3 r6 entries that fell past slot 50 and
     # have never been driver-checked go first (VERDICT r6 #3)

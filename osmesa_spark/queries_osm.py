@@ -287,6 +287,99 @@ def _way_tile_cover_sql() -> str:
     """
 
 
+_PYR_ZOOMS = (2, 3, 4)
+
+
+def osm_way_tile_cover_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-ZOOM updater fan-out (the TileUpdater CLI's min..max-zoom
+    range, updater/TileUpdater.scala:36-50): one reconstructed-way frame
+    fanned to its covering tiles at zooms 2..4 through the same per-zoom
+    union `update_tiles` plans — all levels in ONE query, the shape that
+    rides a single (zoom, tx, ty) shuffle at write time. The recon subtree
+    feeds one consumer per zoom, so it is localCheckpointed once (the
+    materialized-kernel discipline)."""
+    from osmesa_spark.sinks import updater as U
+
+    h = _history(spark)
+    recon = G.reconstruct_way_geometries(
+        P.preprocess_ways(h), P.preprocess_nodes(h)
+    ).select(F.lit(0).alias("sequence"), "*").localCheckpoint()
+    keyed = U.diffs_with_tiles(recon, zoom=_PYR_ZOOMS[0])
+    for z in _PYR_ZOOMS[1:]:
+        keyed = keyed.unionByName(U.diffs_with_tiles(recon, zoom=z))
+    return keyed.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("version").cast("int").alias("version"),
+        F.col("zoom").cast("int").alias("zoom"),
+        F.col("tx").cast("bigint").alias("tx"),
+        F.col("ty").cast("bigint").alias("ty"),
+        F.size("px").cast("int").alias("nverts"),
+    )
+
+
+def _way_tile_cover_pyramid_sql() -> str:
+    max_lat = 85.05112877980659
+    ux = "((({0}) + 180.0) / 360.0)"
+    clat = f"RADIANS(LEAST(GREATEST(({{0}}), -{max_lat}), {max_lat}))"
+    uy = f"((1.0 - LN(TAN({clat}) + 1.0/COS({clat})) / PI()) / 2.0)"
+
+    def px(expr: str, scale: float, hi: int) -> str:
+        return (
+            f"LEAST(GREATEST(FLOOR({ux.format(expr)} * {scale}), 0), {hi})"
+            f"::BIGINT"
+        )
+
+    def py(expr: str, scale: float, hi: int) -> str:
+        return (
+            f"LEAST(GREATEST(FLOOR({uy.format(expr)} * {scale}), 0), {hi})"
+            f"::BIGINT"
+        )
+
+    level_ctes, level_selects = [], []
+    for z in _PYR_ZOOMS:
+        n = 1 << z
+        scale = float(n * 4096)
+        hi = n * 4096 - 1
+        level_ctes.append(f"""
+    tr{z} AS (
+        SELECT way_id, way_version, nverts,
+               {px('lonmin', scale, hi)} // 4096 AS txmin,
+               {px('lonmax', scale, hi)} // 4096 AS txmax,
+               {py('latmax', scale, hi)} // 4096 AS tymin,
+               {py('latmin', scale, hi)} // 4096 AS tymax
+        FROM wb),
+    fx{z} AS (
+        SELECT way_id, way_version, nverts, tymin, tymax,
+               unnest(generate_series(txmin, txmax)) AS tx
+        FROM tr{z})""")
+        level_selects.append(f"""
+    SELECT way_id AS id, way_version::INT AS version,
+           {z}::INT AS zoom, tx::BIGINT AS tx,
+           unnest(generate_series(tymin, tymax))::BIGINT AS ty,
+           nverts::INT AS nverts
+    FROM fx{z}""")
+    return f"""
+    WITH {_NV_CTE},
+    wx AS (
+        SELECT w.id AS way_id, w.version AS way_version, w.timestamp AS wts,
+               u.ref
+        FROM read_parquet('{_HISTORY}') w,
+             LATERAL (SELECT unnest(w.nds) AS ref) u
+        WHERE w.type = 'way'),
+    wb AS (
+        SELECT way_id, way_version, COUNT(*) AS nverts,
+               MIN(nv.lon) AS lonmin, MAX(nv.lon) AS lonmax,
+               MIN(nv.lat) AS latmin, MAX(nv.lat) AS latmax
+        FROM wx JOIN nv ON wx.ref = nv.id
+             AND nv.timestamp <= wx.wts
+             AND wx.wts < COALESCE(nv.valid_until, TIMESTAMP '9999-01-01')
+        WHERE nv.lon IS NOT NULL AND nv.lat IS NOT NULL AND nv.visible
+        GROUP BY way_id, way_version
+        HAVING COUNT(*) >= 2),{",".join(level_ctes)}
+    {" UNION ALL ".join(level_selects)}
+    """
+
+
 def osm_utm_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar ring areas via the TRUE UTM pipeline (transformLatLngToUtm +
     shoelace, stats/package.scala:17-32,49-60) next to the spherical-excess
@@ -1450,6 +1543,15 @@ def register_osm_queries(register) -> None:
         "bbox→pixel→tile-range via vertex min/max monotonicity + "
         "generate_series",
     )(osm_way_tile_cover)
+    register(
+        "osm_way_tile_cover_pyramid",
+        _way_tile_cover_pyramid_sql(),
+        doc="MULTI-zoom updater fan-out (TileUpdater CLI zoom range): one "
+        "reconstructed-way frame fanned to covering tiles at zooms 2-4 "
+        "via the same per-zoom union update_tiles plans — single-shuffle "
+        "pyramid shape; recon localCheckpointed once for its 3 consumers; "
+        "oracle = per-zoom CTE chains UNION ALL",
+    )(osm_way_tile_cover_pyramid)
     register(
         "osm_changeset_stats",
         OSM_CHANGESET_STATS_SQL,

@@ -243,6 +243,7 @@ EXTENSIONS_JVM_ONLY = [
     "osm_snapshot_diff",
     "osm_coedit_pagerank",
     "osm_way_tile_cover",
+    "osm_way_tile_cover_pyramid",
     "doc_gopher_rules",
     "source_doc_cap",
     "knn_binary_rerank",
