@@ -83,6 +83,8 @@ HEADLINE = [
     "neardup_dedup_app",
     "quality_dup_correlation",
     "doc_dedup_spans",
+    "doc_paragraph_dedup",
+    "dsir_weights",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

@@ -465,3 +465,106 @@ def merge_manifests(a: DataFrame, b: DataFrame) -> DataFrame:
             (F.sum("checksum") % _MANIFEST_PRIME).alias("checksum"),
         )
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: int = 29,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much more likely its hashed-n-gram bag is under the TARGET
+    distribution than under the RAW distribution —
+    log w(d) = Σ_b n_db · (ln p_tgt(b) − ln p_raw(b)) — then resample the
+    corpus proportionally to w. This is the standard recipe for tilting a
+    web-scale crawl toward a small high-quality target (e.g. a curated
+    reference corpus) without training a classifier.
+
+    `target` is a boolean Column over df's rows marking the target sample
+    (a held-out quality subset, a reference domain, …). Both multinomials
+    are add-k smoothed over the fixed bucket vocabulary, so zero-count
+    buckets are well-defined and the weight of an empty doc is exactly 0.
+
+    Plan shape (100 TB): tokenize + bucket-hash are row-local; ONE
+    (doc, bucket) partial-count shuffle feeds both distribution fits (the
+    instance table is localCheckpointed — the raw fit, the target fit and
+    the scoring join all read it once); the fitted log-ratio table is
+    exactly `n_buckets` rows (a few thousand) and BROADCASTS into the
+    scoring join, so the per-doc score is one broadcast equi-join plus a
+    doc-keyed partial agg. Nothing scales with vocabulary or corpus size
+    except the two bounded aggs. Weights are deterministic (portable
+    hashing, fixed smoothing) — rerunning on a grown corpus re-fits both
+    distributions, which is the paper's semantics (the raw distribution IS
+    the corpus being selected from).
+
+    Output: (id, n_tokens, logw) — logw rounded to 6dp so float sums are
+    engine-portable; selection = any top-k / threshold over logw."""
+    from osmesa_spark.functions.text import word_tokens
+    from osmesa_spark.operators.dedup import _portable_hash
+    from osmesa_spark.util import ensure_parallelism
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), text_col, target.alias("is_tgt")),
+        id_col if id_col != "id" else "id",
+    )
+    bucket = lambda t: _portable_hash(t, seed) % n_buckets  # noqa: E731
+    inst = (
+        base.select(
+            "id",
+            "is_tgt",
+            F.explode(
+                F.transform(word_tokens(text_col), bucket)
+            ).alias("b"),
+        )
+        .groupBy("id", "is_tgt", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    fits = (
+        inst.groupBy("b")
+        .agg(
+            F.sum("n").alias("c_raw"),
+            F.sum(F.when(F.col("is_tgt"), F.col("n")).otherwise(0)).alias(
+                "c_tgt"
+            ),
+        )
+    )
+    totals = fits.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    # log-ratio per OBSERVED bucket; unobserved buckets never join a doc
+    # instance, so only the smoothing denominators need the full vocabulary
+    ratio = fits.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log(
+                (F.col("c_tgt") + add_k)
+                / (F.col("t_tgt") + add_k * n_buckets)
+            )
+            - F.log(
+                (F.col("c_raw") + add_k)
+                / (F.col("t_raw") + add_k * n_buckets)
+            )
+        ).alias("lr"),
+    )
+    scored = (
+        inst.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.round(F.sum(F.col("n") * F.col("lr")), 6).alias("logw"),
+        )
+    )
+    # docs with zero tokens never produce instances — restore them at 0
+    return (
+        base.select("id").join(scored, "id", "left").select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("logw", F.lit(0.0)).alias("logw"),
+        )
+    )

@@ -965,3 +965,84 @@ def winnow_overlap_pairs(
             ).alias("overlap"),
         )
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 11,
+) -> DataFrame:
+    """Paragraph-level exact dedup (CCNet, Wenzek et al. 2020 §3: drop
+    duplicated paragraphs before language/quality scoring — boilerplate
+    like headers, cookie banners and navigation repeats verbatim across
+    pages, and removing it per-PARAGRAPH salvages the unique remainder of
+    a page that doc-level dedup would either keep whole or drop whole).
+
+    Semantics: paragraphs are newline-delimited spans; two paragraphs are
+    duplicates when their normalized forms (lower + trim) are byte-equal.
+    Deterministic first-seen-wins — the corpus-wide occurrence with the
+    smallest (doc, para_idx) survives, every other copy is excised (CCNet's
+    own hash-set walk is order-dependent; min-occurrence is the
+    reproducible version of the same policy). Blank-normalized paragraphs
+    are structural, not content — never hashed, always kept.
+
+    Plan shape (100 TB): split + posexplode are row-local; duplicate
+    discovery is ONE shuffle keyed by the 60-bit paragraph hash with a
+    count/min partial agg (map-side combine; hot boilerplate paragraphs
+    are single counter rows, never holder lists). Only hashes with
+    count ≥ 2 flow into the verdict join (≪ paragraph instances), so the
+    join-back is an equi join against a small build side (AQE-broadcastable
+    in the common case). Reassembly is one doc-keyed agg with an in-group
+    array_sort — O(paragraphs-per-doc) state. No driver materialization.
+
+    Output: one row per input doc — (id, n_paras, n_kept, cleaned), where
+    `cleaned` is the surviving paragraphs re-joined with newlines in
+    original order."""
+    base = ensure_parallelism(df.select(id_col, text_col), id_col)
+    paras = base.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "idx", "para"
+        ),
+    )
+    norm = F.lower(F.trim(F.col("para")))
+    hashed = paras.withColumn(
+        "ph",
+        F.when(norm != "", _portable_hash(norm, seed)),
+    ).localCheckpoint(eager=False)
+    dups = (
+        hashed.where(F.col("ph").isNotNull())
+        .groupBy("ph")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct("id", "idx")).alias("first"),
+        )
+        .where(F.col("occ") >= 2)
+        .select("ph", "first")
+    )
+    verdict = hashed.join(dups, "ph", "left").withColumn(
+        "kept",
+        F.col("first").isNull()
+        | ((F.col("first.id") == F.col("id")) & (F.col("first.idx") == F.col("idx"))),
+    )
+    return (
+        verdict.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"), F.struct("idx", "para")
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias("cleaned"),
+        )
+    )

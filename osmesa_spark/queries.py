@@ -6870,6 +6870,104 @@ def _register_hybrid_rrf() -> None:
 _register_hybrid_rrf()
 
 
+@register(
+    "doc_paragraph_dedup",
+    """
+    WITH paras AS (
+        SELECT doc_id, (u.i - 1)::BIGINT AS idx, p[u.i] AS para
+        FROM (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS p
+              FROM documents),
+             LATERAL (SELECT unnest(range(1, len(p) + 1)) AS i) u),
+    hashed AS (
+        SELECT doc_id, idx, para,
+               CASE WHEN lower(trim(para)) <> '' THEN
+                 ('0x' || substr(md5('11:' || lower(trim(para))), 1, 15))::BIGINT
+               END AS ph
+        FROM paras),
+    ranked AS (
+        SELECT doc_id, idx, para, ph,
+               ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, idx) AS rn
+        FROM hashed),
+    verdict AS (
+        SELECT doc_id, idx, para,
+               (ph IS NULL OR rn = 1) AS kept
+        FROM ranked)
+    SELECT doc_id AS id,
+           COUNT(*)::BIGINT AS n_paras,
+           SUM(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           md5(COALESCE(
+             string_agg(CASE WHEN kept THEN para END, chr(10) ORDER BY idx),
+             '')) AS cleaned_md5
+    FROM verdict GROUP BY doc_id ORDER BY id
+    """,
+    doc="paragraph-level exact dedup (CCNet, Wenzek et al. 2020 §3): "
+    "newline-delimited paragraphs, normalized-hash equality, deterministic "
+    "first-seen-wins (min (doc, idx) survives), blank lines structural. "
+    "Split/posexplode row-local; ONE hash-keyed count/min partial agg; "
+    "verdict join-back against only the count≥2 hashes "
+    "(AQE-broadcastable); one doc-keyed reassembly agg "
+    "(training-data extension)",
+)
+def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.dedup import dedup_paragraphs
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    out = dedup_paragraphs(d, "doc_id", "text")
+    return out.select(
+        "id", "n_paras", "n_kept", F.md5("cleaned").alias("cleaned_md5")
+    ).orderBy("id")
+
+
+@register(
+    "dsir_weights",
+    """
+    WITH docs AS (
+        SELECT doc_id AS id, (lang = 'en') AS is_tgt,
+               regexp_extract_all(lower(COALESCE(text, '')),
+                                  '([a-z0-9]+)', 1) AS w
+        FROM documents),
+    inst AS (
+        SELECT id, is_tgt,
+               ('0x' || substr(md5('29:' || t.tok), 1, 15))::BIGINT % 4096 AS b,
+               COUNT(*)::BIGINT AS n
+        FROM docs, LATERAL (SELECT unnest(w) AS tok) t
+        GROUP BY 1, 2, 3),
+    fits AS (
+        SELECT b, SUM(n)::BIGINT AS c_raw,
+               SUM(CASE WHEN is_tgt THEN n ELSE 0 END)::BIGINT AS c_tgt
+        FROM inst GROUP BY b),
+    tot AS (SELECT SUM(c_raw)::BIGINT AS t_raw, SUM(c_tgt)::BIGINT AS t_tgt
+            FROM fits),
+    ratio AS (
+        SELECT b, ln((c_tgt + 0.5) / (t_tgt + 0.5 * 4096))
+                - ln((c_raw + 0.5) / (t_raw + 0.5 * 4096)) AS lr
+        FROM fits, tot),
+    scored AS (
+        SELECT id, SUM(n)::BIGINT AS n_tokens, ROUND(SUM(n * lr), 6) AS logw
+        FROM inst JOIN ratio USING (b) GROUP BY id)
+    SELECT d.id, COALESCE(s.n_tokens, 0)::BIGINT AS n_tokens,
+           COALESCE(s.logw, 0.0)::DOUBLE AS logw
+    FROM (SELECT DISTINCT id FROM docs) d LEFT JOIN scored s USING (id)
+    ORDER BY d.id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): per-doc hashed-unigram "
+    "log importance ratio between the target distribution (lang='en' "
+    "sample) and the raw corpus, add-0.5 smoothed over 4096 buckets — the "
+    "importance-resampling score that tilts a crawl toward a curated "
+    "target without a trained classifier. ONE (doc,bucket) partial-count "
+    "shuffle checkpointed for both fits and the scoring join; the fitted "
+    "log-ratio table is ≤4096 rows and broadcasts; per-doc score = "
+    "broadcast equi-join + doc-keyed agg (training-data extension)",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.curation import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(d, F.col("lang") == "en").orderBy("id")
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import register_osm_queries  # noqa: E402
 
@@ -6877,7 +6975,11 @@ register_osm_queries(register)
 
 
 # The driver's per-round correctness file records the FIRST 50 registry
-# entries; local tests cover all of them identically. Round-7 window: the
+# entries; local tests cover all of them identically. Round-8 note: the
+# round-7 correctness run never materialized (no CORRECTNESS_r07.json),
+# so the r7 window below is still the right one — it is kept intact apart
+# from swapping two locally-green diagnostics out for the two brand-new
+# r8 entries. Round-7 window rationale: the
 # osm_* parity pipelines stay (window-integrity test requires them — now
 # 27 with the new osm_way_tile_cover), then (a) the 3 r6 entries that
 # fell past slot 50 un-checked (event pivot/unpivot, token budget), (b)
@@ -6935,8 +7037,6 @@ DRIVER_PRIORITY = [
     "split_leakage_safe",
     "split_contamination_report",
     "source_dup_matrix",
-    "lsh_miss_rate",
-    "minhash_calibration",
     "neardup_dedup_app",
     "multimodal_phash_pairs",
     "corpus_shard_manifest",
@@ -6946,6 +7046,14 @@ DRIVER_PRIORITY = [
     "knn_binary_rerank",
     "ann_recall_binary",
     "bm_quadtree_partition",
+    # BRAND NEW (r8): CCNet paragraph dedup + DSIR importance weights
+    "doc_paragraph_dedup",
+    "dsir_weights",
+    # displaced to the spill list for r8: lsh_miss_rate /
+    # minhash_calibration (diagnostics, locally green every round) make
+    # room for the two never-checked r8 entries
+    "lsh_miss_rate",
+    "minhash_calibration",
     # stalest driver evidence (r3 cohort spill list from r6) — rotate in
     "haversine_user_path",
     "kv_map_assembly",

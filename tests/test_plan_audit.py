@@ -258,6 +258,8 @@ EXTENSIONS_JVM_ONLY = [
     "event_type_pivot",
     "event_counts_unpivot",
     "token_budget_plan",
+    "doc_paragraph_dedup",
+    "dsir_weights",
 ]
 
 

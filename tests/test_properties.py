@@ -1521,3 +1521,71 @@ def test_clip_ring_rect_exact(x0, y0, w, h):
         assert abs(mvt.ring_area2(out)) == 2 * expect
         for (x, y) in out:
             assert 0 <= x <= 4096 and 0 <= y <= 4096
+
+
+def test_paragraph_dedup_first_seen_wins_and_blank_structural(spark):
+    """CCNet paragraph dedup semantics on a hand-built corpus: the
+    corpus-wide first occurrence (min (doc, idx)) of a duplicated
+    paragraph survives, every later copy is excised, blank lines are
+    never deduped, and normalization is lower+trim."""
+    from osmesa_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        # doc 1: banner + unique + blank + banner again (intra-doc dup)
+        (1, "COOKIE BANNER\nalpha\n\ncookie banner"),
+        # doc 2: same banner (case/space variant) + unique
+        (2, "  cookie Banner \nbeta"),
+        # doc 3: only blanks and a unique line
+        (3, "\n\ngamma"),
+        # doc 4: exact copy of doc 2's unique line
+        (4, "beta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in dedup_paragraphs(df, "doc_id", "text").collect()
+    }
+    # doc 1 keeps its first banner copy, drops the intra-doc repeat
+    assert out[1]["n_paras"] == 4 and out[1]["n_kept"] == 3
+    assert out[1]["cleaned"] == "COOKIE BANNER\nalpha\n"
+    # doc 2's banner variant normalizes equal -> dropped; beta survives
+    # (doc 2 < doc 4 so doc 2 is beta's first occurrence)
+    assert out[2]["n_kept"] == 1 and out[2]["cleaned"] == "beta"
+    # blanks are structural: kept verbatim, never hashed
+    assert out[3]["n_kept"] == 3 and out[3]["cleaned"] == "\n\ngamma"
+    # doc 4's beta is the later copy -> excised entirely
+    assert out[4]["n_kept"] == 0 and out[4]["cleaned"] == ""
+
+
+def test_dsir_weights_tilt_toward_target(spark):
+    """DSIR log importance weights must rank docs that share the target
+    sample's vocabulary above docs that don't, give exactly 0 to empty
+    docs, and be invariant to row order (deterministic hashing + fits)."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.curation import dsir_weights
+
+    rows = [
+        # target sample: clean prose vocabulary
+        (1, "the quick brown fox jumps over the lazy dog", "tgt"),
+        (2, "a quick brown dog naps under the warm sun", "tgt"),
+        # raw: one prose-like doc, one spam doc, one empty doc
+        (3, "the brown fox and the brown dog", "raw"),
+        (4, "buy cheap pills casino jackpot winner click now", "raw"),
+        (5, "", "raw"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    out = {
+        r["id"]: r["logw"]
+        for r in dsir_weights(df, F.col("src") == "tgt").collect()
+    }
+    assert out[3] > out[4], "prose doc must outscore spam under a prose target"
+    assert out[5] == 0.0, "empty doc has weight exactly 0"
+    # row-order invariance
+    out2 = {
+        r["id"]: r["logw"]
+        for r in dsir_weights(
+            df.orderBy(F.col("doc_id").desc()), F.col("src") == "tgt"
+        ).collect()
+    }
+    assert out == out2
