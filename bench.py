@@ -83,6 +83,7 @@ HEADLINE = [
     "neardup_dedup_app",
     "quality_dup_correlation",
     "doc_dedup_spans",
+    "doc_dedup_spans_char",
     "doc_paragraph_dedup",
     "dsir_weights",
     "incremental_new_docs",

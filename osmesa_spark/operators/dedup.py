@@ -1046,3 +1046,102 @@ def dedup_paragraphs(
             ).alias("cleaned"),
         )
     )
+
+
+def remove_duplicated_spans_char(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    seed: int = 13,
+) -> DataFrame:
+    """CHARACTER-level exact-substring span excision — the paper-exact
+    granularity of Lee et al. 2022 (§4.1 ExactSubstr: duplicated spans of
+    ≥ 50 characters), complementing `remove_duplicated_spans`' word-n-gram
+    variant. Any `min_len`-char window occurring ≥ 2 times anywhere in the
+    corpus is duplicated; every character covered by a duplicated window
+    is excised from every occurrence (the suffix-array criterion is
+    equivalent: a duplicated span of length ≥ L contains a duplicated
+    L-window at each offset, so the window cover reconstructs exactly the
+    union of duplicated spans). The paper builds a suffix array because it
+    runs shared-memory; the distributed shape of the same criterion is a
+    rolling-window hash count — one shuffle, no global index.
+
+    Plan shape (100 TB): window hashes are built ROW-LOCALLY (one
+    transform over char offsets — only (id, start, hash60) rows flow, the
+    text never rides through the explode); occurrence counting is ONE
+    hash-keyed partial agg; only starts of DUPLICATED windows come back
+    (semi-join, bounded by dup density); per-doc interval merge, gap
+    extraction and residue concatenation are array HOFs on the doc row —
+    O(dup starts) state, a handful of substr calls, not per-char work.
+
+    Output: (id, n_chars, n_removed, cleaned) — one row per input doc;
+    docs shorter than min_len are untouched."""
+    L = min_len
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), text_col), "id"
+    )
+    txt = F.col(text_col)
+    n = F.length(txt)
+    hashes = F.transform(
+        F.sequence(F.lit(0), n - L),
+        lambda i: _portable_hash(txt.substr(i + 1, F.lit(L)), seed),
+    )
+    wins = base.where(n >= L).select(
+        "id", F.posexplode(hashes).alias("s", "h")
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("h")
+    )
+    dup_starts = (
+        wins.join(dup, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+    )
+    res = base.join(dup_starts, "id", "left")
+
+    empty_iv = F.expr("CAST(array() AS array<struct<lo:int,hi:int>>)")
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    mk = lambda lo, hi: F.named_struct(  # noqa: E731
+        F.lit("lo"), lo.cast("int"), F.lit("hi"), hi.cast("int")
+    )
+    # merge sorted window starts into disjoint covered intervals:
+    # starts are ascending and all windows have length L, so the new
+    # window's hi always extends (or abuts) the running interval
+    iv = F.aggregate(
+        F.coalesce(F.col("ss"), F.expr("CAST(array() AS array<int>)")),
+        empty_iv,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= last(acc)["hi"] + 1),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(mk(last(acc)["lo"], s + L - 1)),
+            ),
+        ).otherwise(F.concat(acc, F.array(mk(s, s + L - 1)))),
+    )
+    res = res.withColumn("iv", iv)
+    ivc = F.col("iv")
+    gap_starts = F.concat(
+        F.array(F.lit(0)), F.transform(ivc, lambda i: i["hi"] + 1)
+    )
+    gap_ends = F.concat(
+        F.transform(ivc, lambda i: i["lo"]), F.array(n.cast("int"))
+    )
+    cleaned = F.array_join(
+        F.zip_with(gap_starts, gap_ends, lambda a, b: txt.substr(a + 1, b - a)),
+        "",
+    )
+    n_removed = F.aggregate(
+        ivc,
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc + (i["hi"] - i["lo"] + 1),
+    )
+    return res.select(
+        "id",
+        n.cast("bigint").alias("n_chars"),
+        n_removed.alias("n_removed"),
+        cleaned.alias("cleaned"),
+    )

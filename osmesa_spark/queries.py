@@ -6921,6 +6921,81 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_dedup_spans_char",
+    """
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    w AS (
+        SELECT doc_id, (u.i - 1)::INT AS s,
+               ('0x' || substr(md5('13:' || substr(text, u.i, 50)),
+                               1, 15))::BIGINT AS h
+        FROM d, LATERAL (SELECT unnest(range(1, length(text) - 50 + 2)) AS i) u
+        WHERE length(text) >= 50),
+    c AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+    ds AS (SELECT w.doc_id, w.s FROM w JOIN c USING (h)),
+    isl AS (
+        SELECT doc_id, s,
+               CASE WHEN s > COALESCE(MAX(s) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -999999) + 50 THEN 1 ELSE 0 END AS brk
+        FROM ds),
+    grp AS (SELECT doc_id, s,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS g
+            FROM isl),
+    iv AS (SELECT doc_id, g, MIN(s) AS lo, MAX(s) + 49 AS hi
+           FROM grp GROUP BY doc_id, g),
+    cov AS (SELECT doc_id, SUM(hi - lo + 1)::BIGINT AS n_removed
+            FROM iv GROUP BY doc_id),
+    gap AS (
+        SELECT doc_id,
+               COALESCE(LAG(hi) OVER (PARTITION BY doc_id ORDER BY lo), -1)
+                 + 1 AS gs,
+               lo AS ge
+        FROM iv
+        UNION ALL
+        SELECT doc_id, MAX(hi) + 1 AS gs, NULL AS ge
+        FROM iv GROUP BY doc_id),
+    seg AS (
+        SELECT g.doc_id, g.gs,
+               substr(d.text, g.gs + 1,
+                      COALESCE(g.ge, length(d.text)) - g.gs) AS seg
+        FROM gap g JOIN d ON d.doc_id = g.doc_id),
+    cl AS (SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS cleaned
+           FROM seg GROUP BY doc_id)
+    SELECT d.doc_id AS id, length(d.text)::BIGINT AS n_chars,
+           COALESCE(cov.n_removed, 0)::BIGINT AS n_removed,
+           length(COALESCE(cl.cleaned, d.text))::BIGINT AS cleaned_len,
+           md5(COALESCE(cl.cleaned, d.text)) AS cleaned_md5
+    FROM d LEFT JOIN cov USING (doc_id)
+    LEFT JOIN cl ON cl.doc_id = d.doc_id
+    ORDER BY id
+    """,
+    doc="CHARACTER-level exact-substring excision — the paper-exact "
+    "Lee et al. 2022 ExactSubstr criterion (duplicated ≥50-char spans, "
+    "reconstructed exactly by the union of duplicated 50-char windows; "
+    "the suffix array is the shared-memory equivalent, the rolling-window "
+    "hash count is the distributed one). Window hashes row-local (text "
+    "never rides the explode), ONE hash-keyed occurrence agg, dup starts "
+    "back via semi-join bounded by dup density, interval merge + residue "
+    "as array HOFs on the doc row (training-data extension)",
+)
+def q_doc_dedup_spans_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.dedup import remove_duplicated_spans_char
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    out = remove_duplicated_spans_char(d, "doc_id", "text", min_len=50)
+    return out.select(
+        "id",
+        "n_chars",
+        "n_removed",
+        F.length("cleaned").cast("bigint").alias("cleaned_len"),
+        F.md5("cleaned").alias("cleaned_md5"),
+    ).orderBy("id")
+
+
+@register(
     "dsir_weights",
     """
     WITH docs AS (
@@ -7033,7 +7108,6 @@ DRIVER_PRIORITY = [
     "neardup_jaccard",
     "neardup_containment",
     "dedup_components",
-    "dedup_cluster_stats",
     "split_leakage_safe",
     "split_contamination_report",
     "source_dup_matrix",
@@ -7046,14 +7120,17 @@ DRIVER_PRIORITY = [
     "knn_binary_rerank",
     "ann_recall_binary",
     "bm_quadtree_partition",
-    # BRAND NEW (r8): CCNet paragraph dedup + DSIR importance weights
+    # BRAND NEW (r8): CCNet paragraph dedup, DSIR importance weights,
+    # char-level (paper-exact Lee '22) exact-substring excision
     "doc_paragraph_dedup",
     "dsir_weights",
+    "doc_dedup_spans_char",
     # displaced to the spill list for r8: lsh_miss_rate /
-    # minhash_calibration (diagnostics, locally green every round) make
-    # room for the two never-checked r8 entries
+    # minhash_calibration / dedup_cluster_stats (diagnostic readouts,
+    # locally green every round) make room for the never-checked r8 rows
     "lsh_miss_rate",
     "minhash_calibration",
+    "dedup_cluster_stats",
     # stalest driver evidence (r3 cohort spill list from r6) — rotate in
     "haversine_user_path",
     "kv_map_assembly",

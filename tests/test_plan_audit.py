@@ -260,6 +260,7 @@ EXTENSIONS_JVM_ONLY = [
     "token_budget_plan",
     "doc_paragraph_dedup",
     "dsir_weights",
+    "doc_dedup_spans_char",
 ]
 
 

@@ -1589,3 +1589,42 @@ def test_dsir_weights_tilt_toward_target(spark):
         ).collect()
     }
     assert out == out2
+
+
+def test_char_span_excision_matches_bruteforce(spark):
+    """Char-level ExactSubstr excision vs a brute-force Python oracle on a
+    corpus with cross-doc shares, a periodic self-overlapping run, a
+    too-short doc and a fully-unique doc: every covered character (member
+    of any ≥2-occurrence L-window) must be excised, residue order
+    preserved."""
+    from collections import Counter
+
+    from osmesa_spark.operators.dedup import remove_duplicated_spans_char
+
+    L = 10
+    docs = [
+        (1, "AAAAABBBBBCCCCCDDDDDunique-tail-one-xyzw"),
+        (2, "AAAAABBBBBCCCCCDDDDDdifferent-tail-22222"),
+        (3, "totally distinct body with no repeats at all 12345"),
+        (4, "short"),
+        (5, "P" * 30),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["id"]: r
+        for r in remove_duplicated_spans_char(df, min_len=L).collect()
+    }
+    counts = Counter(
+        t[i : i + L] for _, t in docs for i in range(len(t) - L + 1)
+    )
+    for did, t in docs:
+        cov = [False] * len(t)
+        for i in range(max(0, len(t) - L + 1)):
+            if counts[t[i : i + L]] >= 2:
+                for j in range(i, i + L):
+                    cov[j] = True
+        want = "".join(ch for ch, c in zip(t, cov) if not c)
+        r = got[did]
+        assert r["n_chars"] == len(t)
+        assert r["n_removed"] == sum(cov)
+        assert r["cleaned"] == want
