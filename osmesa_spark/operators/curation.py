@@ -568,3 +568,117 @@ def dsir_weights(
             F.coalesce("logw", F.lit(0.0)).alias("logw"),
         )
     )
+
+
+def dsir_score(
+    df: DataFrame,
+    ratio: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: int = 29,
+) -> DataFrame:
+    """Score documents against a FROZEN DSIR log-ratio table — the serving
+    half of `dsir_weights`. Train the ratio once on a reference corpus
+    (`dsir_weights`' `ratio` subtree, or any (b, lr) table), then score
+    arriving data against it without refitting — the shape an ingest
+    pipeline needs, where the target distribution is a fixed curation
+    contract rather than a function of each batch.
+
+    `ratio` is a (b, lr) DataFrame with `b` in [0, n_buckets) hashed with
+    the SAME (n_buckets, seed); buckets absent from the table contribute 0
+    (unseen-in-training vocabulary is uninformative by construction).
+
+    Plan shape: one (doc, bucket) partial-count shuffle + a broadcast
+    equi-join against the ≤ n_buckets-row ratio + one doc-keyed agg —
+    per BATCH cost at ingest time, independent of the history.
+
+    Output: (id, n_tokens, logw) — empty docs restored at exactly 0."""
+    from osmesa_spark.functions.text import word_tokens
+    from osmesa_spark.operators.dedup import _portable_hash
+    from osmesa_spark.util import ensure_parallelism
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), text_col), "id"
+    )
+    inst = (
+        base.select(
+            "id",
+            F.explode(
+                F.transform(
+                    word_tokens(text_col),
+                    lambda t: _portable_hash(t, seed) % n_buckets,
+                )
+            ).alias("b"),
+        )
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        inst.join(F.broadcast(ratio.select("b", "lr")), "b", "left")
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("n") * F.coalesce(F.col("lr"), F.lit(0.0))), 6
+            ).alias("logw"),
+        )
+    )
+    return base.select("id").join(scored, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("logw", F.lit(0.0)).alias("logw"),
+    )
+
+
+def dsir_ratio(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: int = 29,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """The trained DSIR log-ratio table alone — (b, lr) over the observed
+    buckets, fit exactly as `dsir_weights` fits it. Persist this once from
+    the reference corpus and hand it to `dsir_score` at ingest time."""
+    from osmesa_spark.functions.text import word_tokens
+    from osmesa_spark.operators.dedup import _portable_hash
+    from osmesa_spark.util import ensure_parallelism
+
+    base = ensure_parallelism(
+        df.select(text_col, target.alias("is_tgt")), text_col
+    )
+    fits = (
+        base.select(
+            "is_tgt",
+            F.explode(
+                F.transform(
+                    word_tokens(text_col),
+                    lambda t: _portable_hash(t, seed) % n_buckets,
+                )
+            ).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("c_tgt"),
+        )
+    )
+    totals = fits.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    return fits.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log(
+                (F.col("c_tgt") + add_k)
+                / (F.col("t_tgt") + add_k * n_buckets)
+            )
+            - F.log(
+                (F.col("c_raw") + add_k)
+                / (F.col("t_raw") + add_k * n_buckets)
+            )
+        ).alias("lr"),
+    )

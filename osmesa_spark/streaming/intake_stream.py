@@ -1,0 +1,113 @@
+"""Streaming corpus intake: the end-to-end training-data INGEST pipeline
+as one structured stream — the streaming face of `apps.curate_training_corpus`
+/ `apps.prepare_pretraining_shards` for data that arrives continuously
+(crawl snapshots, partner feeds) instead of as a one-shot corpus.
+
+Per arriving file (micro-batch):
+
+  1. Gopher quality gate       — pure-Column rule bundle, row-local
+  2. exact dedup, first-seen-wins ACROSS batches — watermark +
+     dropDuplicatesWithinWatermark (state bounded by the horizon)
+  3. DSIR scoring against a FROZEN log-ratio table — the target
+     distribution is a fixed curation contract at ingest time, so the
+     batch pays one bounded (doc, bucket) agg + a broadcast join,
+     never a refit over history
+  4. optional importance threshold (min_logw)
+  5. durable outputs, exactly-once:
+       * accepted docs land in `docs/batch=<id>/` written with
+         OVERWRITE — a replayed micro-batch rewrites the same directory,
+         so crash-replay cannot double-append
+       * the incremental shard manifest folds the batch in via
+         `ManifestTable.merge_batch` (batch-id high-watermark no-op on
+         replay; single-step versioned commit + atomic pointer flip)
+
+Scale shape: every stage is per-batch bounded — nothing rescans history;
+dedup state is watermark-bounded; the ratio table is ≤ n_buckets rows and
+broadcasts. The reference's streaming apps follow the same
+committed-state discipline (ChangesetStatsForeachWriter idempotence
+model); this module applies it to the LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmesa_spark.functions.text import gopher_quality_flags
+from osmesa_spark.operators.curation import dsir_score
+from osmesa_spark.streaming.dedup_stream import streaming_exact_dedup
+from osmesa_spark.streaming.manifest_stream import ManifestTable
+
+
+def intake_accepted_docs(
+    batch: DataFrame,
+    ratio: DataFrame,
+    min_logw: float | None = None,
+    n_buckets: int = 4096,
+    seed: int = 29,
+) -> DataFrame:
+    """Batch-side scoring + threshold of an already quality-gated,
+    deduplicated micro-batch: attach (n_tokens, logw) from the frozen
+    ratio and drop rows under `min_logw` (None keeps everything).
+    Also the batch/stream twin used by tests to oracle the stream."""
+    scored = dsir_score(
+        batch, ratio, id_col="doc_id", text_col="text",
+        n_buckets=n_buckets, seed=seed,
+    ).withColumnRenamed("id", "doc_id")
+    out = batch.join(scored, "doc_id")
+    if min_logw is not None:
+        out = out.where(F.col("logw") >= F.lit(min_logw))
+    return out
+
+
+def run_streaming_corpus_intake(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    ratio: DataFrame,
+    schema: str = "doc_id long, text string, event_time timestamp",
+    n_shards: int = 16,
+    horizon: str = "10 minutes",
+    min_logw: float | None = None,
+    n_buckets: int = 4096,
+    seed: int = 29,
+    checkpoint_dir: str | None = None,
+):
+    """File-drop document stream → gated/deduped/scored docs + manifest.
+
+    Returns the started StreamingQuery; `out_dir` gains `docs/batch=*/`
+    parquet and a `manifest/` ManifestTable. The frozen `ratio` (b, lr)
+    comes from `curation.dsir_ratio` trained offline."""
+    docs_dir = os.path.join(out_dir, "docs")
+    table = ManifestTable(os.path.join(out_dir, "manifest"),
+                          n_shards=n_shards)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    gated = stream.where(gopher_quality_flags("text")["keep"])
+    deduped = streaming_exact_dedup(
+        gated, text_col="text", time_col="event_time", horizon=horizon
+    ).drop("fingerprint")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        accepted = intake_accepted_docs(
+            batch, ratio, min_logw=min_logw,
+            n_buckets=n_buckets, seed=seed,
+        ).localCheckpoint()  # one materialization feeds file write + manifest
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"batch={batch_id}")
+        )
+        table.merge_batch(accepted, batch_id)
+
+    return (
+        deduped.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+        )
+        .start()
+    )

@@ -1274,3 +1274,106 @@ def test_pairs_stream_to_stats_and_errors_end_to_end(spark, tmp_path):
     stored2 = ParquetUpsertTable(str(tmp_path / "stats_table")).read(spark)
     assert sum(r["total_edits"] for r in stored2.collect()) == good.count()
     assert ErrorsTable(str(tmp_path / "errors_table")).read(spark).count() == 4
+
+
+def test_streaming_corpus_intake_end_to_end(spark, tmp_path):
+    """Full ingest pipeline on a 2-file drop: Gopher gate drops the
+    too-short doc, cross-batch exact dedup keeps ONE copy of the repeated
+    text, frozen-ratio DSIR scoring + threshold drops the spam doc, the
+    accepted docs land in per-batch overwrite dirs, and the committed
+    manifest equals the from-scratch batch manifest of exactly the
+    accepted rows. Replay of an applied batch_id is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.functions.text import gopher_quality_flags
+    from osmesa_spark.operators.curation import (
+        dsir_ratio,
+        shard_assignment,
+        shard_manifest,
+    )
+    from osmesa_spark.streaming.intake_stream import (
+        intake_accepted_docs,
+        run_streaming_corpus_intake,
+    )
+    from osmesa_spark.streaming.manifest_stream import ManifestTable
+
+    good_words = ["the", "data", "model", "and", "theory", "with", "science"]
+    spam_words = ["casino", "pills", "jackpot", "buy", "the", "win", "now"]
+
+    def good(i):
+        return " ".join(good_words * 8) + f" doc{i}"
+
+    def spam(i):
+        return " ".join(spam_words * 8) + f" ad{i}"
+
+    dup_text = " ".join(good_words * 8) + " repeated"
+
+    # frozen ratio trained offline: target = prose vocab, raw adds spam
+    train = spark.createDataFrame(
+        [(i, good(100 + i), True) for i in range(4)]
+        + [(10 + i, spam(100 + i), False) for i in range(4)],
+        ["doc_id", "text", "is_t"],
+    )
+    ratio = dsir_ratio(
+        train, F.col("is_t"), n_buckets=64
+    ).localCheckpoint()
+
+    # threshold from the batch twin: midway between prose and spam scores
+    probe = spark.createDataFrame(
+        [(1, good(1)), (2, spam(1))], ["doc_id", "text"]
+    )
+    sc = {
+        r["doc_id"]: r["logw"]
+        for r in intake_accepted_docs(probe, ratio, n_buckets=64).collect()
+    }
+    assert sc[1] > sc[2], "prose must outscore spam under the prose target"
+    thr = (sc[1] + sc[2]) / 2
+
+    t0 = "2024-01-01 00:00:00"
+    b0 = [(1, good(1)), (2, good(2)), (3, good(3)), (4, good(4)),
+          (5, spam(1)), (6, "too short"), (7, dup_text)]
+    b1 = [(8, good(8)), (9, dup_text), (10, spam(2))]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for name, rows in (("b0", b0), ("b1", b1)):
+        spark.createDataFrame(rows, ["doc_id", "text"]).select(
+            "doc_id", "text", F.to_timestamp(F.lit(t0)).alias("event_time")
+        ).coalesce(1).write.parquet(str(src / name))
+
+    out = str(tmp_path / "intake")
+    q = run_streaming_corpus_intake(
+        spark, str(src) + "/*/", out, ratio,
+        n_shards=4, min_logw=thr, n_buckets=64,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(os.path.join(out, "docs"))
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    # 5/10 spam (threshold), 6 short (gopher), one dup copy (dedup)
+    assert {1, 2, 3, 4, 8} <= ids
+    assert 5 not in ids and 10 not in ids and 6 not in ids
+    assert len(ids & {7, 9}) == 1, "exactly one copy of the repeated text"
+    assert {"n_tokens", "logw"} <= set(got.columns)
+
+    # committed manifest == from-scratch batch manifest of the accepted set
+    table = ManifestTable(os.path.join(out, "manifest"), n_shards=4)
+    got_m = {r["shard"]: r.asDict() for r in table.read(spark).collect()}
+    want_m = {
+        r["shard"]: r.asDict()
+        for r in shard_manifest(
+            shard_assignment(got.select("doc_id", "text"), 4)
+        ).collect()
+    }
+    assert got_m == want_m
+
+    # replay no-op
+    before = table._current_version()
+    table.merge_batch(got.limit(1), batch_id=table.last_batch())
+    assert table._current_version() == before
+
+    # the whole accepted set passes the gate it was filtered by
+    n_gate = got.where(gopher_quality_flags("text")["keep"]).count()
+    assert n_gate == got.count()
