@@ -7044,9 +7044,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # OSM-domain parity queries over deterministic generated fixtures
-from osmesa_spark.queries_osm import register_osm_queries  # noqa: E402
+from osmesa_spark.queries_osm import (  # noqa: E402
+    register_osm_extras_r8,
+    register_osm_queries,
+)
 
 register_osm_queries(register)
+register_osm_extras_r8(register)
 
 
 # The driver's per-round correctness file records the FIRST 50 registry
@@ -7094,6 +7098,7 @@ DRIVER_PRIORITY = [
     "osm_way_tile_cover",
     "osm_way_tile_cover_pyramid",
     "osm_power_users",
+    "osm_tag_cooccurrence",
     # NEW this round (r7) — the 3 r6 entries that fell past slot 50 and
     # have never been driver-checked go first (VERDICT r6 #3)
     "event_type_pivot",
@@ -7110,7 +7115,6 @@ DRIVER_PRIORITY = [
     "dedup_components",
     "split_leakage_safe",
     "split_contamination_report",
-    "source_dup_matrix",
     "neardup_dedup_app",
     "multimodal_phash_pairs",
     "corpus_shard_manifest",
@@ -7131,6 +7135,7 @@ DRIVER_PRIORITY = [
     "lsh_miss_rate",
     "minhash_calibration",
     "dedup_cluster_stats",
+    "source_dup_matrix",
     # stalest driver evidence (r3 cohort spill list from r6) — rotate in
     "haversine_user_path",
     "kv_map_assembly",

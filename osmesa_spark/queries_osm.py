@@ -2175,3 +2175,78 @@ def _pagerank_sql() -> str:
     SELECT {prev}.uid, deg.deg AS degree, ROUND({prev}.pr, 6) AS pagerank
     FROM {prev} JOIN deg ON deg.s = {prev}.uid
     """
+
+
+def osm_tag_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-key co-occurrence matrix over the LATEST visible version of
+    every element — the 'which tags travel together' readout behind
+    taginfo's combinations tab. Latest-version selection is a partial-agg
+    argmax (max_by over version, no window sort); unordered key pairs are
+    built ROW-LOCALLY from the sorted key array (nested transform +
+    flatten — at most k·(k−1)/2 structs for a k-tag element, and OSM
+    elements carry few tags); one pair-keyed count agg; deterministic
+    top-20 by (count desc, k1, k2)."""
+    h = _history(spark)
+    latest = (
+        h.groupBy("type", "id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("visible"), F.col("tags")), F.col("version")
+            ).alias("s")
+        )
+        .where(F.col("s.visible"))
+        .select(F.col("s.tags").alias("tags"))
+    )
+    ks = F.array_sort(F.map_keys(F.col("tags")))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ks) - 1),
+            lambda i: F.transform(
+                F.slice(ks, i + 1, F.size(ks) - i),
+                lambda k2: F.struct(
+                    F.element_at(ks, i).alias("k1"), k2.alias("k2")
+                ),
+            ),
+        )
+    )
+    return (
+        latest.where(F.size(ks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.k1").alias("k1"), F.col("p.k2").alias("k2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "k1", "k2")
+        .limit(20)
+    )
+
+
+OSM_TAG_COOCCURRENCE_SQL = f"""
+    WITH latest AS (
+        SELECT type, id, tags FROM (
+            SELECT type, id, tags, visible,
+                   ROW_NUMBER() OVER (PARTITION BY type, id
+                                      ORDER BY version DESC) AS rn
+            FROM read_parquet('{_HISTORY}'))
+        WHERE rn = 1 AND visible),
+    ks AS (SELECT list_sort(map_keys(tags)) AS ks FROM latest
+           WHERE len(map_keys(tags)) >= 2),
+    pairs AS (
+        SELECT ks[u.i] AS k1, ks[v.j] AS k2
+        FROM ks,
+             LATERAL (SELECT unnest(range(1, len(ks) + 1)) AS i) u,
+             LATERAL (SELECT unnest(range(1, len(ks) + 1)) AS j) v
+        WHERE u.i < v.j)
+    SELECT k1, k2, COUNT(*)::BIGINT AS n
+    FROM pairs GROUP BY k1, k2
+    ORDER BY n DESC, k1, k2 LIMIT 20
+"""
+
+
+def register_osm_extras_r8(register) -> None:
+    register(
+        "osm_tag_cooccurrence",
+        OSM_TAG_COOCCURRENCE_SQL,
+        doc="tag-key co-occurrence top-20 over latest visible elements "
+        "(taginfo combinations readout): partial-agg argmax per element, "
+        "row-local sorted-key pair fan, one pair-keyed count agg "
+        "(map-analytics extension)",
+    )(osm_tag_cooccurrence)

@@ -261,6 +261,7 @@ EXTENSIONS_JVM_ONLY = [
     "doc_paragraph_dedup",
     "dsir_weights",
     "doc_dedup_spans_char",
+    "osm_tag_cooccurrence",
 ]
 
 
