@@ -1087,9 +1087,19 @@ def remove_duplicated_spans_char(
         F.sequence(F.lit(0), n - L),
         lambda i: _portable_hash(txt.substr(i + 1, F.lit(L)), seed),
     )
-    wins = base.where(n >= L).select(
-        "id", F.posexplode(hashes).alias("s", "h")
+    # checkpoint the per-DOC hash ARRAYS (not the exploded instances):
+    # the md5-per-offset kernel — the expensive pass — runs once and is
+    # stored in compact array form; the two consumers (occurrence count,
+    # semi-join probe) re-explode from it, which is cheap. Materializing
+    # the exploded (id, s, h) rows instead would store the same data with
+    # per-row overhead; not materializing at all would run the md5 pass
+    # twice (the word-gram sibling above makes the same choice).
+    win_arrays = (
+        base.where(n >= L)
+        .select("id", hashes.alias("hs"))
+        .localCheckpoint(eager=False)
     )
+    wins = win_arrays.select("id", F.posexplode("hs").alias("s", "h"))
     dup = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))

@@ -53,6 +53,13 @@ SCALE_SLICE = [
     # NOT in this slice)
     "knn_binary_rerank",
     "bm_quadtree_partition",
+    # r8: duplicate-paragraph and duplicate-window density both grow with
+    # corpus size (more cross-doc collisions, longer merged intervals),
+    # and the DSIR fits re-derive from 10× the token mass — all three must
+    # re-verify where the count≥2 topology actually changes
+    "doc_paragraph_dedup",
+    "doc_dedup_spans_char",
+    "dsir_weights",
 ]
 
 
