@@ -75,6 +75,7 @@ HEADLINE = [
     "doc_bpe_train",
     "doc_quality_bins",
     "doc_gopher_rules",
+    "doc_lr_quality",
     "source_doc_cap",
     "multimodal_resize",
     "multimodal_phash_pairs",

@@ -387,3 +387,156 @@ def hashed_features(
             F.transform("cells", lambda c: c["val"]).alias("values"),
         )
     )
+
+def lr_quality_train(
+    df: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    seed: int = 31,
+    rounds: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Train a logistic-regression quality classifier IN-ENGINE over
+    hashed-unigram count features and score every document with it — the
+    shape of the GPT-3 / PaLM "classify against a high-quality reference"
+    filter (Brown et al. 2020 appendix A), expressed as UNROLLED full-batch
+    gradient descent on DataFrames (the same discipline as the k-means /
+    PageRank / BPE trainers: a fixed round count, bounded-output shuffles,
+    per-round 9dp step rounding so training replays bit-for-bit in the
+    DuckDB oracle).
+
+    Per round r (ONE Spark job):
+      z_d  = b0 + Σ_b n_db·w_b   — instance ⋈ broadcast(≤n_buckets weight
+             rows) + id-keyed partial agg
+      err  = σ(z_d) − y_d, quantized to 1e-9 integer units ROW-LOCALLY —
+             the corpus-wide gradient Σ_d n_db·err_q is then a BIGINT sum:
+             order-independent, so engines agree bit-for-bit (a double sum's
+             non-associativity error sits AT the 9dp step quantum at corpus
+             scale). Overflow: |n·err_q| ≤ doc_tokens·1e9; BIGINT holds
+             ~9e5 thousand-token docs per bucket — switch to DECIMAL aggs
+             at true 100 TB bucket cardinalities.
+      g_b and the bias gradient come back in ONE bounded collect
+      (≤ n_buckets+1 rows — the bias rides as bucket −1); the driver folds
+      them into the next weight vector exactly as the k-means trainer folds
+      centroids.
+
+    The (id, b, n) instance table and the (id, y) doc frame are
+    localCheckpointed ONCE and reused by every round and the final scoring
+    pass; the per-round err frame is checkpointed lazily so its two
+    consumers (gradient, bias) inside the single job share one
+    materialization. Weights ride as a broadcast join, NOT a literal-map
+    fold — higher-order-function lambdas evaluate interpreted per element,
+    which measured ~50× slower than the codegen join at sf0.1.
+
+    Output: (id, n_tokens, p, pred) — p = σ(z) under the trained weights
+    rounded 6dp, pred = p ≥ 0.5."""
+    from osmesa_spark.functions.text import word_tokens
+    from osmesa_spark.operators.dedup import _portable_hash
+    from osmesa_spark.util import ensure_parallelism
+
+    spark = df.sparkSession
+    base = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("id"),
+            # null labels count as negative — a null would poison the
+            # gradient sums
+            F.when(label, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+            F.col(text_col).alias("__t"),
+        ),
+        "id",
+    )
+    docs = base.select("id", "y").localCheckpoint(eager=False)
+    inst = (
+        base.select(
+            "id",
+            F.explode(
+                F.transform(
+                    word_tokens("__t"),
+                    lambda t: (_portable_hash(t, seed) % n_buckets).cast(
+                        "int"
+                    ),
+                )
+            ).alias("b"),
+        )
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    n_docs = docs.count()
+
+    def z_frame(w: dict[int, float], b0: float) -> DataFrame:
+        """(id, y, z) under the current weights — empty docs get b0."""
+        if w:
+            wdf = spark.createDataFrame(
+                sorted(w.items()), "b int, w double"
+            )
+            zz = (
+                inst.join(F.broadcast(wdf), "b", "left")
+                .groupBy("id")
+                .agg(
+                    F.sum(
+                        F.col("n") * F.coalesce(F.col("w"), F.lit(0.0))
+                    ).alias("zz")
+                )
+            )
+            return docs.join(zz, "id", "left").select(
+                "id",
+                "y",
+                (F.coalesce(F.col("zz"), F.lit(0.0)) + F.lit(b0)).alias("z"),
+            )
+        return docs.select("id", "y", F.lit(b0).alias("z"))
+
+    w: dict[int, float] = {}
+    b0 = 0.0
+    inv = F.lit(-lr)
+    nd = F.lit(float(n_docs))
+    for _ in range(rounds):
+        err_q = F.round(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y"))
+            * F.lit(1e9),
+            0,
+        ).cast("bigint")
+        errdf = (
+            z_frame(w, b0)
+            .select("id", err_q.alias("eq"))
+            .localCheckpoint(eager=False)
+        )
+        # one job: per-bucket gradient steps + the bias step as bucket -1
+        steps = (
+            inst.join(errdf, "id")
+            .select("b", (F.col("n") * F.col("eq")).alias("c"))
+            .unionAll(
+                errdf.select(F.lit(-1).alias("b"), F.col("eq").alias("c"))
+            )
+            .groupBy("b")
+            .agg(
+                F.round(
+                    inv * (F.sum("c").cast("double") / F.lit(1e9)) / nd, 9
+                ).alias("step")
+            )
+            .collect()
+        )
+        # fold: both summands are 9dp-quantized, so the sum is exact in
+        # double and the final round is a no-op guard shared with the oracle
+        for r in steps:
+            if r["b"] == -1:
+                b0 = round(b0 + r["step"], 9)
+            else:
+                w[r["b"]] = round(w.get(r["b"], 0.0) + r["step"], 9)
+
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6
+    )
+    ntok = inst.groupBy("id").agg(F.sum("n").alias("n_tokens"))
+    return (
+        z_frame(w, b0)
+        .join(ntok, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            p.alias("p"),
+            (p >= 0.5).alias("pred"),
+        )
+    )

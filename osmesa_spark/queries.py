@@ -7043,6 +7043,100 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(d, F.col("lang") == "en").orderBy("id")
 
 
+def _lr_quality_sql(rounds: int = 3, n_buckets: int = 256, lr: float = 0.5,
+                    seed: int = 31) -> str:
+    """Generated oracle for doc_lr_quality: replays the unrolled
+    full-batch GD rounds of `textops.lr_quality_train` as CTE chains —
+    per round the INTEGER-exact gradient (per-doc error quantized to 1e-9
+    units, BIGINT sum), the 9dp-rounded step, and the weight fold; the
+    final pass scores every doc under the trained weights."""
+    parts = []
+    prev_w, prev_b = "w0", "bias0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    z{r} AS (
+        SELECT d.id, d.y,
+               COALESCE(s.zz, 0) + (SELECT b0 FROM {prev_b}) AS z
+        FROM docs d
+        LEFT JOIN (SELECT id, SUM(n * w.w) AS zz
+                   FROM inst JOIN {prev_w} w USING (b) GROUP BY id) s
+               USING (id)),
+    e{r} AS (SELECT id,
+                    CAST(ROUND((1.0/(1.0+exp(-z)) - y) * 1000000000.0, 0)
+                         AS BIGINT) AS eq
+             FROM z{r}),
+    g{r} AS (SELECT i.b,
+                    ROUND({-lr} * (CAST(SUM(i.n * e.eq) AS DOUBLE)
+                                   / 1000000000.0)
+                          / (SELECT n FROM nn), 9) AS step
+             FROM inst i JOIN e{r} e USING (id) GROUP BY i.b),
+    w{r} AS (
+        SELECT g.b, ROUND(COALESCE(w.w, 0) + g.step, 9) AS w
+        FROM g{r} g LEFT JOIN {prev_w} w USING (b)
+        UNION ALL
+        SELECT w.b, w.w FROM {prev_w} w ANTI JOIN g{r} g USING (b)),
+    bias{r} AS (
+        SELECT ROUND((SELECT b0 FROM {prev_b})
+                     + ROUND({-lr} * (CAST((SELECT SUM(eq) FROM e{r})
+                                           AS DOUBLE) / 1000000000.0)
+                             / (SELECT n FROM nn), 9), 9) AS b0)""")
+        prev_w, prev_b = f"w{r}", f"bias{r}"
+    chain = ",".join(parts)
+    return f"""
+    WITH docs AS (
+        SELECT doc_id AS id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               regexp_extract_all(lower(COALESCE(text, '')),
+                                  '([a-z0-9]+)', 1) AS toks
+        FROM documents),
+    inst AS (
+        SELECT id,
+               ('0x' || substr(md5('{seed}:' || t.tok), 1, 15))::BIGINT
+                 % {n_buckets} AS b,
+               COUNT(*)::BIGINT AS n
+        FROM docs, LATERAL (SELECT unnest(toks) AS tok) t
+        GROUP BY 1, 2),
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM docs),
+    w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS DOUBLE) AS w
+           WHERE FALSE),
+    bias0 AS (SELECT 0.0 AS b0),{chain},
+    zf AS (
+        SELECT d.id, COALESCE(s.zz, 0) + (SELECT b0 FROM {prev_b}) AS z
+        FROM docs d
+        LEFT JOIN (SELECT id, SUM(n * w.w) AS zz
+                   FROM inst JOIN {prev_w} w USING (b) GROUP BY id) s
+               USING (id)),
+    ntok AS (SELECT id, SUM(n)::BIGINT AS n_tokens FROM inst GROUP BY id)
+    SELECT zf.id,
+           COALESCE(ntok.n_tokens, 0)::BIGINT AS n_tokens,
+           ROUND(1.0/(1.0+exp(-zf.z)), 6) AS p,
+           (ROUND(1.0/(1.0+exp(-zf.z)), 6) >= 0.5) AS pred
+    FROM zf LEFT JOIN ntok USING (id)
+    ORDER BY zf.id
+    """
+
+
+@register(
+    "doc_lr_quality",
+    _lr_quality_sql,
+    doc="IN-ENGINE quality-classifier training (the GPT-3/PaLM 'classify "
+    "against a high-quality reference' LR filter, Brown et al. 2020 "
+    "app. A): 3 unrolled full-batch GD rounds over hashed-unigram counts "
+    "(256 buckets), then score every doc. Per round: z/err are row-local "
+    "(weights fold as a literal map — no join), the gradient is ONE "
+    "bucket-keyed partial agg made INTEGER-exact (per-doc error "
+    "quantized to 1e-9 units, BIGINT sum — order-independent, so engines "
+    "agree bit-for-bit), steps rounded 9dp; driver folds ≤256 doubles "
+    "per round like the k-means trainer. Oracle unrolls the identical "
+    "rounds as CTEs (training-data extension)",
+)
+def q_doc_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.textops import lr_quality_train
+
+    d = _t(spark, sf_dir, "documents")
+    return lr_quality_train(d, F.col("lang") == "en").orderBy("id")
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -7111,7 +7205,6 @@ DRIVER_PRIORITY = [
     # plans changed, so they need fresh driver evidence
     "minhash_lsh_pairs",
     "neardup_jaccard",
-    "neardup_containment",
     "dedup_components",
     "split_leakage_safe",
     "split_contamination_report",
@@ -7129,13 +7222,17 @@ DRIVER_PRIORITY = [
     "doc_paragraph_dedup",
     "dsir_weights",
     "doc_dedup_spans_char",
+    "doc_lr_quality",
     # displaced to the spill list for r8: lsh_miss_rate /
-    # minhash_calibration / dedup_cluster_stats (diagnostic readouts,
-    # locally green every round) make room for the never-checked r8 rows
+    # minhash_calibration / dedup_cluster_stats / source_dup_matrix /
+    # neardup_containment (diagnostics + one member of the same capped
+    # LSH chain that stays covered by neardup_jaccard; all locally green
+    # every round) make room for the never-checked r8 rows
     "lsh_miss_rate",
     "minhash_calibration",
     "dedup_cluster_stats",
     "source_dup_matrix",
+    "neardup_containment",
     # stalest driver evidence (r3 cohort spill list from r6) — rotate in
     "haversine_user_path",
     "kv_map_assembly",

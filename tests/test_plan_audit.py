@@ -262,6 +262,7 @@ EXTENSIONS_JVM_ONLY = [
     "dsir_weights",
     "doc_dedup_spans_char",
     "osm_tag_cooccurrence",
+    "doc_lr_quality",
 ]
 
 

@@ -1628,3 +1628,35 @@ def test_char_span_excision_matches_bruteforce(spark):
         assert r["n_chars"] == len(t)
         assert r["n_removed"] == sum(cov)
         assert r["cleaned"] == want
+
+
+def test_lr_quality_train_separates_and_handles_empty(spark):
+    """The in-engine LR trainer must separate a linearly separable corpus
+    (prose vocab vs spam vocab) within its fixed 3 rounds, give an empty
+    doc the bias-only score, and be invariant to row order (integer-exact
+    gradients + 9dp steps make training deterministic)."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.textops import lr_quality_train
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            (i, "the quick brown fox jumps over lazy dog again today", True)
+        )
+        rows.append(
+            (100 + i, "buy cheap pills casino jackpot winner click now", False)
+        )
+    rows.append((500, "", False))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_good"])
+    out = lr_quality_train(df, F.col("is_good")).collect()
+    good = [r for r in out if r["id"] < 100]
+    bad = [r for r in out if 100 <= r["id"] < 500]
+    assert min(r["p"] for r in good) > max(r["p"] for r in bad)
+    assert all(r["pred"] for r in good) and not any(r["pred"] for r in bad)
+    empty = next(r for r in out if r["id"] == 500)
+    assert empty["n_tokens"] == 0 and 0.0 < empty["p"] < 1.0
+    out2 = lr_quality_train(
+        df.orderBy(F.col("doc_id").desc()), F.col("is_good")
+    ).collect()
+    assert {(r["id"], r["p"]) for r in out} == {(r["id"], r["p"]) for r in out2}

@@ -60,6 +60,10 @@ SCALE_SLICE = [
     "doc_paragraph_dedup",
     "doc_dedup_spans_char",
     "dsir_weights",
+    # r8: the learned LR weights re-derive from 10× the gradient mass —
+    # the integer-exact gradient + 9dp step discipline must hold where
+    # float sums would actually diverge
+    "doc_lr_quality",
 ]
 
 
