@@ -432,6 +432,58 @@ def lr_quality_train(
 
     Output: (id, n_tokens, p, pred) — p = σ(z) under the trained weights
     rounded 6dp, pred = p ≥ 0.5."""
+    w, b0, z_frame, inst = _lr_fit(
+        df, label, id_col, text_col, n_buckets, seed, rounds, lr
+    )
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6
+    )
+    ntok = inst.groupBy("id").agg(F.sum("n").alias("n_tokens"))
+    return (
+        z_frame(w, b0)
+        .join(ntok, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            p.alias("p"),
+            (p >= 0.5).alias("pred"),
+        )
+    )
+
+
+def lr_train_weights(
+    df: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    seed: int = 31,
+    rounds: int = 3,
+    lr: float = 0.5,
+) -> tuple[dict[int, float], float]:
+    """Train and return the FROZEN model alone — (weights, bias), the
+    artifact `lr_score` serves at ingest time (the LR mirror of
+    `dsir_ratio`/`dsir_score`). Same training as `lr_quality_train`."""
+    w, b0, _, _ = _lr_fit(
+        df, label, id_col, text_col, n_buckets, seed, rounds, lr
+    )
+    return w, b0
+
+
+def _lr_fit(
+    df: DataFrame,
+    label: Column,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    seed: int,
+    rounds: int,
+    lr: float,
+):
+    """Shared GD loop: returns (weights, bias, z_frame, inst) — z_frame
+    builds the (id, y, z) frame under given weights over the checkpointed
+    instance/doc frames, so the caller's scoring pass reuses the training
+    materializations."""
     from osmesa_spark.functions.text import word_tokens
     from osmesa_spark.operators.dedup import _portable_hash
     from osmesa_spark.util import ensure_parallelism
@@ -526,13 +578,73 @@ def lr_quality_train(
             else:
                 w[r["b"]] = round(w.get(r["b"], 0.0) + r["step"], 9)
 
-    p = F.round(
-        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6
+    return w, b0, z_frame, inst
+
+
+def lr_score(
+    df: DataFrame,
+    weights: dict[int, float],
+    bias: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    seed: int = 31,
+) -> DataFrame:
+    """Score documents under a FROZEN trained LR model — the serving half
+    of `lr_quality_train` (pair it with `lr_train_weights`), mirroring the
+    `dsir_ratio`/`dsir_score` split: train the filter once on a reference
+    corpus, then gate arriving batches against the fixed model. One
+    (doc, bucket) partial-count shuffle + a broadcast weight join +
+    an id-keyed agg per batch; stream-composable inside foreachBatch.
+
+    Output: (id, n_tokens, p, pred)."""
+    from osmesa_spark.functions.text import word_tokens
+    from osmesa_spark.operators.dedup import _portable_hash
+    from osmesa_spark.util import ensure_parallelism
+
+    spark = df.sparkSession
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        "id",
     )
-    ntok = inst.groupBy("id").agg(F.sum("n").alias("n_tokens"))
+    inst = (
+        base.select(
+            "id",
+            F.explode(
+                F.transform(
+                    word_tokens("__t"),
+                    lambda t: (_portable_hash(t, seed) % n_buckets).cast(
+                        "int"
+                    ),
+                )
+            ).alias("b"),
+        )
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    z_in = F.coalesce(F.col("zz"), F.lit(0.0)) + F.lit(bias)
+    if weights:
+        wdf = spark.createDataFrame(
+            sorted(weights.items()), "b int, w double"
+        )
+        zdf = (
+            inst.join(F.broadcast(wdf), "b", "left")
+            .groupBy("id")
+            .agg(
+                F.sum(
+                    F.col("n") * F.coalesce(F.col("w"), F.lit(0.0))
+                ).alias("zz"),
+                F.sum("n").alias("n_tokens"),
+            )
+        )
+    else:
+        zdf = inst.groupBy("id").agg(
+            F.lit(0.0).alias("zz"), F.sum("n").alias("n_tokens")
+        )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z_in)), 6)
     return (
-        z_frame(w, b0)
-        .join(ntok, "id", "left")
+        base.select("id")
+        .join(zdf, "id", "left")
         .select(
             "id",
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),

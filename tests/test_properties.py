@@ -1660,3 +1660,40 @@ def test_lr_quality_train_separates_and_handles_empty(spark):
         df.orderBy(F.col("doc_id").desc()), F.col("is_good")
     ).collect()
     assert {(r["id"], r["p"]) for r in out} == {(r["id"], r["p"]) for r in out2}
+
+
+def test_lr_frozen_serving_matches_training_scores(spark):
+    """lr_train_weights + lr_score (the frozen-model serving pair) must
+    reproduce lr_quality_train's scores exactly, and score UNSEEN docs
+    sensibly under the frozen model (prose-vocab doc above 0.5, spam-vocab
+    doc below)."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.textops import (
+        lr_quality_train,
+        lr_score,
+        lr_train_weights,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            (i, "the quick brown fox jumps over lazy dog again today", True)
+        )
+        rows.append(
+            (100 + i, "buy cheap pills casino jackpot winner click now", False)
+        )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_good"])
+    a = {
+        (r["id"], r["p"])
+        for r in lr_quality_train(df, F.col("is_good")).collect()
+    }
+    w, b0 = lr_train_weights(df, F.col("is_good"))
+    b = {(r["id"], r["p"]) for r in lr_score(df, w, b0).collect()}
+    assert a == b
+    unseen = spark.createDataFrame(
+        [(900, "the brown dog jumps today"), (901, "cheap casino pills now")],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in lr_score(unseen, w, b0).collect()}
+    assert got[900]["pred"] and not got[901]["pred"]
