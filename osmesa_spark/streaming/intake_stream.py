@@ -12,7 +12,11 @@ Per arriving file (micro-batch):
      distribution is a fixed curation contract at ingest time, so the
      batch pays one bounded (doc, bucket) agg + a broadcast join,
      never a refit over history
-  4. optional importance threshold (min_logw)
+  4. optional gates: DSIR importance threshold (min_logw) and/or a
+     FROZEN LR quality classifier (`lr_train_weights` artifact served
+     by `lr_score` — broadcast weight join, min_p threshold): together
+     with (1) this is the full GPT-3-style intake — rule bundle +
+     trained classifier + importance tilt + dedup
   5. durable outputs, exactly-once:
        * accepted docs land in `docs/batch=<id>/` written with
          OVERWRITE — a replayed micro-batch rewrites the same directory,
@@ -47,11 +51,16 @@ def intake_accepted_docs(
     min_logw: float | None = None,
     n_buckets: int = 4096,
     seed: int = 29,
+    lr_model: tuple[dict[int, float], float] | None = None,
+    min_p: float | None = None,
 ) -> DataFrame:
-    """Batch-side scoring + threshold of an already quality-gated,
+    """Batch-side scoring + thresholds of an already quality-gated,
     deduplicated micro-batch: attach (n_tokens, logw) from the frozen
-    ratio and drop rows under `min_logw` (None keeps everything).
-    Also the batch/stream twin used by tests to oracle the stream."""
+    DSIR ratio and drop rows under `min_logw`; when a frozen LR model
+    (`lr_train_weights` output) is given, also attach its probability as
+    `lr_p` and drop rows under `min_p`. Either gate may be None (keep
+    everything on that axis). Also the batch/stream twin used by tests
+    to oracle the stream."""
     scored = dsir_score(
         batch, ratio, id_col="doc_id", text_col="text",
         n_buckets=n_buckets, seed=seed,
@@ -59,6 +68,16 @@ def intake_accepted_docs(
     out = batch.join(scored, "doc_id")
     if min_logw is not None:
         out = out.where(F.col("logw") >= F.lit(min_logw))
+    if lr_model is not None:
+        from osmesa_spark.operators.textops import lr_score
+
+        w, b0 = lr_model
+        lp = lr_score(out, w, b0, id_col="doc_id", text_col="text").select(
+            F.col("id").alias("doc_id"), F.col("p").alias("lr_p")
+        )
+        out = out.join(lp, "doc_id")
+        if min_p is not None:
+            out = out.where(F.col("lr_p") >= F.lit(min_p))
     return out
 
 
@@ -73,6 +92,8 @@ def run_streaming_corpus_intake(
     min_logw: float | None = None,
     n_buckets: int = 4096,
     seed: int = 29,
+    lr_model: tuple[dict[int, float], float] | None = None,
+    min_p: float | None = None,
     checkpoint_dir: str | None = None,
 ):
     """File-drop document stream → gated/deduped/scored docs + manifest.
@@ -97,6 +118,7 @@ def run_streaming_corpus_intake(
         accepted = intake_accepted_docs(
             batch, ratio, min_logw=min_logw,
             n_buckets=n_buckets, seed=seed,
+            lr_model=lr_model, min_p=min_p,
         ).localCheckpoint()  # one materialization feeds file write + manifest
         accepted.write.mode("overwrite").parquet(
             os.path.join(docs_dir, f"batch={batch_id}")

@@ -1331,6 +1331,16 @@ def test_streaming_corpus_intake_end_to_end(spark, tmp_path):
     assert sc[1] > sc[2], "prose must outscore spam under the prose target"
     thr = (sc[1] + sc[2]) / 2
 
+    # frozen LR classifier trained on the same reference corpus; batch
+    # twin gates independently of the DSIR threshold
+    from osmesa_spark.operators.textops import lr_train_weights
+
+    w_lr, b0_lr = lr_train_weights(train, F.col("is_t"))
+    only_lr = intake_accepted_docs(
+        probe, ratio, n_buckets=64, lr_model=(w_lr, b0_lr), min_p=0.5
+    )
+    assert {r["doc_id"] for r in only_lr.collect()} == {1}
+
     t0 = "2024-01-01 00:00:00"
     b0 = [(1, good(1)), (2, good(2)), (3, good(3)), (4, good(4)),
           (5, spam(1)), (6, "too short"), (7, dup_text)]
@@ -1346,6 +1356,7 @@ def test_streaming_corpus_intake_end_to_end(spark, tmp_path):
     q = run_streaming_corpus_intake(
         spark, str(src) + "/*/", out, ratio,
         n_shards=4, min_logw=thr, n_buckets=64,
+        lr_model=(w_lr, b0_lr), min_p=0.5,
     )
     q.processAllAvailable()
     q.stop()
@@ -1356,7 +1367,8 @@ def test_streaming_corpus_intake_end_to_end(spark, tmp_path):
     assert {1, 2, 3, 4, 8} <= ids
     assert 5 not in ids and 10 not in ids and 6 not in ids
     assert len(ids & {7, 9}) == 1, "exactly one copy of the repeated text"
-    assert {"n_tokens", "logw"} <= set(got.columns)
+    assert {"n_tokens", "logw", "lr_p"} <= set(got.columns)
+    assert got.where(F.col("lr_p") < 0.5).count() == 0
 
     # committed manifest == from-scratch batch manifest of the accepted set
     table = ManifestTable(os.path.join(out, "manifest"), n_shards=4)
