@@ -998,8 +998,14 @@ def dedup_paragraphs(
 
     Output: one row per input doc — (id, n_paras, n_kept, cleaned), where
     `cleaned` is the surviving paragraphs re-joined with newlines in
-    original order."""
-    base = ensure_parallelism(df.select(id_col, text_col), id_col)
+    original order. A null text counts as empty ('' — one blank
+    paragraph), so no input row is ever silently dropped."""
+    base = ensure_parallelism(
+        df.select(
+            id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+        ),
+        id_col,
+    )
     paras = base.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
@@ -1076,10 +1082,15 @@ def remove_duplicated_spans_char(
     O(dup starts) state, a handful of substr calls, not per-char work.
 
     Output: (id, n_chars, n_removed, cleaned) — one row per input doc;
-    docs shorter than min_len are untouched."""
+    docs shorter than min_len are untouched and a null text counts as
+    empty (no row is dropped or nulled)."""
     L = min_len
     base = ensure_parallelism(
-        df.select(F.col(id_col).alias("id"), text_col), "id"
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        ),
+        "id",
     )
     txt = F.col(text_col)
     n = F.length(txt)

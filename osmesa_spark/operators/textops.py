@@ -517,6 +517,8 @@ def _lr_fit(
         .localCheckpoint(eager=False)
     )
     n_docs = docs.count()
+    if n_docs == 0:
+        raise ValueError("lr_quality_train: input frame has no rows")
 
     def z_frame(w: dict[int, float], b0: float) -> DataFrame:
         """(id, y, z) under the current weights — empty docs get b0."""

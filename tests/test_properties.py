@@ -1697,3 +1697,36 @@ def test_lr_frozen_serving_matches_training_scores(spark):
     )
     got = {r["id"]: r for r in lr_score(unseen, w, b0).collect()}
     assert got[900]["pred"] and not got[901]["pred"]
+
+
+def test_dedup_ops_never_drop_null_text_rows(spark):
+    """Operators that promise one output row per input doc must honor it
+    for null texts (treated as empty), and the LR trainer must fail loudly
+    on an empty corpus instead of dividing by zero."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from osmesa_spark.operators.dedup import (
+        dedup_paragraphs,
+        remove_duplicated_spans_char,
+    )
+    from osmesa_spark.operators.textops import lr_quality_train
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [(1, "hello\nworld"), (2, None), (3, "")], schema
+    )
+    p = {r["id"]: r for r in dedup_paragraphs(df).collect()}
+    assert set(p) == {1, 2, 3}
+    assert p[2]["cleaned"] == "" and p[2]["n_paras"] == 1
+    c = {r["id"]: r for r in remove_duplicated_spans_char(df).collect()}
+    assert set(c) == {1, 2, 3}
+    assert c[2]["cleaned"] == "" and c[2]["n_chars"] == 0
+
+    with pytest.raises(ValueError, match="no rows"):
+        lr_quality_train(df.where(F.lit(False)), F.lit(True)).collect()
