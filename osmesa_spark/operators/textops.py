@@ -414,9 +414,10 @@ def lr_quality_train(
              the corpus-wide gradient Σ_d n_db·err_q is then a BIGINT sum:
              order-independent, so engines agree bit-for-bit (a double sum's
              non-associativity error sits AT the 9dp step quantum at corpus
-             scale). Overflow: |n·err_q| ≤ doc_tokens·1e9; BIGINT holds
-             ~9e5 thousand-token docs per bucket — switch to DECIMAL aggs
-             at true 100 TB bucket cardinalities.
+             scale). Overflow: |n·err_q| ≤ doc_tokens·1e9 per doc (|err|
+             ≤ 1), so a bucket's BIGINT sum holds ~9.2e6 docs of 1000
+             tokens each even in the worst all-tokens-one-bucket case —
+             switch to DECIMAL aggs beyond that bucket cardinality.
       g_b and the bias gradient come back in ONE bounded collect
       (≤ n_buckets+1 rows — the bias rides as bucket −1); the driver folds
       them into the next weight vector exactly as the k-means trainer folds
