@@ -133,3 +133,97 @@ def run_streaming_corpus_intake(
         )
         .start()
     )
+
+
+def compact_intake_docs(
+    spark: SparkSession,
+    out_dir: str,
+    target_dir: str,
+    n_shards: int = 16,
+    rows_per_file: int = 1_000_000,
+) -> dict:
+    """Compact the per-batch doc directories the streaming intake
+    accumulates into a loader-friendly layout — the small-file problem
+    every micro-batch file sink develops (one dir per batch → thousands
+    of tiny parquet files whose open/footer overhead dominates scans).
+
+    Reads `out_dir`/docs/batch=*/, re-derives the shard column with the
+    SAME hash assignment the manifest used, and rewrites as
+    `target_dir`/shard=*/ with ~`rows_per_file` rows per file
+    (repartition count = ceil(total/rows_per_file), hash-spread by shard
+    so same-shard rows cluster). THEN VERIFIES the loader contract before
+    returning: the shard manifest recomputed from the compacted output
+    must equal the committed ManifestTable row-for-row — counts, token
+    sums, id ranges and the order-independent mod-prime checksum are all
+    layout-invariant, so any row lost or duplicated by the rewrite fails
+    loudly here instead of at training time.
+
+    The batch dirs are left untouched; the caller swaps readers to
+    `target_dir` (and may delete the batch dirs) only after this returns.
+
+    Returns {n_docs, n_files_before, n_files_after}."""
+    import glob as _glob
+    import math
+
+    from osmesa_spark.operators.curation import (
+        shard_assignment,
+        shard_manifest,
+    )
+
+    docs_dir = os.path.join(out_dir, "docs")
+    # n_shards must MATCH the intake run's value — the manifest only
+    # lists observed shards, so it cannot be recovered from row count
+    table = ManifestTable(os.path.join(out_dir, "manifest"),
+                          n_shards=n_shards)
+    committed = table.read(spark)
+    if committed is None:
+        raise ValueError("compact_intake_docs: no committed manifest")
+
+    df = spark.read.option("basePath", docs_dir).parquet(
+        os.path.join(docs_dir, "batch=*")
+    )
+    n_docs = df.count()
+    n_files_before = len(
+        _glob.glob(os.path.join(docs_dir, "batch=*", "*.parquet"))
+    )
+    sharded = shard_assignment(
+        df.drop("batch"), n_shards, id_col=table.id_col
+    )
+    n_out = max(1, math.ceil(n_docs / rows_per_file))
+    (
+        sharded.repartition(n_out, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(target_dir)
+    )
+
+    compacted = spark.read.parquet(target_dir)
+    got = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["id_lo"], r["id_hi"],
+                     r["checksum"])
+        for r in shard_manifest(
+            compacted, id_col=table.id_col, text_col=table.text_col
+        ).collect()
+    }
+    want = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["id_lo"], r["id_hi"],
+                     r["checksum"])
+        for r in committed.collect()
+    }
+    if got != want:
+        bad = sorted(
+            k for k in set(got) | set(want) if got.get(k) != want.get(k)
+        )
+        raise ValueError(
+            f"compact_intake_docs: compacted output disagrees with the "
+            f"committed manifest on shards {bad} — rewrite lost or "
+            f"duplicated rows; batch dirs left untouched"
+        )
+    n_files_after = len(
+        _glob.glob(os.path.join(target_dir, "shard=*", "*.parquet"))
+    )
+    return {
+        "n_docs": n_docs,
+        "n_files_before": n_files_before,
+        "n_files_after": n_files_after,
+    }

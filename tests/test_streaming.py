@@ -1389,3 +1389,32 @@ def test_streaming_corpus_intake_end_to_end(spark, tmp_path):
     # the whole accepted set passes the gate it was filtered by
     n_gate = got.where(gopher_quality_flags("text")["keep"]).count()
     assert n_gate == got.count()
+
+    # compaction: per-batch dirs fold into shard=*/ files, verified
+    # against the committed manifest (layout-invariant checksums)
+    from osmesa_spark.streaming.intake_stream import compact_intake_docs
+
+    tgt = str(tmp_path / "compacted")
+    stats = compact_intake_docs(spark, out, tgt, n_shards=4)
+    assert stats["n_docs"] == got.count()
+    assert stats["n_files_after"] <= stats["n_files_before"]
+    comp = spark.read.parquet(tgt)
+    assert comp.count() == got.count()
+    assert {r["doc_id"] for r in comp.select("doc_id").collect()} == ids
+
+    # a corrupted rewrite must fail the manifest verification loudly:
+    # drop one doc from a batch dir and re-compact
+    import glob as _glob
+
+    victim = sorted(_glob.glob(os.path.join(out, "docs", "batch=*")))[0]
+    kept = spark.read.parquet(victim)
+    one_less = kept.limit(kept.count() - 1).collect()
+    spark.createDataFrame(one_less, kept.schema).write.mode(
+        "overwrite"
+    ).parquet(victim)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disagrees with the committed"):
+        compact_intake_docs(
+            spark, out, str(tmp_path / "compacted2"), n_shards=4
+        )
