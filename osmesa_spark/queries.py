@@ -7148,29 +7148,62 @@ register_osm_extras_r8(register)
 
 
 # The driver's per-round correctness file records the FIRST 50 registry
-# entries; local tests cover all of them identically. Round-8 note: the
-# round-7 correctness run never materialized (no CORRECTNESS_r07.json),
-# so the r7 window below is still the right one — it is kept intact apart
-# from swapping two locally-green diagnostics out for the two brand-new
-# r8 entries. Round-7 window rationale: the
-# osm_* parity pipelines stay (window-integrity test requires them — now
-# 27 with the new osm_way_tile_cover), then (a) the 3 r6 entries that
-# fell past slot 50 un-checked (event pivot/unpivot, token budget), (b)
-# every query whose plan changed this round (the max_bucket=1000
-# exact-routing cap across the LSH chains, the two-level manifest
-# checksum, the string-safe leakage hash), and (c) the stalest cohort —
-# the r3-evidence spill list queued in r6. Triple-green rows rotate out;
-# everything stays covered by tests/test_queries_oracle.py.
+# entries; local tests cover all 163 identically
+# (tests/test_queries_oracle.py). ROUND-9 WINDOW — evidence-freshness
+# round (VERDICT r8 #2): the union of CORRECTNESS_r1..r8 is all-green,
+# but 34 queries' latest driver evidence is round <= 3 (6 from round 2).
+# All 34 head this window. The remaining 16 slots hold HALF the osm_*
+# parity set (all 30 were driver-green in r8; keeping all of them pinned
+# every round is what starved the rotation and created the backlog).
+# The osm set now alternates in halves so no parity pipeline's evidence
+# is ever more than 2 rounds old — tests/test_plan_audit.py enforces
+# both invariants (stale backlog rotates in; osm staleness <= 1 round)
+# directly from the committed CORRECTNESS_r*.json files instead of
+# pinning the whole osm set.
 DRIVER_PRIORITY = [
-    # reference-parity pipelines (must stay in the window)
+    # stalest driver evidence: the round-2 cohort (never re-checked since)
+    "dedup_keep_best",
+    "doc_pack_assignment",
+    "embedding_label_stats",
+    "pii_scrub",
+    "stratified_sample",
+    "word_frequencies",
+    # the full round-3 cohort (28)
+    "ann_recall_lsh",
+    "asof_click_attribution",
+    "changeset_stats",
+    "comments_assembly",
+    "curation_pipeline",
+    "decontaminate_overlap",
+    "doc_bigram_topk",
+    "doc_bm25_topk",
+    "doc_dup_ngram_fraction",
+    "doc_token_entropy",
+    "doc_winnow_fingerprints",
+    "embedding_quantize",
+    "haversine_user_path",
+    "kmeans_clusters",
+    "kv_map_assembly",
+    "map_merge_simplify",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "neardup_cosine",
+    "neardup_sparse_cosine",
+    "pricing_summary",
+    "right_outer_parts",
+    "source_mix_weights",
+    "supplier_region_rollup",
+    "tile_histogram",
+    "tokenizer_fertility",
+    "user_statistics",
+    # osm parity half A (r9) — half B rotates in next round
     "osm_node_validity",
     "osm_snapshot_asof",
     "osm_way_reconstruction",
     "osm_utm_area",
     "osm_changeset_stats",
     "osm_geocode",
-    "osm_geocode_grid",
-    "osm_geocode_realworld",
     "osm_hashtags",
     "osm_tile_pyramid",
     "osm_user_footprint",
@@ -7179,113 +7212,57 @@ DRIVER_PRIORITY = [
     "osm_country_statistics",
     "osm_hashtag_user_statistics",
     "osm_changeset_metadata",
+    "osm_way_tile_cover",
+    "osm_relation_assembly_deep",
+    # ---- 50-slot window boundary ----
+    # osm parity half B (queued first for the r10 window)
+    "osm_geocode_grid",
+    "osm_geocode_realworld",
     "osm_relation_members",
     "osm_relation_members_deep",
     "osm_relation_assembly",
-    "osm_relation_assembly_deep",
     "osm_coedit_pagerank",
     "osm_snapshot_diff",
     "osm_user_retention",
     "osm_changeset_duration",
     "osm_geometry_validity",
     "osm_map_age",
-    "osm_way_tile_cover",
     "osm_way_tile_cover_pyramid",
     "osm_power_users",
     "osm_tag_cooccurrence",
-    # NEW this round (r7) — the 3 r6 entries that fell past slot 50 and
-    # have never been driver-checked go first (VERDICT r6 #3)
-    "event_type_pivot",
-    "event_counts_unpivot",
-    "token_budget_plan",
-    # CHANGED this round (r7): every query whose LSH chain now caps
-    # degenerate buckets (max_bucket=1000 + exact-signature star routing),
-    # plus the two-level manifest checksum and the string-safe
-    # leakage-split hash — fixture outputs are value-identical, but the
-    # plans changed, so they need fresh driver evidence
-    "minhash_lsh_pairs",
-    "neardup_jaccard",
-    "dedup_components",
-    "split_leakage_safe",
-    "split_contamination_report",
-    "neardup_dedup_app",
-    "multimodal_phash_pairs",
-    "corpus_shard_manifest",
-    # BRAND NEW this round (r7): Gopher rule bundle + domain cap
-    "doc_gopher_rules",
-    "source_doc_cap",
-    "knn_binary_rerank",
-    "ann_recall_binary",
-    "bm_quadtree_partition",
-    # BRAND NEW (r8): CCNet paragraph dedup, DSIR importance weights,
-    # char-level (paper-exact Lee '22) exact-substring excision
-    "doc_paragraph_dedup",
-    "dsir_weights",
-    "doc_dedup_spans_char",
-    "doc_lr_quality",
-    # displaced to the spill list for r8: lsh_miss_rate /
-    # minhash_calibration / dedup_cluster_stats / source_dup_matrix /
-    # neardup_containment (diagnostics + one member of the same capped
-    # LSH chain that stays covered by neardup_jaccard; all locally green
-    # every round) make room for the never-checked r8 rows
-    "lsh_miss_rate",
-    "minhash_calibration",
-    "dedup_cluster_stats",
-    "source_dup_matrix",
+    # the round-4 cohort — next-stalest after this round, fills r10
+    "anti_join_inactive",
+    "building_match_blend",
+    "building_match_support",
+    "building_match_volume",
+    "day_key_histogram",
+    "doc_c4_line_filter",
+    "doc_dedup_spans",
+    "doc_lm_nll",
+    "doc_quality",
+    "doc_quality_bins",
+    "doc_repetition_stats",
+    "doc_token_stats",
+    "earliest_event_type",
+    "event_sessions",
+    "exact_dedup_docs",
+    "full_outer_stats_merge",
+    "incremental_new_docs",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_lsh",
+    "knn_quantized",
+    "lang_id",
+    "minor_version_assignment",
     "neardup_containment",
-    # stalest driver evidence (r3 cohort spill list from r6) — rotate in
-    "haversine_user_path",
-    "kv_map_assembly",
-    "map_merge_simplify",
-    # below this line: spills past the 50-slot window, next in line for r8
-    "doc_bigram_topk",
-    "doc_token_entropy",
-    "pricing_summary",
-    "right_outer_parts",
-    "source_mix_weights",
-    "supplier_region_rollup",
-    "tile_histogram",
-    "tokenizer_fertility",
-    "user_statistics",
-    "embedding_rp_project",
-    "knn_rp",
-    "ann_recall_rp",
-    "price_quantiles_sketch",
-    "ivf_append",
-    "decontaminate_semantic",
-    "corpus_ngram_diversity",
-    "quality_dup_correlation",
-    "doc_chunking",
-    "hybrid_rrf_retrieval",
-    "ann_recall_trunc",
-    "embedding_drift",
-    "mixture_temperature",
-    "event_funnel",
-    "event_props_rollup",
-    "cms_heavy_users",
-    "corpus_curation_app",
-    "dedup_keep_best",
-    "doc_pack_assignment",
-    "embedding_label_stats",
-    "pii_scrub",
-    "stratified_sample",
-    "word_frequencies",
-    "kmeans_clusters",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "neardup_cosine",
-    "neardup_sparse_cosine",
-    "decontaminate_overlap",
-    "doc_dup_ngram_fraction",
-    "ann_recall_lsh",
-    "asof_click_attribution",
-    "changeset_stats",
-    "comments_assembly",
-    "curation_pipeline",
-    "doc_bm25_topk",
-    "doc_winnow_fingerprints",
-    "embedding_quantize",
+    "range_temporal_join",
+    "semdedup_prune",
+    "semi_join_active",
+    "simhash_pairs",
+    "top_revenue_orders",
+    "topk_per_group",
+    "union_merge",
+    "window_prev_value",
 ]
 
 

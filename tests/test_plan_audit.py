@@ -5,6 +5,8 @@ would surface as a cluster incident at real scale."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from osmesa_spark import queries as Q
@@ -290,19 +292,70 @@ def test_realworld_geocode_plan_shape(spark):
     assert ["event_id"] in scan_cols, f"probe scan not pruned: {scan_cols}"
 
 
+def _driver_evidence_rounds() -> "tuple[dict[str, int], int]":
+    """Latest external-checker round per query, computed from the committed
+    CORRECTNESS_r*.json files at the repo root. Queries never checked map
+    to 0. Returns ({query: latest_round}, max_round_seen)."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    max_round = 0
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"r0*(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        with open(path) as f:
+            for name in json.load(f):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest, max_round
+
+
 def test_driver_priority_window_integrity():
-    """Every DRIVER_PRIORITY name must exist (a typo silently wastes one of
-    the external checker's 50 slots), and the first 50 registry entries
-    must contain all osm_* parity pipelines."""
+    """The external checker records only the FIRST 50 registry entries each
+    round, so the window ordering is what keeps every query's driver
+    evidence fresh. Three invariants, computed from the committed
+    CORRECTNESS_r*.json files (not hand-maintained lists):
+
+    1. every DRIVER_PRIORITY name exists (a typo silently wastes a slot);
+    2. the stale backlog rotates in: any query whose latest evidence is
+       >= 5 rounds old (or never checked) must be inside the window;
+    3. osm_* reference-parity pipelines never go more than 2 rounds
+       unchecked: each is either in the window or has evidence from the
+       latest-or-previous recorded round (this is what lets the osm set
+       alternate in halves instead of pinning all 30 slots forever).
+    """
     from osmesa_spark.queries import DRIVER_PRIORITY
 
     reg = Q.registry()
     missing = [n for n in DRIVER_PRIORITY if n not in reg]
     assert not missing, f"DRIVER_PRIORITY names not in registry: {missing}"
-    window = list(reg)[:50]
-    osm = [n for n in reg if n.startswith("osm_")]
-    left_out = sorted(set(osm) - set(window))
-    assert not left_out, f"osm_* queries outside the 50-entry window: {left_out}"
+
+    latest, max_round = _driver_evidence_rounds()
+    window = set(list(reg)[:50])
+
+    stale = sorted(n for n in reg if latest.get(n, 0) <= max_round - 5)
+    assert len(stale) <= 50, (
+        f"stale backlog ({len(stale)}) exceeds the window; needs a "
+        f"multi-round rotation plan: {stale}"
+    )
+    left_out = [n for n in stale if n not in window]
+    assert not left_out, f"stale queries not rotated into the window: {left_out}"
+
+    osm_stale = sorted(
+        n for n in reg
+        if n.startswith("osm_")
+        and n not in window
+        and latest.get(n, 0) < max_round - 1
+    )
+    assert not osm_stale, (
+        f"osm_* parity queries neither in the window nor recently checked: "
+        f"{osm_stale}"
+    )
 
 
 # queries whose join strategy must survive the NO-broadcast regime: at
