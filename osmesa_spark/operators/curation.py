@@ -510,7 +510,7 @@ def dsir_weights(
 
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), text_col, target.alias("is_tgt")),
-        id_col if id_col != "id" else "id",
+        "id",
     )
     bucket = lambda t: _portable_hash(t, seed) % n_buckets  # noqa: E731
     inst = (

@@ -7123,7 +7123,8 @@ def _lr_quality_sql(rounds: int = 3, n_buckets: int = 256, lr: float = 0.5,
     "against a high-quality reference' LR filter, Brown et al. 2020 "
     "app. A): 3 unrolled full-batch GD rounds over hashed-unigram counts "
     "(256 buckets), then score every doc. Per round: z/err are row-local "
-    "(weights fold as a literal map — no join), the gradient is ONE "
+    "(weights ride as a broadcast join — measured 16-65x faster than the "
+    "literal-map HOF fold, see textops._lr_fit), the gradient is ONE "
     "bucket-keyed partial agg made INTEGER-exact (per-doc error "
     "quantized to 1e-9 units, BIGINT sum — order-independent, so engines "
     "agree bit-for-bit), steps rounded 9dp; driver folds ≤256 doubles "

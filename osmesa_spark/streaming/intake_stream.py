@@ -81,6 +81,21 @@ def intake_accepted_docs(
     return out
 
 
+def _batch_content_key(df: DataFrame) -> tuple:
+    """Order-independent content fingerprint of an accepted-docs batch:
+    (row count, bounded sum of per-row xxhash64 over id+text). Cheap —
+    one partial agg over a single micro-batch — and only computed on the
+    rare replayed-batch path. The modulus keeps the LongType sum far from
+    overflow for any realistic micro-batch size."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.pmod(F.xxhash64("doc_id", "text"), F.lit(2_147_483_647))
+        ).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
 def run_streaming_corpus_intake(
     spark: SparkSession,
     src_dir: str,
@@ -120,9 +135,30 @@ def run_streaming_corpus_intake(
             n_buckets=n_buckets, seed=seed,
             lr_model=lr_model, min_p=min_p,
         ).localCheckpoint()  # one materialization feeds file write + manifest
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(docs_dir, f"batch={batch_id}")
-        )
+        tgt = os.path.join(docs_dir, f"batch={batch_id}")
+        if batch_id <= table.last_batch() and os.path.isdir(tgt):
+            # A batch id at-or-below the manifest watermark whose target
+            # dir already exists is either (a) a legitimate crash-replay —
+            # the micro-batch is deterministic from its source file, so
+            # the rewrite is content-identical and merge_batch no-ops —
+            # or (b) a LOST/RESET CHECKPOINT: ids restarted at 0 and this
+            # OVERWRITE would silently clobber an earlier batch while the
+            # manifest keeps the old rows (docs and manifest diverge, and
+            # the loss only surfaces when compact_intake_docs fails
+            # verification much later). Distinguish them by content so
+            # case (b) fails AT INGEST instead.
+            existing = _batch_content_key(accepted.sparkSession.read.parquet(tgt))
+            if existing != _batch_content_key(accepted):
+                raise ValueError(
+                    f"intake sink: micro-batch id {batch_id} is at or "
+                    f"below the committed manifest watermark "
+                    f"({table.last_batch()}) but {tgt} holds DIFFERENT "
+                    f"content — the streaming checkpoint was lost or "
+                    f"points at a different source. Refusing to clobber "
+                    f"committed batch dirs; restore the original "
+                    f"checkpoint_dir or intake into a fresh out_dir."
+                )
+        accepted.write.mode("overwrite").parquet(tgt)
         table.merge_batch(accepted, batch_id)
 
     return (

@@ -1418,3 +1418,83 @@ def test_streaming_corpus_intake_end_to_end(spark, tmp_path):
         compact_intake_docs(
             spark, out, str(tmp_path / "compacted2"), n_shards=4
         )
+
+
+def test_intake_refuses_to_clobber_on_checkpoint_loss(spark, tmp_path):
+    """ADVICE r8: if the streaming checkpoint is lost (or a caller reuses
+    out_dir with a fresh checkpoint_dir), micro-batch ids restart at 0 and
+    the per-batch OVERWRITE dirs would silently clobber earlier accepted
+    batches while merge_batch no-ops on the old watermark — docs and
+    manifest diverge and the loss only surfaces at compaction. The sink
+    must detect the different-content rewrite and fail AT INGEST."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.curation import dsir_ratio
+    from osmesa_spark.streaming.intake_stream import (
+        run_streaming_corpus_intake,
+    )
+
+    words = ["the", "data", "model", "and", "theory", "with", "science"]
+
+    def doc(i):
+        return " ".join(words * 8) + f" doc{i}"
+
+    train = spark.createDataFrame(
+        [(i, doc(100 + i), i % 2 == 0) for i in range(6)],
+        ["doc_id", "text", "is_t"],
+    )
+    ratio = dsir_ratio(train, F.col("is_t"), n_buckets=64).localCheckpoint()
+
+    t0 = "2024-01-01 00:00:00"
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, doc(1)), (2, doc(2))], ["doc_id", "text"]
+    ).select(
+        "doc_id", "text", F.to_timestamp(F.lit(t0)).alias("event_time")
+    ).coalesce(1).write.parquet(str(src / "b0"))
+
+    out = str(tmp_path / "intake")
+    q = run_streaming_corpus_intake(
+        spark, str(src) + "/*/", out, ratio, n_shards=4, n_buckets=64,
+        checkpoint_dir=str(tmp_path / "ckpt_a"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    batch0 = os.path.join(out, "docs", "batch=0")
+    committed = {
+        r["doc_id"]
+        for r in spark.read.parquet(batch0).select("doc_id").collect()
+    }
+    assert committed == {1, 2}
+
+    # "checkpoint loss": fresh checkpoint dir + different source content,
+    # same out_dir — the restarted stream's batch 0 must NOT clobber
+    src2 = tmp_path / "incoming2"
+    src2.mkdir()
+    spark.createDataFrame(
+        [(7, doc(7)), (8, doc(8))], ["doc_id", "text"]
+    ).select(
+        "doc_id", "text", F.to_timestamp(F.lit(t0)).alias("event_time")
+    ).coalesce(1).write.parquet(str(src2 / "c0"))
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q2 = run_streaming_corpus_intake(
+        spark, str(src2) + "/*/", out, ratio, n_shards=4, n_buckets=64,
+        checkpoint_dir=str(tmp_path / "ckpt_b"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(StreamingQueryException, match="checkpoint was lost"):
+        q2.processAllAvailable()
+    q2.stop()
+
+    # batch 0's committed content survived the refused clobber
+    survived = {
+        r["doc_id"]
+        for r in spark.read.parquet(batch0).select("doc_id").collect()
+    }
+    assert survived == {1, 2}
