@@ -1060,6 +1060,7 @@ def remove_duplicated_spans_char(
     text_col: str = "text",
     min_len: int = 50,
     seed: int = 13,
+    materialize: bool = True,
 ) -> DataFrame:
     """CHARACTER-level exact-substring span excision — the paper-exact
     granularity of Lee et al. 2022 (§4.1 ExactSubstr: duplicated spans of
@@ -1098,18 +1099,31 @@ def remove_duplicated_spans_char(
         F.sequence(F.lit(0), n - L),
         lambda i: _portable_hash(txt.substr(i + 1, F.lit(L)), seed),
     )
-    # checkpoint the per-DOC hash ARRAYS (not the exploded instances):
-    # the md5-per-offset kernel — the expensive pass — runs once and is
-    # stored in compact array form; the two consumers (occurrence count,
-    # semi-join probe) re-explode from it, which is cheap. Materializing
-    # the exploded (id, s, h) rows instead would store the same data with
-    # per-row overhead; not materializing at all would run the md5 pass
-    # twice (the word-gram sibling above makes the same choice).
-    win_arrays = (
-        base.where(n >= L)
-        .select("id", hashes.alias("hs"))
-        .localCheckpoint(eager=False)
-    )
+    # `materialize` picks storage vs recompute for the per-doc window-hash
+    # arrays, which BOTH downstream consumers (occurrence count, semi-join
+    # probe) need:
+    #   True  — localCheckpoint the per-DOC hash ARRAYS (not the exploded
+    #           instances, which would store the same data with per-row
+    #           overhead). The md5-per-offset kernel runs ONCE; cost is
+    #           ~8 B of executor storage per input character — at 100 TB
+    #           of text that is ~800 TB of block-manager space, which only
+    #           works if the job runs over a bounded corpus slice at a
+    #           time.
+    #   False — keep the lineage: the hash kernel recomputes for the
+    #           second consumer (2x CPU on the md5 pass, zero storage).
+    #           This is the right call when executor storage, not CPU, is
+    #           the 100 TB bottleneck.
+    # Measured at sf0.1 (documents table, local[32], interleaved medians):
+    # True 0.58 s / False 0.61 s — WITHIN each other's rep spread (~0.25 s)
+    # because at this corpus size the hash kernel doesn't dominate. The
+    # knob is a 100 TB control, not a local-bench one: pick by whether
+    # executor storage (~8 B/char) or kernel CPU (2x md5 pass) is the
+    # binding resource. Both modes are value-identical
+    # (tests/test_properties.py parametrizes the brute-force cross-check
+    # over the knob).
+    win_arrays = base.where(n >= L).select("id", hashes.alias("hs"))
+    if materialize:
+        win_arrays = win_arrays.localCheckpoint(eager=False)
     wins = win_arrays.select("id", F.posexplode("hs").alias("s", "h"))
     dup = (
         wins.groupBy("h")

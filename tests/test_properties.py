@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -1591,12 +1592,14 @@ def test_dsir_weights_tilt_toward_target(spark):
     assert out == out2
 
 
-def test_char_span_excision_matches_bruteforce(spark):
+@pytest.mark.parametrize("materialize", [True, False])
+def test_char_span_excision_matches_bruteforce(spark, materialize):
     """Char-level ExactSubstr excision vs a brute-force Python oracle on a
     corpus with cross-doc shares, a periodic self-overlapping run, a
     too-short doc and a fully-unique doc: every covered character (member
     of any ≥2-occurrence L-window) must be excised, residue order
-    preserved."""
+    preserved. Parametrized over the storage/recompute knob — the
+    checkpointed and lineage-recompute plans must be value-identical."""
     from collections import Counter
 
     from osmesa_spark.operators.dedup import remove_duplicated_spans_char
@@ -1612,7 +1615,9 @@ def test_char_span_excision_matches_bruteforce(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     got = {
         r["id"]: r
-        for r in remove_duplicated_spans_char(df, min_len=L).collect()
+        for r in remove_duplicated_spans_char(
+            df, min_len=L, materialize=materialize
+        ).collect()
     }
     counts = Counter(
         t[i : i + L] for _, t in docs for i in range(len(t) - L + 1)
