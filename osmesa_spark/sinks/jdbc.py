@@ -99,6 +99,228 @@ ON CONFLICT (proc_name) DO UPDATE SET sequence = excluded.sequence
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# Postgres deployment dialect
+# ---------------------------------------------------------------------------
+# The statements above are the SQLite stand-in the tests execute in-process.
+# Against the real deployment target the sink emits the statements below —
+# each is statement-equivalent (token-for-token after whitespace/comment
+# normalization) to the reference writer's quoted SQL, cited per statement.
+# tests/test_jdbc_sink.py snapshot-diffs them against the scala sources when
+# the reference tree is available AND cross-checks each SQLite stand-in's
+# structure (conflict target, guarded branch, merge semantics) against its
+# Postgres twin, so dialect drift cannot hide behind the stand-in. The
+# jsonb merge sub-selects replace the merge_counts/merge_measurements
+# DB-API functions (same element-wise-sum semantics, server-side);
+# `coalesce(... ) && EXCLUDED.augmented_diffs` is the sequence-overlap
+# idempotence guard that seq_overlap stands in for.
+
+# ChangesetStatsForeachWriter.scala:17-73 (UpdateChangesetsQuery)
+PG_STATS_CHANGESETS_UPSERT_SQL = """
+WITH data AS (
+  SELECT
+    ? AS id,
+    ? AS user_id,
+    ?::jsonb AS measurements,
+    ?::jsonb AS counts,
+    ? AS total_edits,
+    ?::integer[] AS augmented_diffs,
+    current_timestamp AS updated_at
+)
+INSERT INTO changesets AS c (
+  id,
+  user_id,
+  measurements,
+  counts,
+  total_edits,
+  augmented_diffs,
+  updated_at
+) SELECT * FROM data
+ON CONFLICT (id) DO UPDATE
+SET
+  user_id = coalesce(EXCLUDED.user_id, c.user_id),
+  measurements = (
+    SELECT jsonb_object_agg(key, value)
+    FROM (
+      SELECT key, sum((value->>0)::numeric) AS value
+      FROM (
+        SELECT * from jsonb_each(c.measurements)
+        UNION ALL
+        SELECT * from jsonb_each(EXCLUDED.measurements)
+      ) AS _
+      WHERE key IS NOT NULL
+      GROUP BY key
+    ) AS _
+  ),
+  counts = (
+    SELECT jsonb_object_agg(key, value)
+    FROM (
+      SELECT key, sum((value->>0)::numeric) AS value
+      FROM (
+        SELECT * from jsonb_each(c.counts)
+        UNION ALL
+        SELECT * from jsonb_each(EXCLUDED.counts)
+      ) AS _
+      WHERE key IS NOT NULL
+      GROUP BY key
+    ) AS _
+  ),
+  total_edits = coalesce(c.total_edits, 0) + coalesce(EXCLUDED.total_edits, 0),
+  augmented_diffs = coalesce(c.augmented_diffs, ARRAY[]::integer[]) || EXCLUDED.augmented_diffs,
+  updated_at = current_timestamp
+WHERE c.id = EXCLUDED.id
+  AND NOT coalesce(c.augmented_diffs, ARRAY[]::integer[]) && EXCLUDED.augmented_diffs
+""".strip()
+
+# ChangesetStatsForeachWriter.scala:75-89 / ChangesetMetadataForeachWriter
+# .scala:81-94 (UpdateUsersQuery — shared by both writers): first sighting
+# of a uid wins here; name REFRESH is the separate statement below.
+PG_USERS_INSERT_SQL = """
+WITH data AS (
+  SELECT
+    ? AS id,
+    ? AS name
+)
+INSERT INTO users AS u (
+  id,
+  name
+) SELECT * FROM data
+ON CONFLICT (id) DO NOTHING
+""".strip()
+
+# ChangesetStatsForeachWriter.scala:91-105 / ChangesetMetadataForeachWriter
+# .scala:96-109 (UpdateUsernamesQuery, gated on shouldUpdateUsernames):
+# combined with the DO NOTHING insert this is exactly the SQLite stand-in's
+# last-name-wins upsert.
+PG_USERNAMES_UPDATE_SQL = """
+WITH data AS (
+  SELECT
+    ? AS id,
+    ? AS name
+)
+UPDATE users u
+SET
+  name = data.name
+FROM data
+WHERE u.id = data.id
+  AND u.name != data.name
+""".strip()
+
+# ChangesetStatsForeachWriter.scala:107-131 (UpdateChangesetCountriesQuery)
+PG_CHANGESET_COUNTRIES_UPSERT_SQL = """
+WITH data AS (
+  SELECT
+    ? AS changeset_id,
+    id AS country_id,
+    ? AS edit_count,
+    ? AS augmented_diffs
+  FROM countries
+  WHERE code = ?
+)
+INSERT INTO changesets_countries AS cc (
+  changeset_id,
+  country_id,
+  edit_count,
+  augmented_diffs
+) SELECT * FROM data
+ON CONFLICT (changeset_id, country_id) DO UPDATE
+SET
+  edit_count = cc.edit_count + EXCLUDED.edit_count,
+  augmented_diffs = coalesce(cc.augmented_diffs, ARRAY[]::integer[]) || EXCLUDED.augmented_diffs
+WHERE cc.changeset_id = EXCLUDED.changeset_id
+  AND NOT coalesce(cc.augmented_diffs, ARRAY[]::integer[]) && EXCLUDED.augmented_diffs
+""".strip()
+
+# ChangesetMetadataForeachWriter.scala:16-44 (UpdateChangesetsQuery —
+# metadata shape: plain column refresh, no merge functions, no guard)
+PG_METADATA_CHANGESETS_UPSERT_SQL = """
+WITH data AS (
+  SELECT
+    ? AS id,
+    ? AS editor,
+    ? AS user_id,
+    ?::timestamp with time zone AS created_at,
+    ?::timestamp with time zone AS closed_at,
+    current_timestamp AS updated_at
+)
+INSERT INTO changesets AS c (
+  id,
+  editor,
+  user_id,
+  created_at,
+  closed_at,
+  updated_at
+) SELECT * FROM data
+ON CONFLICT (id) DO UPDATE
+SET
+  editor = EXCLUDED.editor,
+  user_id = EXCLUDED.user_id,
+  created_at = EXCLUDED.created_at,
+  closed_at = EXCLUDED.closed_at,
+  updated_at = current_timestamp
+WHERE c.id = EXCLUDED.id
+""".strip()
+
+# ChangesetMetadataForeachWriter.scala:46-79 (UpdateChangesetsHashtagsQuery):
+# the insert-RETURNING dance — new hashtags take a serial id, existing ones
+# keep theirs, and the changeset->hashtag link lands in the same statement.
+# The SQLite stand-in resolves the dictionary by re-select after a DO
+# NOTHING insert (HASHTAG_INSERT_SQL + upsert_hashtags), which is the same
+# stable-serial contract in two steps.
+PG_CHANGESETS_HASHTAGS_UPSERT_SQL = """
+WITH hashtag_data AS (
+  SELECT
+    ? AS hashtag
+),
+ins AS (
+  INSERT INTO hashtags AS h (
+    hashtag
+  ) SELECT * FROM hashtag_data
+  ON CONFLICT DO NOTHING
+  RETURNING id
+),
+h AS (
+  SELECT id
+  FROM ins
+  UNION ALL
+  SELECT id
+  FROM hashtag_data
+  JOIN hashtags USING(hashtag)
+),
+data AS (
+  SELECT
+    ? AS changeset_id,
+    id AS hashtag_id
+  FROM h
+)
+INSERT INTO changesets_hashtags (
+  changeset_id,
+  hashtag_id
+) SELECT * FROM data
+ON CONFLICT DO NOTHING
+""".strip()
+
+# scala val name -> (writer file, our template) for the snapshot diff
+POSTGRES_STATEMENTS = {
+    ("ChangesetStatsForeachWriter", "UpdateChangesetsQuery"):
+        PG_STATS_CHANGESETS_UPSERT_SQL,
+    ("ChangesetStatsForeachWriter", "UpdateUsersQuery"):
+        PG_USERS_INSERT_SQL,
+    ("ChangesetStatsForeachWriter", "UpdateUsernamesQuery"):
+        PG_USERNAMES_UPDATE_SQL,
+    ("ChangesetStatsForeachWriter", "UpdateChangesetCountriesQuery"):
+        PG_CHANGESET_COUNTRIES_UPSERT_SQL,
+    ("ChangesetMetadataForeachWriter", "UpdateChangesetsQuery"):
+        PG_METADATA_CHANGESETS_UPSERT_SQL,
+    ("ChangesetMetadataForeachWriter", "UpdateChangesetsHashtagsQuery"):
+        PG_CHANGESETS_HASHTAGS_UPSERT_SQL,
+    ("ChangesetMetadataForeachWriter", "UpdateUsersQuery"):
+        PG_USERS_INSERT_SQL,
+    ("ChangesetMetadataForeachWriter", "UpdateUsernamesQuery"):
+        PG_USERNAMES_UPDATE_SQL,
+}
+
+
 def _merge_json_sum(a: str, b: str, cast=int):
     """Element-wise sum of two JSON objects — the Postgres merge_counts /
     merge_measurements SQL functions the reference installs."""
