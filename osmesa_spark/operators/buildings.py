@@ -639,12 +639,16 @@ def with_support(
     Cells with no anchors keep q = 0 → p_sup = p/2, matching the
     reference's zero support sum.
 
-    Measured alternative (r7): replacing the cell window with a
-    groupBy(cell).max + broadcast join-back needs a localCheckpoint of the
-    support aggregate (it becomes a two-consumer subtree) and came out
-    SLOWER at sf0.1 (median 4.30 s vs 3.95 s over 3 reps, same machine) —
-    the extra materialization costs more than the window's sort saves.
-    Keep the window.
+    Measured alternative (r7, RE-MEASURED r9): replacing the cell window
+    with groupBy(cell).max + broadcast join-back is SLOWER at sf0.1 in
+    both flavors — interleaved medians over 3 reps: window 3.65 s,
+    checkpoint-the-aggregate + join-back 4.43 s, recompute-the-aggregate +
+    join-back 4.02 s. The support aggregate is small (one row per
+    candidate pair) and already cell-clustered, so the window's per-cell
+    sort is cheap, while the join-back adds a job boundary + broadcast
+    round-trip. The window is also the scale-safe shape: partition sizes
+    are per-cell candidate counts, bounded by the grid-cell blocking, so
+    no cell can become a straggler partition at 100 TB. Keep the window.
 
     `anchor_pred` overrides the p-threshold anchor rule with an arbitrary
     Column predicate over the scored columns (e.g. an exact integer-area
