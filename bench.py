@@ -87,6 +87,8 @@ HEADLINE = [
     "doc_dedup_spans_char",
     "doc_paragraph_dedup",
     "dsir_weights",
+    "lr_score_frozen",
+    "intake_accepted_batch",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

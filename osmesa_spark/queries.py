@@ -7044,12 +7044,17 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lr_quality_sql(rounds: int = 3, n_buckets: int = 256, lr: float = 0.5,
-                    seed: int = 31) -> str:
-    """Generated oracle for doc_lr_quality: replays the unrolled
-    full-batch GD rounds of `textops.lr_quality_train` as CTE chains —
-    per round the INTEGER-exact gradient (per-doc error quantized to 1e-9
-    units, BIGINT sum), the 9dp-rounded step, and the weight fold; the
-    final pass scores every doc under the trained weights."""
+                    seed: int = 31, train_where: str | None = None) -> str:
+    """Generated oracle for doc_lr_quality / lr_score_frozen: replays the
+    unrolled full-batch GD rounds of `textops.lr_quality_train` as CTE
+    chains — per round the INTEGER-exact gradient (per-doc error quantized
+    to 1e-9 units, BIGINT sum), the 9dp-rounded step, and the weight fold;
+    the final pass scores EVERY doc under the trained weights. With
+    `train_where`, the gradient rounds run over the matching docs only
+    (the frozen train/serve split `lr_train_weights` + `lr_score`
+    exercise); with None the output string is byte-identical to the
+    original same-frame oracle."""
+    tdocs = "docs" if train_where is None else "t_docs"
     parts = []
     prev_w, prev_b = "w0", "bias0"
     for r in range(1, rounds + 1):
@@ -7057,7 +7062,7 @@ def _lr_quality_sql(rounds: int = 3, n_buckets: int = 256, lr: float = 0.5,
     z{r} AS (
         SELECT d.id, d.y,
                COALESCE(s.zz, 0) + (SELECT b0 FROM {prev_b}) AS z
-        FROM docs d
+        FROM {tdocs} d
         LEFT JOIN (SELECT id, SUM(n * w.w) AS zz
                    FROM inst JOIN {prev_w} w USING (b) GROUP BY id) s
                USING (id)),
@@ -7082,6 +7087,10 @@ def _lr_quality_sql(rounds: int = 3, n_buckets: int = 256, lr: float = 0.5,
                              / (SELECT n FROM nn), 9), 9) AS b0)""")
         prev_w, prev_b = f"w{r}", f"bias{r}"
     chain = ",".join(parts)
+    train_cte = (
+        "" if train_where is None
+        else f"\n    t_docs AS (SELECT * FROM docs WHERE {train_where}),"
+    )
     return f"""
     WITH docs AS (
         SELECT doc_id AS id,
@@ -7096,7 +7105,8 @@ def _lr_quality_sql(rounds: int = 3, n_buckets: int = 256, lr: float = 0.5,
                COUNT(*)::BIGINT AS n
         FROM docs, LATERAL (SELECT unnest(toks) AS tok) t
         GROUP BY 1, 2),
-    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM docs),
+{train_cte}
+    nn AS (SELECT COUNT(*)::DOUBLE AS n FROM {tdocs}),
     w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS DOUBLE) AS w
            WHERE FALSE),
     bias0 AS (SELECT 0.0 AS b0),{chain},
@@ -7136,6 +7146,146 @@ def q_doc_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return lr_quality_train(d, F.col("lang") == "en").orderBy("id")
+
+
+@register(
+    "lr_score_frozen",
+    _lr_quality_sql(train_where="id % 2 = 0"),
+    doc="FROZEN LR serving — the train/serve split every ingest pipeline "
+    "runs: `lr_train_weights` fits on HALF the corpus (doc_id % 2 = 0, "
+    "label lang='en'), the returned (weights, bias) artifact is frozen, "
+    "and `lr_score` gates the WHOLE corpus against it (the streaming "
+    "intake's lr_model path, scored here as its batch twin). Serving is "
+    "one (doc,bucket) partial-count shuffle + a broadcast weight join + "
+    "an id-keyed agg — per-batch cost, independent of training history. "
+    "Oracle unrolls the identical integer-exact GD rounds over the train "
+    "half only, then scores all docs (training-data extension)",
+)
+def q_lr_score_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.textops import lr_score, lr_train_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w, b0 = lr_train_weights(
+        d.where(F.col("doc_id") % 2 == 0), F.col("lang") == "en"
+    )
+    return lr_score(d, w, b0, id_col="doc_id").orderBy("id")
+
+
+@register(
+    "intake_accepted_batch",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS words,
+               regexp_split_to_array(text, '\\n') AS lines,
+               length(text)
+                 - length(replace(text, '#', ''))
+                 + (length(text) - length(replace(text, '...', ''))) / 3
+                 + length(text) - length(replace(text, '…', '')) AS n_sym,
+               len(list_distinct(regexp_extract_all(lower(text),
+                   '\\b(the|be|to|of|and|that|have|with)\\b', 1)))
+                 AS n_stopwords
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               GREATEST(len(words), 1) AS nw,
+               GREATEST(len(lines), 1) AS nl,
+               list_sum(list_transform(words, w -> length(w))) AS sum_wl,
+               list_sum(list_transform(words, w ->
+                   CASE WHEN regexp_matches(w, '[A-Za-z]')
+                        THEN 1 ELSE 0 END)) AS n_alpha_words,
+               list_sum(list_transform(lines, l ->
+                   CASE WHEN substr(ltrim(l), 1, 1) IN ('-', '*', '•')
+                        THEN 1 ELSE 0 END)) AS n_bullet,
+               list_sum(list_transform(lines, l ->
+                   CASE WHEN rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'
+                        THEN 1 ELSE 0 END)) AS n_ell_lines,
+               n_sym, n_stopwords
+        FROM f),
+    kept AS (
+        SELECT doc_id FROM g
+        WHERE (n_words BETWEEN 50 AND 100000)
+          AND (sum_wl / nw BETWEEN 3.0 AND 10.0)
+          AND (n_sym / nw <= 0.1)
+          AND (n_bullet / nl <= 0.9)
+          AND (n_ell_lines / nl <= 0.3)
+          AND (n_alpha_words / nw >= 0.8)),
+    ded AS (
+        SELECT MIN(d.doc_id) AS doc_id
+        FROM documents d JOIN kept USING (doc_id)
+        GROUP BY d.text),
+    t_docs AS (
+        SELECT (lang = 'en') AS is_tgt,
+               regexp_extract_all(lower(COALESCE(text, '')),
+                                  '([a-z0-9]+)', 1) AS w
+        FROM documents WHERE doc_id % 2 = 0),
+    fits AS (
+        SELECT ('0x' || substr(md5('29:' || t.tok), 1, 15))::BIGINT
+                 % 4096 AS b,
+               COUNT(*)::BIGINT AS c_raw,
+               SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+        FROM t_docs, LATERAL (SELECT unnest(w) AS tok) t
+        GROUP BY 1),
+    tot AS (SELECT SUM(c_raw)::BIGINT AS t_raw, SUM(c_tgt)::BIGINT AS t_tgt
+            FROM fits),
+    ratio AS (
+        SELECT b, ln((c_tgt + 0.5) / (t_tgt + 0.5 * 4096))
+                - ln((c_raw + 0.5) / (t_raw + 0.5 * 4096)) AS lr
+        FROM fits, tot),
+    s_inst AS (
+        SELECT dd.doc_id AS id,
+               ('0x' || substr(md5('29:' || t.tok), 1, 15))::BIGINT
+                 % 4096 AS b,
+               COUNT(*)::BIGINT AS n
+        FROM ded dd
+        JOIN documents d USING (doc_id),
+        LATERAL (SELECT unnest(regexp_extract_all(
+            lower(COALESCE(d.text, '')), '([a-z0-9]+)', 1)) AS tok) t
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT id, SUM(n)::BIGINT AS n_tokens,
+               ROUND(SUM(n * COALESCE(r.lr, 0.0)), 6) AS logw
+        FROM s_inst LEFT JOIN ratio r USING (b) GROUP BY id)
+    SELECT id AS doc_id, n_tokens, logw
+    FROM scored
+    WHERE logw >= -12.0
+    ORDER BY doc_id
+    """,
+    doc="BATCH TWIN of the streaming corpus intake "
+    "(streaming/intake_stream.py): Gopher rule gate (the bundle minus "
+    "the distinct-stopword floor, which the synthetic corpus cannot "
+    "pass — zero rows would make the check vacuous) → exact dedup "
+    "first-seen-wins (min doc_id per identical text — the batch "
+    "equivalent of dropDuplicatesWithinWatermark's first arrival) → "
+    "DSIR scoring against a ratio FROZEN from the doc_id%2=0 train half "
+    "(target lang='en') → importance threshold logw >= -12. Exercises the "
+    "frozen `dsir_ratio`/`dsir_score` train/serve split end-to-end; the "
+    "same chain the stream applies per micro-batch, so this oracle is "
+    "the stream's ground truth at any scale (training-data extension)",
+)
+def q_intake_accepted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.functions.text import gopher_quality_flags
+    from osmesa_spark.operators.curation import dsir_ratio
+    from osmesa_spark.streaming.intake_stream import intake_accepted_docs
+
+    d = _t(spark, sf_dir, "documents")
+    ratio = dsir_ratio(
+        d.where(F.col("doc_id") % 2 == 0), F.col("lang") == "en"
+    ).localCheckpoint(eager=False)
+    g = gopher_quality_flags("text")
+    gated = d.where(
+        g["r_word_count"] & g["r_word_len"] & g["r_symbols"]
+        & g["r_bullets"] & g["r_ellipsis"] & g["r_alpha_words"]
+    )
+    deduped = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # -12.0 sits mid-distribution for the synthetic corpus (logw is
+    # negative throughout: the en target is a corpus minority), so the
+    # gate genuinely splits accepted from rejected at every SF
+    accepted = intake_accepted_docs(
+        deduped.select("doc_id", "text"), ratio, min_logw=-12.0
+    )
+    return accepted.select("doc_id", "n_tokens", "logw").orderBy("doc_id")
 
 
 # OSM-domain parity queries over deterministic generated fixtures
@@ -7210,13 +7360,18 @@ DRIVER_PRIORITY = [
     "osm_user_footprint",
     "osm_user_statistics",
     "osm_hashtag_statistics",
-    "osm_country_statistics",
-    "osm_hashtag_user_statistics",
     "osm_changeset_metadata",
     "osm_way_tile_cover",
     "osm_relation_assembly_deep",
+    # NEW this round (r9): frozen train/serve paths — never driver-checked
+    "lr_score_frozen",
+    "intake_accepted_batch",
     # ---- 50-slot window boundary ----
-    # osm parity half B (queued first for the r10 window)
+    # osm parity half B (queued first for the r10 window; country_stats +
+    # hashtag_user_stats moved here from half A to make room for the two
+    # new r9 entries — both are r8-green)
+    "osm_country_statistics",
+    "osm_hashtag_user_statistics",
     "osm_geocode_grid",
     "osm_geocode_realworld",
     "osm_relation_members",

@@ -64,6 +64,12 @@ SCALE_SLICE = [
     # the integer-exact gradient + 9dp step discipline must hold where
     # float sums would actually diverge
     "doc_lr_quality",
+    # r9: the FROZEN train/serve split — the ratio/weights fit on the
+    # doc_id%2 train half while serving covers the whole corpus, so the
+    # train/serve asymmetry (and the intake chain's gate+dedup+threshold
+    # composition) re-verifies where the two sides actually diverge
+    "lr_score_frozen",
+    "intake_accepted_batch",
 ]
 
 
