@@ -77,6 +77,7 @@ HEADLINE = [
     "doc_gopher_rules",
     "doc_lr_quality",
     "source_doc_cap",
+    "source_doc_cap_topk",
     "multimodal_resize",
     "multimodal_phash_pairs",
     "curation_pipeline",

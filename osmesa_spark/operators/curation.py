@@ -682,3 +682,65 @@ def dsir_ratio(
             )
         ).alias("lr"),
     )
+
+
+def group_topk_salted(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    order_by: "list[Column]",
+    id_col: str = "doc_id",
+    n_salt: int = 8,
+) -> DataFrame:
+    """Top-K rows per group under a TOTAL order, with NO unbounded window
+    partition — the skew-safe shape of the per-domain document cap at
+    100 TB (a single dominant domain otherwise lands its entire row set
+    in ONE window partition: O(1) rank state, but the sort of that
+    partition is a straggler task as long as the domain is large).
+
+    Two phases, both with bounded partitions:
+
+      1. LOCAL top-K per (group, salt) — salt is a deterministic hash of
+         the row key (replayable, no RNG), so every salt bucket holds
+         ~1/n_salt of even the hottest group. Any row in the group's
+         global top-K is necessarily in its bucket's local top-K, so
+         phase 1 never discards a winner.
+      2. EXACT top-K per group over the survivors — at most k·n_salt rows
+         per group reach this window, so the final sort is O(k·n_salt)
+         per group regardless of the group's true size.
+
+    `order_by` must be a TOTAL order (include the id as tiebreaker) or
+    ranks are nondeterministic. Returns the input columns + `rank`
+    (1..K within group). For ALL-rows ranking (every doc gets a rank,
+    like the `source_doc_cap` diagnostic) the full per-group sort is
+    inherent to the output — use the plain window and accept the
+    straggler; cap queries only need the kept rows, which is what this
+    shape computes.
+
+    Cited shape: the Gopher/FineWeb 'domain cap' anti-spam rule; same
+    two-phase trick as Spark's TakeOrderedAndProject, applied per group.
+
+    Measured (local[32], 32M-row hot domain + 20 cold domains, medians of
+    3): plain window 3.9 s vs salted 4.0 s — NEUTRAL locally, because both
+    pay the same 32M-row exchange and an in-memory single-task sort is
+    fast. The shape exists for the cluster regime the local bench cannot
+    reach: a domain holding billions of rows makes the plain window's one
+    partition exceed executor memory (disk-spill sort, hours-long
+    straggler), while every salted partition stays ~1/n_salt of the
+    domain and phase 2 is O(k·n_salt). Equality with the plain window is
+    pinned by tests/test_properties.py::test_group_topk_salted_matches_window."""
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(*order_by)
+    local = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") <= k)
+        .drop("__salt", "__r")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        local.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= k)
+    )

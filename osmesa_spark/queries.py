@@ -1634,6 +1634,60 @@ def q_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_doc_cap_topk",
+    f"""
+    WITH f AS (
+        SELECT doc_id, source,
+               length(text) AS n_chars_c,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|in|a|is|for)\\b', 1)) AS stop_hits
+        FROM documents),
+    q AS (
+        SELECT doc_id, source,
+               ROUND(
+                 (alpha / GREATEST(n_chars_c, 1)) * 0.5
+                 + (CASE WHEN n_chars_c / GREATEST(n_tokens, 1)
+                              BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) * 0.25
+                 + LEAST((stop_hits / GREATEST(n_tokens, 1)) * 5.0, 1.0)
+                   * 0.25,
+               4) AS quality
+        FROM f),
+    r AS (
+        SELECT doc_id, source, quality,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rk
+        FROM q)
+    SELECT doc_id, source, quality, rk::INT AS rank
+    FROM r
+    WHERE rk <= 40
+    ORDER BY source, rank
+    """,
+    doc="per-domain document cap, KEPT ROWS ONLY, in the skew-safe "
+    "two-phase shape (`curation.group_topk_salted`): local top-K per "
+    "(source, hash-salt) bucket — every bucket holds ~1/8 of even the "
+    "hottest domain — then exact top-K over the ≤ K·8 survivors per "
+    "source. Unlike `source_doc_cap` (which ranks EVERY doc and so "
+    "inherently sorts whole domains), the cap output only needs the "
+    "winners, and this shape bounds every window partition regardless "
+    "of domain skew — the plan that survives a single dominant domain "
+    "at 100 TB. Total order (quality desc, doc_id) makes ranks "
+    "deterministic; oracle is the plain windowed top-K (curation "
+    "extension)",
+)
+def q_source_doc_cap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.curation import group_topk_salted
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", "source", quality_score("text").alias("quality"))
+    return group_topk_salted(
+        q, 40, "source", [F.col("quality").desc(), F.col("doc_id")]
+    ).orderBy("source", "rank")
+
+
+@register(
     "doc_quality_bins",
     """
     WITH f AS (
@@ -7359,19 +7413,21 @@ DRIVER_PRIORITY = [
     "osm_tile_pyramid",
     "osm_user_footprint",
     "osm_user_statistics",
-    "osm_hashtag_statistics",
     "osm_changeset_metadata",
     "osm_way_tile_cover",
     "osm_relation_assembly_deep",
-    # NEW this round (r9): frozen train/serve paths — never driver-checked
+    # NEW this round (r9): frozen train/serve paths + the skew-safe
+    # domain-cap top-K — never driver-checked
     "lr_score_frozen",
     "intake_accepted_batch",
+    "source_doc_cap_topk",
     # ---- 50-slot window boundary ----
-    # osm parity half B (queued first for the r10 window; country_stats +
-    # hashtag_user_stats moved here from half A to make room for the two
-    # new r9 entries — both are r8-green)
+    # osm parity half B (queued first for the r10 window; country_stats,
+    # hashtag_user_stats and hashtag_stats moved here from half A to make
+    # room for the three new r9 entries — all r8-green)
     "osm_country_statistics",
     "osm_hashtag_user_statistics",
+    "osm_hashtag_statistics",
     "osm_geocode_grid",
     "osm_geocode_realworld",
     "osm_relation_members",

@@ -1790,3 +1790,56 @@ def test_capped_lsh_survives_degenerate_bucket_flood(spark):
         f"flooded run {t_flood:.1f}s vs base {t_base:.1f}s — "
         f"not the linear-cost regime"
     )
+
+
+def test_group_topk_salted_matches_window(spark):
+    """The skew-safe two-phase per-group top-K must return EXACTLY the
+    plain window's kept rows (ranks included) on a skewed frame — one hot
+    group dwarfing the others plus a group smaller than K — for several
+    salt widths. Phase 1 may never discard a global winner (any global
+    top-K row is in its salt bucket's local top-K by construction)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.curation import group_topk_salted
+
+    hot = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("hot").alias("source"),
+        (F.pmod(F.xxhash64("id"), F.lit(997)) / 997.0).alias("quality"),
+    )
+    cold = spark.range(90).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("cold"), F.pmod(F.col("id"), F.lit(3)).cast("string")
+        ).alias("source"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(997)) / 997.0).alias(
+            "quality"
+        ),
+    )
+    tiny = spark.range(5).select(  # group smaller than K
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        F.lit("tiny").alias("source"),
+        F.lit(0.5).alias("quality"),
+    )
+    df = hot.unionByName(cold).unionByName(tiny).localCheckpoint()
+    order = [F.col("quality").desc(), F.col("doc_id")]
+    w = Window.partitionBy("source").orderBy(*order)
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 40)
+            .collect(),
+        )
+    )
+    for n_salt in (1, 4, 16):
+        got = sorted(
+            map(
+                tuple,
+                group_topk_salted(
+                    df, 40, "source", order, n_salt=n_salt
+                ).collect(),
+            )
+        )
+        assert got == want, f"n_salt={n_salt}: salted != window"

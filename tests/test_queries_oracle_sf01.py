@@ -70,6 +70,9 @@ SCALE_SLICE = [
     # composition) re-verifies where the two sides actually diverge
     "lr_score_frozen",
     "intake_accepted_batch",
+    # r9: the two-phase salted top-K — bucket occupancy and the phase-2
+    # survivor count both shift with corpus size
+    "source_doc_cap_topk",
 ]
 
 
