@@ -90,6 +90,7 @@ HEADLINE = [
     "dsir_weights",
     "lr_score_frozen",
     "intake_accepted_batch",
+    "lr_calibration",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

@@ -7203,6 +7203,70 @@ def q_doc_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lr_calibration",
+    f"""
+    WITH s AS ({_lr_quality_sql(rounds=1)}),
+    lab AS (SELECT doc_id AS id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents),
+    b AS (
+        SELECT LEAST(CAST(ROUND(s.p * 1000000.0, 0) AS BIGINT) // 100000,
+                     9)::INT AS bin,
+               CAST(ROUND(s.p * 1000000.0, 0) AS BIGINT) AS p_e6,
+               lab.y
+        FROM s JOIN lab USING (id))
+    SELECT bin,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM(p_e6) / (COUNT(*) * 1000000.0), 6) AS mean_p,
+           ROUND(SUM(y) / (COUNT(*) * 1.0), 6) AS pos_rate
+    FROM b
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    doc="Calibration (reliability) bins for the in-engine LR quality "
+    "classifier: train as doc_lr_quality, decile-bin the predicted p and "
+    "report per-bin count, mean prediction and empirical positive rate — "
+    "the reliability diagram behind choosing a gate threshold. Trained "
+    "ONE GD round, deliberately under-trained: the fully-trained model "
+    "separates this corpus so sharply that every p lands in one decile "
+    "and the diagram degenerates — one round spreads predictions over "
+    "4+ bins at every SF, which is what a calibration readout is for. "
+    "Engine-portable by integer math: p is 6dp, so p·1e6 is an exact "
+    "BIGINT — bins come from integer division and means from exact "
+    "integer sums, never float accumulation order. One groupBy over "
+    "10 bins on top of the training pass (training-data extension)",
+)
+def q_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.textops import lr_quality_train
+
+    d = _t(spark, sf_dir, "documents")
+    scores = lr_quality_train(d, F.col("lang") == "en", rounds=1)
+    lab = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    p_e6 = F.round(F.col("p") * 1e6, 0).cast("bigint")
+    b = scores.join(lab, "id").select(
+        F.least(F.floor(p_e6 / 100000).cast("int"), F.lit(9)).alias("bin"),
+        p_e6.alias("p_e6"),
+        "y",
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("p_e6") / (F.count(F.lit(1)) * 1e6), 6
+            ).alias("mean_p"),
+            F.round(
+                F.sum("y") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
     "lr_score_frozen",
     _lr_quality_sql(train_where="id % 2 = 0"),
     doc="FROZEN LR serving — the train/serve split every ingest pipeline "
@@ -7419,23 +7483,24 @@ DRIVER_PRIORITY = [
     "osm_geocode",
     "osm_hashtags",
     "osm_tile_pyramid",
-    "osm_user_footprint",
     "osm_user_statistics",
     "osm_changeset_metadata",
     "osm_way_tile_cover",
     "osm_relation_assembly_deep",
-    # NEW this round (r9): frozen train/serve paths + the skew-safe
-    # domain-cap top-K — never driver-checked
+    # NEW this round (r9): frozen train/serve paths, the skew-safe
+    # domain-cap top-K, and the LR calibration bins — never driver-checked
     "lr_score_frozen",
     "intake_accepted_batch",
     "source_doc_cap_topk",
+    "lr_calibration",
     # ---- 50-slot window boundary ----
     # osm parity half B (queued first for the r10 window; country_stats,
-    # hashtag_user_stats and hashtag_stats moved here from half A to make
-    # room for the three new r9 entries — all r8-green)
+    # hashtag_user_stats, hashtag_stats and user_footprint moved here from
+    # half A to make room for the four new r9 entries — all r8-green)
     "osm_country_statistics",
     "osm_hashtag_user_statistics",
     "osm_hashtag_statistics",
+    "osm_user_footprint",
     "osm_geocode_grid",
     "osm_geocode_realworld",
     "osm_relation_members",

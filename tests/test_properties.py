@@ -1843,3 +1843,45 @@ def test_group_topk_salted_matches_window(spark):
             )
         )
         assert got == want, f"n_salt={n_salt}: salted != window"
+
+
+def test_capped_phash_survives_identical_media_flood(spark):
+    """The phash LSH cap's flood evidence, mirroring the minhash one: 5k
+    media docs with IDENTICAL payloads (one fingerprint, over-cap in every
+    band) must cost exactly their 4,999 hamming-0 star edges on top of the
+    base corpus's pairs — never the ~12.5M quadratic bucket expansion —
+    and true duplicates must survive the cap (the star edges ARE the
+    duplicate evidence, connecting every member to the min-id rep)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from osmesa_spark import queries as Q
+    from osmesa_spark.operators import multimodal as mm
+
+    base = (
+        Q._t(spark, "/root/testdata/sf0.1", "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    flood = spark.range(5_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit("identical synthetic payload body for the phash flood").alias(
+            "text"
+        ),
+    )
+
+    def run(df):
+        t0 = time.perf_counter()
+        n = mm.phash_pairs(df, max_hamming=3, max_bucket=500).count()
+        return n, time.perf_counter() - t0
+
+    n_base, t_base = run(base)
+    n_flood, t_flood = run(base.unionByName(flood))
+    extra = n_flood - n_base
+    assert 4_999 <= extra <= 5_050, (
+        f"flood added {extra} pairs (base {n_base}, flooded {n_flood})"
+    )
+    assert t_flood < t_base * 4 + 5, (
+        f"flooded {t_flood:.1f}s vs base {t_base:.1f}s — not linear routing"
+    )
