@@ -1498,3 +1498,73 @@ def test_intake_refuses_to_clobber_on_checkpoint_loss(spark, tmp_path):
         for r in spark.read.parquet(batch0).select("doc_id").collect()
     }
     assert survived == {1, 2}
+
+
+def test_streaming_dedup_state_is_watermark_bounded(spark, tmp_path):
+    """The 100 TB claim behind streaming_exact_dedup — 'state is bounded by
+    the horizon, not by stream length' — made machine-checked: feed
+    batches whose event time advances far past the 10-minute horizon and
+    assert, from the engine's own stateOperators metrics, that total state
+    rows stay WELL below the number of distinct keys ever seen (eviction
+    is happening) instead of growing monotonically like a naive
+    dropDuplicates would."""
+    import json
+    import os
+
+    from osmesa_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    drop = tmp_path / "docs"
+    os.makedirs(drop)
+    keys_per_batch, n_batches = 200, 6
+    for i in range(n_batches):
+        path = drop / f"{i}.json"
+        with open(path, "w") as f:
+            for j in range(keys_per_batch):
+                f.write(json.dumps({
+                    "doc_id": f"{i}-{j}",
+                    "text": f"unique document body {i} {j}",
+                    # each batch jumps 1 hour — 6x the 10-minute horizon,
+                    # so batch i's state is evictable once batch i+1 lands
+                    "event_time": f"2024-01-01 {i:02d}:00:{j % 60:02d}",
+                }) + "\n")
+        os.utime(path, (1700000000 + i, 1700000000 + i))
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, text string, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drop))
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_state_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    state_rows = None
+    progress = q.recentProgress
+    q.stop()
+    totals = [
+        op["numRowsTotal"]
+        for p in progress
+        for op in (p.get("stateOperators") or [])
+        if "numRowsTotal" in op
+    ]
+    assert totals, "no stateOperators metrics captured"
+    state_rows = max(totals)
+    distinct_seen = keys_per_batch * n_batches
+    # all rows are distinct, so unbounded state would reach 1200; the
+    # watermark keeps at most ~2 horizons' worth (one live batch + the
+    # not-yet-evicted previous one)
+    assert state_rows <= 2 * keys_per_batch + 50, (
+        f"state grew to {state_rows} rows for {distinct_seen} distinct keys "
+        f"— watermark eviction is not bounding it"
+    )
+    # and the output kept every distinct doc (eviction lost nothing)
+    assert (
+        spark.sql("SELECT COUNT(*) FROM dedup_state_probe").first()[0]
+        == distinct_seen
+    )
