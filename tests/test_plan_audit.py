@@ -265,6 +265,11 @@ EXTENSIONS_JVM_ONLY = [
     "doc_dedup_spans_char",
     "osm_tag_cooccurrence",
     "doc_lr_quality",
+    # r9: frozen serve paths, skew-safe domain cap, calibration bins
+    "lr_score_frozen",
+    "intake_accepted_batch",
+    "source_doc_cap_topk",
+    "lr_calibration",
 ]
 
 
