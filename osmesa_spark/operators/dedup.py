@@ -254,6 +254,77 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
+def sparse_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 100,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs via INVERTED-INDEX join — the
+    token-space counterpart of MinHash (exact weights, no signature
+    approximation). Per-(doc, term) tf·idf weights; a term-keyed self-join
+    accumulates partial dot products; full doc norms normalize.
+
+    Scale bound: terms with document frequency > `max_df` are pruned from
+    the INDEX (not the norms — pruning can only LOWER similarity, never
+    inflate it). This is the standard sparse-all-pairs trick: a stop-word
+    shared by every doc otherwise contributes O(N²) join rows through one
+    posting list. At 100 TB keep max_df ≪ corpus size (e.g. 1e5).
+    Measured flood evidence: tests/test_properties.py::
+    test_sparse_cosine_survives_stopword_flood.
+
+    Output: (id_a, id_b, cos) — id_a < id_b, cos 6dp, cos >= threshold."""
+    from osmesa_spark.functions.text import word_tokens
+
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(text_col)).alias("w"),
+    )
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    wts = tf.join(df_, "w").select(
+        "doc_id",
+        "w",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wt"),
+        "df",
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    idx = wts.where(F.col("df") <= max_df).select("doc_id", "w", "wt")
+    a = idx.select(
+        F.col("doc_id").alias("id_a"), "w", F.col("wt").alias("wa")
+    )
+    b = idx.select(
+        F.col("doc_id").alias("id_b"), "w", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "w")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.round(
+        F.col("dot") / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)), 6
+    )
+    # no broadcast HINT on the norm joins: norms is PER-DOC (corpus-sized
+    # at 100 TB) — forcing it into executor memory is the one shape that
+    # cannot scale. Catalyst still broadcasts when the side fits the
+    # threshold; above it the join degrades to SMJ on id (regime-tested).
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,

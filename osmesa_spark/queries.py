@@ -6254,53 +6254,12 @@ _SPARSE_THRESHOLD = 0.6
     "extension)",
 )
 def q_neardup_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.dedup import sparse_cosine_pairs
+
     d = _t(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(text_fns.word_tokens("text")).alias("w")
-    )
-    tf = words.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    n_docs = tf.select("doc_id").distinct().count()
-    wts = tf.join(df_, "w").select(
-        "doc_id",
-        "w",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wt"),
-        "df",
-    )
-    norms = wts.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
-    )
-    idx = wts.where(F.col("df") <= _SPARSE_MAX_DF).select("doc_id", "w", "wt")
-    a = idx.select(
-        F.col("doc_id").alias("id_a"), "w", F.col("wt").alias("wa")
-    )
-    b = idx.select(
-        F.col("doc_id").alias("id_b"), "w", F.col("wt").alias("wb")
-    )
-    dots = (
-        a.join(b, "w")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
-    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
-    cos = F.round(
-        F.col("dot") / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)), 6
-    )
-    # no broadcast HINT on the norm joins: norms is PER-DOC (corpus-sized
-    # at 100 TB) — forcing it into executor memory is the one shape that
-    # cannot scale. Catalyst still broadcasts when the side fits the
-    # threshold; above it the join degrades to SMJ on id (regime-tested).
-    return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .select("id_a", "id_b", cos.alias("cos"))
-        .where(F.col("cos") >= _SPARSE_THRESHOLD)
-        .orderBy("id_a", "id_b")
-    )
+    return sparse_cosine_pairs(
+        d, max_df=_SPARSE_MAX_DF, threshold=_SPARSE_THRESHOLD
+    ).orderBy("id_a", "id_b")
 
 
 @register(

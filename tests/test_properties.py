@@ -1885,3 +1885,54 @@ def test_capped_phash_survives_identical_media_flood(spark):
     assert t_flood < t_base * 4 + 5, (
         f"flooded {t_flood:.1f}s vs base {t_base:.1f}s — not linear routing"
     )
+
+
+def test_sparse_cosine_survives_stopword_flood(spark):
+    """The max_df claim of the inverted-index cosine join, flood-tested
+    like its LSH siblings: 20k docs sharing ubiquitous boilerplate tokens
+    (every token df=20k ≫ max_df) must contribute ZERO posting-list rows —
+    the O(N²)-per-hot-term join surface the prune exists to prevent — so
+    the pair set and wall time stay at the base corpus's. The flood docs
+    are exact duplicates and belong to the exact/minhash tiers; pruning
+    only ever LOWERS similarity (norms keep every term), never invents
+    pairs."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from osmesa_spark import queries as Q
+    from osmesa_spark.operators.dedup import sparse_cosine_pairs
+
+    base = Q._t(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    flood = spark.range(20_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit(
+            "cookie policy accept decline privacy terms contact about home"
+        ).alias("text"),
+    )
+
+    def run(df):
+        t0 = time.perf_counter()
+        got = sorted(
+            map(
+                tuple,
+                sparse_cosine_pairs(df, max_df=100, threshold=0.6).collect(),
+            )
+        )
+        return got, time.perf_counter() - t0
+
+    base_pairs, t_base = run(base)
+    flood_pairs, t_flood = run(base.unionByName(flood))
+    # every flood token's df exceeds max_df, so the flood cannot appear in
+    # any pair NOR change the base pairs' membership (idf shifts with
+    # corpus size, but no flood doc survives into the index)
+    flood_ids = {i for pair in flood_pairs for i in pair[:2]}
+    assert not any(i >= 10_000_000 for i in flood_ids), (
+        "flood docs leaked into the pruned index"
+    )
+    assert len(flood_pairs) == len(base_pairs)
+    assert t_flood < t_base * 4 + 5, (
+        f"flooded {t_flood:.1f}s vs base {t_base:.1f}s"
+    )
