@@ -91,6 +91,7 @@ HEADLINE = [
     "lr_score_frozen",
     "intake_accepted_batch",
     "lr_calibration",
+    "length_bucket_padding",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

@@ -5423,6 +5423,70 @@ def q_split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_bucket_padding",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(COALESCE(text, '')),
+                   '([a-z0-9]+)', 1))::BIGINT AS n_tokens
+        FROM documents),
+    b AS (
+        SELECT doc_id, n_tokens,
+               LEAST(n_tokens // 16, 7)::INT AS bucket
+        FROM t)
+    SELECT bucket,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS sum_tokens,
+           MAX(n_tokens)::BIGINT AS max_tokens,
+           (COUNT(*) * MAX(n_tokens) - SUM(n_tokens))::BIGINT AS pad_tokens,
+           ROUND((COUNT(*) * MAX(n_tokens) - SUM(n_tokens))
+                 / GREATEST(COUNT(*) * MAX(n_tokens), 1) / 1.0, 6)
+             AS pad_frac
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Length-bucketed batching efficiency (the padding-waste readout "
+    "behind bucketed batch assembly — sequences batched with unlike "
+    "lengths pad to the batch max and burn compute on pad tokens): "
+    "bucket docs by token-length bands (16-token bands, top band open), "
+    "report per-bucket count, token mass, bucket max and the padding "
+    "waste a max-length-padded batch of that bucket would incur. All "
+    "integer math except the final 6dp ratio of two exact integers — "
+    "engine-portable. One map-side-combined agg over 8 groups; the "
+    "token count is the same word tokenizer every curation op shares "
+    "(training-data extension)",
+)
+def q_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        text_fns.word_tokens(F.coalesce(F.col("text"), F.lit("")))
+    ).cast("bigint")
+    b = d.select(
+        n_tok.alias("n_tokens"),
+        F.least(F.floor(n_tok / 16), F.lit(7)).cast("int").alias("bucket"),
+    )
+    pad = F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            pad.cast("bigint").alias("pad_tokens"),
+            F.round(
+                pad
+                / F.greatest(
+                    F.count(F.lit(1)) * F.max("n_tokens"), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("pad_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "token_budget_plan",
     """
     WITH per AS (
@@ -7441,7 +7505,6 @@ DRIVER_PRIORITY = [
     "osm_changeset_stats",
     "osm_geocode",
     "osm_hashtags",
-    "osm_tile_pyramid",
     "osm_user_statistics",
     "osm_changeset_metadata",
     "osm_way_tile_cover",
@@ -7452,14 +7515,17 @@ DRIVER_PRIORITY = [
     "intake_accepted_batch",
     "source_doc_cap_topk",
     "lr_calibration",
+    "length_bucket_padding",
     # ---- 50-slot window boundary ----
     # osm parity half B (queued first for the r10 window; country_stats,
-    # hashtag_user_stats, hashtag_stats and user_footprint moved here from
-    # half A to make room for the four new r9 entries — all r8-green)
+    # hashtag_user_stats, hashtag_stats, user_footprint and tile_pyramid
+    # moved here from half A to make room for the five new r9 entries —
+    # all r8-green)
     "osm_country_statistics",
     "osm_hashtag_user_statistics",
     "osm_hashtag_statistics",
     "osm_user_footprint",
+    "osm_tile_pyramid",
     "osm_geocode_grid",
     "osm_geocode_realworld",
     "osm_relation_members",

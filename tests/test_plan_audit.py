@@ -270,6 +270,7 @@ EXTENSIONS_JVM_ONLY = [
     "intake_accepted_batch",
     "source_doc_cap_topk",
     "lr_calibration",
+    "length_bucket_padding",
 ]
 
 
