@@ -246,9 +246,14 @@ def split_errors(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 # osmChange XML (S5): distributed SAX-free parse via mapInPandas
 # ---------------------------------------------------------------------------
 
-def _parse_osc_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _parse_osc_batch(
+    batches: Iterator[pd.DataFrame], with_errors: bool = False
+) -> Iterator[pd.DataFrame]:
     import xml.etree.ElementTree as ET
 
+    cols = [f.name for f in schemas.CHANGES.fields]
+    if with_errors:
+        cols = cols + ["_corrupt"]
     for pdf in batches:
         out: list[dict] = []
         for _, row in pdf.iterrows():
@@ -258,6 +263,19 @@ def _parse_osc_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             try:
                 root = ET.fromstring(row["content"])
             except ET.ParseError:
+                # dead-letter parity with the augmented-diff source: in
+                # with_errors mode the corrupt file becomes ONE row whose
+                # _corrupt column carries the (truncated) payload so
+                # split_errors lands it in the errors table; the default
+                # mode keeps the historical drop-silently contract
+                if with_errors:
+                    # every field explicitly None: pandas fills missing
+                    # keys with float NaN, which Arrow rejects for the
+                    # map/array-typed columns (tags, nds)
+                    blank = {f.name: None for f in schemas.CHANGES.fields}
+                    blank["sequence"] = seq
+                    blank["_corrupt"] = str(row["content"])[:512]
+                    out.append(blank)
                 continue
             for action in root:  # create | modify | delete
                 visible = action.tag != "delete"
@@ -285,18 +303,25 @@ def _parse_osc_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             "visible": visible,
                         }
                     )
-        yield pd.DataFrame(
-            out,
-            columns=[f.name for f in schemas.CHANGES.fields],
-        )
+        yield pd.DataFrame(out, columns=cols)
 
 
 def read_changes_xml(
-    spark: SparkSession, drop_dir: str, streaming: bool = False
+    spark: SparkSession,
+    drop_dir: str,
+    streaming: bool = False,
+    with_errors: bool = False,
 ) -> DataFrame:
     """osmChange XML drop-dir (<sequence>.osc) → CHANGES rows. Whole-file
     text read (distributed), XML parse in Arrow-batched Python per executor —
-    the SAXBench-equivalent path (src/bench/.../SAXBench.scala)."""
+    the SAXBench-equivalent path (src/bench/.../SAXBench.scala).
+
+    `with_errors=True` adds the `_corrupt` column the augmented-diff source
+    carries: an unparseable .osc file yields one row with its sequence and
+    truncated payload instead of vanishing, and `split_errors` routes it to
+    the errors (dead-letter) table — the 05-errors.sql discipline applied
+    to the XML stream too. Default False preserves the plain CHANGES
+    schema for existing consumers."""
     pattern = os.path.join(drop_dir, "*.osc")
     if streaming:
         raw = (
@@ -313,6 +338,21 @@ def read_changes_xml(
     from osmesa_spark.session import ship_package
 
     ship_package(spark)
+    if with_errors:
+        import functools
+
+        from pyspark.sql import types as T
+
+        # all-nullable variant: a corrupt row legitimately has no type/id,
+        # and split_errors removes such rows before downstream consumers
+        # that rely on the strict CHANGES contract see them
+        schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True)
+             for f in schemas.CHANGES.fields]
+            + [T.StructField("_corrupt", T.StringType())]
+        )
+        fn = functools.partial(_parse_osc_batch, with_errors=True)
+        return raw.mapInPandas(fn, schema=schema)
     return raw.mapInPandas(_parse_osc_batch, schema=schemas.CHANGES)
 
 

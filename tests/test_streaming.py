@@ -1568,3 +1568,39 @@ def test_streaming_dedup_state_is_watermark_bounded(spark, tmp_path):
         spark.sql("SELECT COUNT(*) FROM dedup_state_probe").first()[0]
         == distinct_seen
     )
+
+
+def test_changes_xml_dead_letters_corrupt_files(spark, tmp_path):
+    """S5 dead-letter parity: a corrupt .osc sequence file must not vanish
+    silently — with_errors=True surfaces it as a _corrupt row that
+    split_errors routes to the errors-table shape, while well-formed
+    sequences parse identically to the default mode."""
+    import os
+
+    from osmesa_spark.sources import replication as R
+
+    drop = tmp_path / "changes"
+    os.makedirs(drop)
+    good_xml = (
+        '<osmChange version="0.6"><create>'
+        '<node id="1" version="1" lat="1.0" lon="2.0" changeset="10"'
+        ' uid="7" user="u" timestamp="2024-01-01T00:00:00Z">'
+        '<tag k="building" v="yes"/></node>'
+        "</create></osmChange>"
+    )
+    (drop / "100.osc").write_text(good_xml)
+    (drop / "101.osc").write_text("<osmChange><create><node id=BROKEN")
+
+    # default mode: corrupt file silently dropped (historical contract)
+    plain = R.read_changes_xml(spark, str(drop))
+    assert plain.count() == 1
+    assert "_corrupt" not in plain.columns
+
+    flagged = R.read_changes_xml(spark, str(drop), with_errors=True)
+    good, errors = R.split_errors(flagged)
+    assert good.count() == 1
+    assert good.where("id = 1 AND sequence = 100").count() == 1
+    err = errors.collect()
+    assert len(err) == 1
+    assert err[0]["sequence"] == 101
+    assert "BROKEN" in err[0]["payload"]
