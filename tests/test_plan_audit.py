@@ -429,3 +429,54 @@ def test_deskewed_gram_queries_have_no_holder_lists(spark):
         allow_python=False,
     )
     assert a.broadcast_joins >= 1, "eval-gram set not broadcast"
+
+
+def test_aqe_splits_hot_key_join_at_runtime(spark):
+    """The skew safety net behind the inverted-index joins (J5/J6: a
+    coastline node referenced by hundreds of thousands of ways lands its
+    whole key in one SMJ partition): the session's default AQE + skewJoin
+    configs must let Spark SPLIT the hot partition at runtime. Thresholds
+    are lowered here so a 300k-row local frame crosses the same relative
+    skew bar a 100 TB hot key would; the assertion reads the engine's own
+    final plan (SortMergeJoin(skew=true) + skewed AQEShuffleRead) and
+    checks the split changed no rows."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        ways = spark.range(300_000).select(
+            F.col("id").alias("way_id"),
+            F.when(F.col("id") < 250_000, F.lit(7))
+            .otherwise(F.pmod("id", F.lit(1000)))
+            .alias("nd"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        nodes = spark.range(1_000).select(
+            F.col("id").alias("nd"), (F.col("id") * 1.0).alias("lat")
+        )
+        j = ways.join(nodes, "nd").select("way_id", "lat")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "AQE did not split the hot-key partition — skew-join handling "
+            "regressed (check session.py adaptive configs)"
+        )
+        assert len(rows) == 300_000
+        # the hot key's rows all survived the split: 250k pinned to key 7
+        # plus the 50 ids >= 250000 whose id % 1000 == 7
+        assert sum(1 for r in rows if r["lat"] == 7.0) == 250_050
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
