@@ -45,3 +45,17 @@ def test_budget_leaves_margin_under_driver_capture_window():
     # the driver window is 2000; the budget must leave real margin for a
     # trailing newline / stray log bleed
     assert bench.LINE_BUDGET <= 1900
+
+
+def test_headline_names_resolve_in_registry():
+    """bench.py indexes the registry by HEADLINE name at run time — a
+    renamed or removed query would KeyError in the driver's bench run,
+    which surfaces as a parsed:null round. Also reject duplicates (a
+    duplicate entry double-counts its median in the headline total)."""
+    from osmesa_spark import queries as Q
+
+    reg = Q.registry()
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    dupes = {n for n in bench.HEADLINE if bench.HEADLINE.count(n) > 1}
+    assert not dupes, f"duplicate HEADLINE entries: {dupes}"
