@@ -291,3 +291,37 @@ def gopher_quality_flags(text: Column | str) -> Column:
             r_words & r_wl & r_sym & r_bullet & r_ell & r_alpha & r_stop
         ).alias("keep"),
     )
+
+
+def blocklist_flags(
+    text: Column | str, terms: list[str]
+) -> Column:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2 drop any page
+    containing a term from the public \"List of Dirty, Naughty ...\"
+    list): per-doc blocked-token census over the shared `word_tokens`
+    normalization, as ONE struct —
+
+      n_tokens, n_blocked, blocked_frac (4dp), keep (= zero hits, the
+      strict C4 policy; the fraction is emitted so softer thresholds can
+      be tuned without recomputing).
+
+    The term list folds into the plan as a literal IN — whole-stage
+    codegen, no UDF, no join, O(len(terms)) per token. That is the right
+    plan for the real-world list sizes (hundreds of terms); for a
+    10k+-term lexicon switch to `textops.blocklist_filter_join`, which
+    ships the lexicon as a broadcast hash join on the exploded token
+    stream instead of a literal fold (property-tested equivalent).
+
+    Null text counts as empty (0 tokens, keep=true) — the repo-wide
+    null-survival convention for dedup/curation operators."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = word_tokens(F.coalesce(text, F.lit("")))
+    n_tokens = F.size(toks)
+    n_blocked = F.size(F.filter(toks, lambda t: t.isin(*terms)))
+    frac = n_blocked / F.greatest(n_tokens, F.lit(1))
+    return F.struct(
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_blocked.cast("bigint").alias("n_blocked"),
+        F.round(frac, 4).alias("blocked_frac"),
+        (n_blocked == 0).alias("keep"),
+    )

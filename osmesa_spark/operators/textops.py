@@ -159,6 +159,91 @@ def lm_nll_scores(
     )
 
 
+def blocklist_filter_join(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocklist census for LARGE lexicons (10k+ terms, where
+    `text.blocklist_flags`'s literal IN-fold would bloat the generated
+    code): explode the token stream, broadcast-hash-join the lexicon,
+    count hits per doc, left-join the verdict back onto the corpus so
+    zero-hit docs keep n_blocked = 0.
+
+    Scale shape: the lexicon is broadcast (bounded by the list, never the
+    corpus); the only corpus-keyed shuffle is the per-doc hit count, whose
+    map-side combine bounds it at one row per (doc, matched term). Output
+    schema is identical to `blocklist_flags` unpacked: (id_col, n_tokens,
+    n_blocked, blocked_frac, keep)."""
+    from osmesa_spark.functions.text import word_tokens
+
+    spark = df.sparkSession
+    lex = F.broadcast(
+        spark.createDataFrame([(t,) for t in sorted(set(terms))], ["tok"])
+    )
+    toks = word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"),
+        toks.alias("toks"),
+    )
+    hits = (
+        base.select(id_col, F.explode("toks").alias("tok"))
+        .join(lex, "tok")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocked"))
+    )
+    joined = base.drop("toks").join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("n_blocked", F.lit(0).cast("bigint")).alias("n_blocked"),
+    )
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "n_blocked",
+        F.round(
+            F.col("n_blocked") / F.greatest("n_tokens", F.lit(1)), 4
+        ).alias("blocked_frac"),
+        (F.col("n_blocked") == 0).alias("keep"),
+    )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INTRA-document exact line dedup: collapse repeated lines within a
+    single document, keeping the FIRST occurrence and preserving order —
+    the boilerplate-collapse step (nav menus, repeated headers/footers,
+    chat-log echo) that RefinedWeb/Dolma apply before CORPUS-level
+    paragraph dedup (`dedup.dedup_paragraphs` is the cross-doc sibling;
+    this one never leaves the row).
+
+    Scale shape: a pure projection — split / first-occurrence filter /
+    rejoin as array HOFs inside whole-stage codegen, ZERO shuffle, so it
+    composes with any downstream stage at no plan cost. The first-
+    occurrence test is `array_position(lines, line[i]) == i` (O(L²)
+    row-locally in line count L, i.e. bounded by document size — the same
+    regime as the shingling transforms, and never a join).
+
+    Output: (id_col, n_lines, n_kept, <text_col>_dedup)."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    idx = F.sequence(F.lit(1), F.size(lines))
+    kept_idx = F.filter(
+        idx,
+        lambda i: F.array_position(lines, F.element_at(lines, i)) == i,
+    )
+    kept = F.transform(kept_idx, lambda i: F.element_at(lines, i))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, "\n").alias(f"{text_col}_dedup"),
+    )
+
+
 def c4_line_filter(
     df: DataFrame,
     id_col: str = "doc_id",

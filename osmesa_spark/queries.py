@@ -7437,6 +7437,105 @@ def q_intake_accepted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return accepted.select("doc_id", "n_tokens", "logw").orderBy("doc_id")
 
 
+@register(
+    "doc_line_dedup",
+    """
+    WITH tokens AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS w
+        FROM documents),
+    lined AS (
+        SELECT doc_id, list_transform(
+                   range(0, ((len(w) + 1) // 2)::BIGINT),
+                   i -> array_to_string(w[i*2+1 : i*2+2], ' ')) AS ls
+        FROM tokens WHERE len(w) > 0),
+    l AS (
+        SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS i
+        FROM lined),
+    firsts AS (
+        SELECT doc_id, line, MIN(i) AS fi FROM l GROUP BY doc_id, line),
+    agg AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+               md5(string_agg(line, chr(10) ORDER BY fi)) AS dedup_md5
+        FROM firsts GROUP BY doc_id)
+    SELECT lined.doc_id, len(lined.ls)::BIGINT AS n_lines,
+           agg.n_kept, agg.dedup_md5
+    FROM lined JOIN agg USING (doc_id) ORDER BY doc_id
+    """,
+    doc="INTRA-document exact line dedup (keep first occurrence, preserve "
+    "order) — the boilerplate collapse (nav menus, repeated headers, chat "
+    "echo) RefinedWeb/Dolma run before corpus-level paragraph dedup "
+    "(`doc_paragraph_dedup` is the cross-doc sibling). The synthetic "
+    "corpus has no line structure, so both engines derive the same "
+    "2-word lines first (~2% of lines collapse at sf0.01). The operator "
+    "itself (`textops.dedup_lines_within_doc`) is a ZERO-shuffle "
+    "projection: split / first-occurrence filter / rejoin as array HOFs "
+    "in codegen; deduped text md5-checked (training-data extension)",
+)
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.textops import dedup_lines_within_doc
+
+    d = _t(spark, sf_dir, "documents")
+    toks = text_fns.word_tokens("text")
+    n_chunks = F.floor((F.size(toks) + 1) / 2).cast("bigint")
+    line = lambda i: F.concat_ws(" ", F.slice(toks, i * 2 + 1, 2))
+    lined = d.where(F.size(toks) > 0).select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), line), "\n"
+        ).alias("text"),
+    )
+    out = dedup_lines_within_doc(lined, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_lines", "n_kept",
+        F.md5("text_dedup").alias("dedup_md5"),
+    ).orderBy("doc_id")
+
+
+# C4's released filter drops any page containing a term from the public
+# "List of Dirty, Naughty, Obscene..." list; the synthetic corpus carries
+# none of those, so the registry list mixes two terms that DO occur
+# ('slow', 'big' — the gate does real work: some docs drop, most keep)
+# with two that don't ('spam', 'nsfw' — absent terms must cost nothing).
+_BLOCKLIST_TERMS = ["slow", "big", "spam", "nsfw"]
+
+
+@register(
+    "doc_blocklist_filter",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(COALESCE(text, '')),
+                                  '([a-z0-9]+)', 1) AS t
+        FROM documents)
+    SELECT doc_id,
+           len(t)::BIGINT AS n_tokens,
+           len(list_filter(t, x -> x IN ('slow', 'big', 'spam', 'nsfw')))::BIGINT
+               AS n_blocked,
+           ROUND(len(list_filter(t, x -> x IN ('slow', 'big', 'spam', 'nsfw')))
+                 / GREATEST(len(t), 1)::DOUBLE, 4) AS blocked_frac,
+           len(list_filter(t, x -> x IN ('slow', 'big', 'spam', 'nsfw'))) = 0
+               AS keep
+    FROM toks ORDER BY doc_id
+    """,
+    doc="C4-style blocklist gate (Raffel et al. 2020 §2.2: drop any page "
+    "containing a blocklisted term): per-doc blocked-token census + strict "
+    "zero-hit keep verdict + the fraction softer policies tune on. The "
+    "term list folds into the plan as a literal IN (codegen, no join) — "
+    "right for real-world list sizes; `textops.blocklist_filter_join` is "
+    "the broadcast-join twin for 10k+-term lexicons, property-tested "
+    "equal (training-data extension)",
+)
+def q_doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    flags = text_fns.blocklist_flags("text", _BLOCKLIST_TERMS)
+    return (
+        d.select("doc_id", flags.alias("f"))
+        .select("doc_id", "f.n_tokens", "f.n_blocked", "f.blocked_frac",
+                "f.keep")
+        .orderBy("doc_id")
+    )
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -7507,16 +7606,21 @@ DRIVER_PRIORITY = [
     "osm_hashtags",
     "osm_user_statistics",
     "osm_changeset_metadata",
-    "osm_way_tile_cover",
-    "osm_relation_assembly_deep",
     # NEW this round (r9): frozen train/serve paths, the skew-safe
-    # domain-cap top-K, and the LR calibration bins — never driver-checked
+    # domain-cap top-K, the LR calibration bins, intra-doc line dedup and
+    # the C4 blocklist gate — never driver-checked (rule 2 puts them in
+    # the window; osm_way_tile_cover / osm_relation_assembly_deep moved
+    # to half B to make room — both r8-green, so rule 3 holds)
     "lr_score_frozen",
     "intake_accepted_batch",
     "source_doc_cap_topk",
     "lr_calibration",
     "length_bucket_padding",
+    "doc_line_dedup",
+    "doc_blocklist_filter",
     # ---- 50-slot window boundary ----
+    "osm_way_tile_cover",
+    "osm_relation_assembly_deep",
     # osm parity half B (queued first for the r10 window; country_stats,
     # hashtag_user_stats, hashtag_stats, user_footprint and tile_pyramid
     # moved here from half A to make room for the five new r9 entries —

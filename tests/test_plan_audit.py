@@ -271,6 +271,9 @@ EXTENSIONS_JVM_ONLY = [
     "source_doc_cap_topk",
     "lr_calibration",
     "length_bucket_padding",
+    # r9 second batch: intra-doc line dedup, C4 blocklist gate
+    "doc_line_dedup",
+    "doc_blocklist_filter",
 ]
 
 

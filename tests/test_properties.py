@@ -1936,3 +1936,58 @@ def test_sparse_cosine_survives_stopword_flood(spark):
     assert t_flood < t_base * 4 + 5, (
         f"flooded {t_flood:.1f}s vs base {t_base:.1f}s"
     )
+
+
+def test_blocklist_join_matches_literal_fold(spark):
+    """The broadcast-join blocklist twin (large-lexicon path) must agree
+    row-for-row with the literal IN fold, including zero-hit docs (the
+    left-join coalesce) and null/empty text."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.functions.text import blocklist_flags
+    from osmesa_spark.operators.textops import blocklist_filter_join
+
+    rows = [
+        (1, "the slow dog and the big slow cat"),
+        (2, "clean text with no hits at all"),
+        (3, ""),
+        (4, None),
+        (5, "spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    terms = ["slow", "big", "spam", "nsfw"]
+    lit = df.select(
+        "doc_id", blocklist_flags("text", terms).alias("f")
+    ).select("doc_id", "f.n_tokens", "f.n_blocked", "f.blocked_frac",
+             "f.keep")
+    jn = blocklist_filter_join(df, terms)
+    a = sorted(map(tuple, lit.collect()))
+    b = sorted(map(tuple, jn.collect()))
+    assert a == b
+    by_id = {r[0]: r for r in a}
+    assert by_id[1][2] == 3 and by_id[1][4] is False  # slow, big, slow
+    assert by_id[2][2] == 0 and by_id[2][4] is True
+    assert by_id[5][2] == 3 and by_id[5][4] is False
+
+
+def test_dedup_lines_within_doc_order_and_edges(spark):
+    """First occurrence wins, original order preserved; single-line,
+    all-duplicate, empty and null docs survive."""
+    from osmesa_spark.operators.textops import dedup_lines_within_doc
+
+    rows = [
+        (1, "a\nb\na\nc\nb\na"),
+        (2, "x\nx\nx"),
+        (3, "only"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in dedup_lines_within_doc(df).collect()}
+    assert got[1]["text_dedup"] == "a\nb\nc"
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (6, 3)
+    assert got[2]["text_dedup"] == "x" and got[2]["n_kept"] == 1
+    assert got[3]["text_dedup"] == "only"
+    # empty / null text: split('') is [''] -> one (empty) line, kept
+    assert got[4]["n_lines"] == 1 and got[4]["text_dedup"] == ""
+    assert got[5]["n_lines"] == 1 and got[5]["text_dedup"] == ""
