@@ -159,6 +159,164 @@ def lm_nll_scores(
     )
 
 
+def domain_reweight_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    eta: float = 1.0,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, one
+    multiplicative-weights step): tilt each source's mixture weight by its
+    EXCESS language-model loss over the corpus mean —
+
+        weight_i  ∝  share_i · exp(η · (nll_i − nll_corpus))
+
+    where nll comes from the in-engine bigram LM (`lm_nll_scores`, the
+    CCNet-style quality signal) and share_i is the source's bigram-mass
+    fraction. Hard domains (high excess loss) get upweighted — the
+    data-mixture counterpart of the DSIR importance tilt.
+
+    Determinism (oracle-replayable): per-doc nll is 6dp-rounded by
+    `lm_nll_scores`; it is re-quantized to 1e-6 BIGINT units so the
+    per-source weighted sum Σ q·n_bigrams is an EXACT integer (decimal
+    accumulator — no float-order drift; engines agree bit-for-bit through
+    the one division that produces mean_nll). The exp/normalize step runs
+    over the ≤|sources| tiny frame with raw weights rounded 12dp before
+    the final normalization, 6dp after.
+
+    Scale shape: ONE corpus-keyed shuffle beyond the NLL chain (the
+    per-source partial agg of counter rows); totals and the normalizer
+    ride as two 1-row broadcasts (`mixture_temperature`'s shape). The
+    decimal accumulator holds Σ q·n_bigrams exactly up to 1e38 — ~1e24
+    bigrams at nll≈20, far past any corpus.
+
+    Output: (source, n_docs, n_bigrams, mean_nll, base_share, weight) —
+    docs with <2 tokens have no bigram events and sit outside the model's
+    loss, so shares are over bigram mass (exactly DoReMi's token mass)."""
+    nll = lm_nll_scores(df, id_col, text_col, add_k=add_k)
+    src = df.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
+    per_doc = nll.join(src, "id").select(
+        "source",
+        "n_bigrams",
+        F.round(F.col("nll") * 1e6).cast("decimal(20,0)").alias("q"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("nb"),
+        F.sum(F.col("q") * F.col("n_bigrams")).alias("qs"),
+    )
+    tot = per_src.agg(
+        F.sum("nb").alias("nbt"), F.sum("qs").alias("qst")
+    )
+    m = per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "nb",
+        (F.col("qs").cast("double") / (F.col("nb") * F.lit(1e6))).alias(
+            "mean_nll"
+        ),
+        (F.col("nb").cast("double") / F.col("nbt")).alias("share"),
+        (F.col("qst").cast("double") / (F.col("nbt") * F.lit(1e6))).alias(
+            "corpus_nll"
+        ),
+    )
+    r = m.select(
+        "source", "n_docs", "nb", "mean_nll", "share",
+        F.round(
+            F.col("share")
+            * F.exp(F.lit(eta) * (F.col("mean_nll") - F.col("corpus_nll"))),
+            12,
+        ).alias("raw"),
+    )
+    z = r.agg(F.sum("raw").alias("z"))
+    return r.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.col("nb").alias("n_bigrams"),
+        F.round("mean_nll", 6).alias("mean_nll"),
+        F.round("share", 6).alias("base_share"),
+        F.round(F.col("raw") / F.col("z"), 6).alias("weight"),
+    )
+
+
+_LN2 = 0.6931471805599453
+
+
+def source_js_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every source pair — the domain-similarity matrix
+    behind mixture design (which sources are redundant vs complementary),
+    transfer heuristics, and per-source-vs-global dedup sharding (the
+    probabilistic sibling of `source_dup_matrix`'s exact-duplicate view).
+
+    JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q), in nats ∈ [0, ln 2].
+    Words present in only one source contribute ½·p·ln2, so the matrix
+    needs only the SHARED-word join plus the two shared-mass sums:
+
+        jsd = Σ_shared ½[p_a ln(2p_a/(p_a+p_b)) + p_b ln(2p_b/(p_a+p_b))]
+              + ½ ln2 · (2 − Σ_shared p_a − Σ_shared p_b)
+
+    Determinism: p = c/n is one exact-integer division (identical doubles
+    cross-engine); per-word terms and probabilities are quantized to
+    1e-12 BIGINT units so every aggregation is an exact integer sum (no
+    float-order drift); ln's last-ulp engine noise is ±1 quantum,
+    absorbed by the final 6dp round.
+
+    Scale shape: one (source, word) partial-agg shuffle (vocabulary-
+    bounded counter rows); per-source totals broadcast; the shared-word
+    self-join is word-keyed with fan ≤ |sources|² per word and aggregates
+    straight down to |sources|(|sources|−1)/2 rows. Nothing is ever
+    corpus-sized after the first agg.
+
+    Output: (source_a, source_b, n_shared, jsd), source_a < source_b.
+    Pairs sharing ZERO vocabulary produce no row (their jsd is exactly
+    ln 2 — the caller treats absence as maximal divergence)."""
+    from osmesa_spark.functions.text import word_tokens
+
+    words = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("w"),
+    )
+    counts = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    p = counts.join(F.broadcast(totals), "source").select(
+        "source", "w", (F.col("c") / F.col("n")).alias("p")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    term = 0.5 * (
+        pa * F.log(2.0 * pa / (pa + pb)) + pb * F.log(2.0 * pb / (pa + pb))
+    )
+    shared = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.round(term * 1e12).cast("bigint").alias("tq"),
+        F.round(pa * 1e12).cast("bigint").alias("paq"),
+        F.round(pb * 1e12).cast("bigint").alias("pbq"),
+    )
+    return shared.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        F.round(
+            F.sum("tq") / 1e12
+            + F.lit(0.5 * _LN2)
+            * (2.0 - F.sum("paq") / 1e12 - F.sum("pbq") / 1e12),
+            6,
+        ).alias("jsd"),
+    )
+
+
 def blocklist_filter_join(
     df: DataFrame,
     terms: list[str],

@@ -7536,6 +7536,119 @@ def q_doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "domain_reweight_nll",
+    """
+    WITH tokens AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS w
+        FROM documents),
+    bg AS (
+        SELECT doc_id, w[u.i] AS a, w[u.i + 1] AS b
+        FROM tokens, LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+        WHERE len(w) >= 2),
+    cab AS (SELECT a, b, COUNT(*)::DOUBLE AS c_ab FROM bg GROUP BY a, b),
+    ca AS (SELECT a, SUM(c_ab)::DOUBLE AS c_a FROM cab GROUP BY a),
+    v AS (SELECT COUNT(*)::DOUBLE AS v FROM
+          (SELECT a AS t FROM cab UNION SELECT b FROM cab)),
+    probs AS (
+        SELECT cab.a, cab.b,
+               ln((cab.c_ab + 0.5) / (ca.c_a + 0.5 * v.v)) AS lp
+        FROM cab JOIN ca USING (a), v),
+    doc AS (
+        SELECT bg.doc_id AS id, COUNT(*)::BIGINT AS n_bigrams,
+               ROUND(-AVG(p.lp), 6) AS nll
+        FROM bg JOIN probs p ON bg.a = p.a AND bg.b = p.b
+        GROUP BY bg.doc_id),
+    per AS (
+        SELECT d.source, doc.n_bigrams,
+               CAST(ROUND(doc.nll * 1e6) AS BIGINT) AS q
+        FROM doc JOIN documents d ON doc.id = d.doc_id),
+    ps AS (
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_bigrams)::BIGINT AS nb, SUM(q * n_bigrams) AS qs
+        FROM per GROUP BY source),
+    tot AS (SELECT SUM(nb) AS nbt, SUM(qs) AS qst FROM ps),
+    m AS (
+        SELECT source, n_docs, nb,
+               qs::DOUBLE / (nb * 1e6) AS mean_nll,
+               nb::DOUBLE / nbt AS share,
+               qst::DOUBLE / (nbt * 1e6) AS corpus_nll
+        FROM ps, tot),
+    r AS (
+        SELECT source, n_docs, nb, mean_nll, share,
+               ROUND(share * exp(1.0 * (mean_nll - corpus_nll)), 12) AS raw
+        FROM m),
+    z AS (SELECT SUM(raw) AS z FROM r)
+    SELECT source, n_docs, nb AS n_bigrams,
+           ROUND(mean_nll, 6) AS mean_nll,
+           ROUND(share, 6) AS base_share,
+           ROUND(raw / z, 6) AS weight
+    FROM r, z ORDER BY source
+    """,
+    doc="DoReMi-style domain reweighting (Xie et al. 2023, one "
+    "multiplicative-weights step): per-source mixture weight tilted by "
+    "EXCESS bigram-LM loss over the corpus mean — weight ∝ share · "
+    "exp(η·(nll_src − nll_corpus)), hard domains upweighted; the "
+    "data-mixing counterpart of the DSIR importance tilt. Per-doc nll "
+    "(6dp) re-quantized to 1e-6 BIGINT so the per-source weighted sum is "
+    "an exact integer (decimal accumulator, no float-order drift); one "
+    "corpus shuffle beyond the NLL chain, totals + normalizer as two "
+    "1-row broadcasts (training-data extension)",
+)
+def q_domain_reweight_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.textops import domain_reweight_nll
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_reweight_nll(d).orderBy("source")
+
+
+@register(
+    "source_js_divergence",
+    """
+    WITH words AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '([a-z0-9]+)', 1)) AS w
+        FROM documents),
+    counts AS (
+        SELECT source, w, COUNT(*)::DOUBLE AS c
+        FROM words GROUP BY source, w),
+    totals AS (SELECT source, SUM(c) AS n FROM counts GROUP BY source),
+    p AS (
+        SELECT counts.source, counts.w, counts.c / totals.n AS p
+        FROM counts JOIN totals USING (source)),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(ROUND((0.5 * (a.p * ln(2.0 * a.p / (a.p + b.p))
+                         + b.p * ln(2.0 * b.p / (a.p + b.p)))) * 1e12)
+                    AS BIGINT) AS tq,
+               CAST(ROUND(a.p * 1e12) AS BIGINT) AS paq,
+               CAST(ROUND(b.p * 1e12) AS BIGINT) AS pbq
+        FROM p a JOIN p b ON a.w = b.w AND a.source < b.source)
+    SELECT source_a, source_b, COUNT(*)::BIGINT AS n_shared,
+           ROUND(SUM(tq) / 1e12
+                 + 0.5 * 0.6931471805599453
+                   * (2.0 - SUM(paq) / 1e12 - SUM(pbq) / 1e12), 6) AS jsd
+    FROM shared GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="pairwise Jensen-Shannon divergence between source unigram "
+    "distributions — the domain-similarity matrix behind mixture design, "
+    "transfer heuristics and per-source-vs-global dedup sharding (the "
+    "probabilistic sibling of `source_dup_matrix`). Shared-word terms + "
+    "the ½ln2 one-sided correction; per-word terms quantized to 1e-12 "
+    "BIGINT so every agg is an exact integer sum. One vocab-bounded "
+    "(source,word) shuffle, broadcast totals, word-keyed self-join with "
+    "fan ≤ |sources|² per word → |sources|²/2 output rows "
+    "(training-data extension)",
+)
+def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.textops import source_js_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return source_js_divergence(d).orderBy("source_a", "source_b")
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -7604,13 +7717,13 @@ DRIVER_PRIORITY = [
     "osm_changeset_stats",
     "osm_geocode",
     "osm_hashtags",
-    "osm_user_statistics",
-    "osm_changeset_metadata",
     # NEW this round (r9): frozen train/serve paths, the skew-safe
-    # domain-cap top-K, the LR calibration bins, intra-doc line dedup and
-    # the C4 blocklist gate — never driver-checked (rule 2 puts them in
-    # the window; osm_way_tile_cover / osm_relation_assembly_deep moved
-    # to half B to make room — both r8-green, so rule 3 holds)
+    # domain-cap top-K, the LR calibration bins, intra-doc line dedup,
+    # the C4 blocklist gate, DoReMi domain reweighting and the source
+    # JSD matrix — never driver-checked (rule 2 puts them in the window;
+    # osm_way_tile_cover / osm_relation_assembly_deep /
+    # osm_user_statistics / osm_changeset_metadata moved to half B to
+    # make room — all four r8-green, so rule 3 holds)
     "lr_score_frozen",
     "intake_accepted_batch",
     "source_doc_cap_topk",
@@ -7618,7 +7731,11 @@ DRIVER_PRIORITY = [
     "length_bucket_padding",
     "doc_line_dedup",
     "doc_blocklist_filter",
+    "domain_reweight_nll",
+    "source_js_divergence",
     # ---- 50-slot window boundary ----
+    "osm_user_statistics",
+    "osm_changeset_metadata",
     "osm_way_tile_cover",
     "osm_relation_assembly_deep",
     # osm parity half B (queued first for the r10 window; country_stats,

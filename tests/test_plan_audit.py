@@ -271,9 +271,12 @@ EXTENSIONS_JVM_ONLY = [
     "source_doc_cap_topk",
     "lr_calibration",
     "length_bucket_padding",
-    # r9 second batch: intra-doc line dedup, C4 blocklist gate
+    # r9 second batch: intra-doc line dedup, C4 blocklist gate, DoReMi
+    # domain reweighting, source JSD matrix
     "doc_line_dedup",
     "doc_blocklist_filter",
+    "domain_reweight_nll",
+    "source_js_divergence",
 ]
 
 

@@ -1991,3 +1991,58 @@ def test_dedup_lines_within_doc_order_and_edges(spark):
     # empty / null text: split('') is [''] -> one (empty) line, kept
     assert got[4]["n_lines"] == 1 and got[4]["text_dedup"] == ""
     assert got[5]["n_lines"] == 1 and got[5]["text_dedup"] == ""
+
+
+def test_domain_reweight_nll_tilts_toward_hard_domains(spark):
+    """DoReMi step sanity: weights sum to 1; a gibberish (high-NLL) source
+    is upweighted relative to its base share while the fluent source is
+    downweighted; eta=0 degenerates to base shares exactly."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.textops import domain_reweight_nll
+
+    fluent = [(i, "the cat sat on the mat and the cat sat again", "easy")
+              for i in range(40)]
+    # distinct token soup per doc -> unseen bigrams, high smoothed NLL
+    hard = [(100 + i, f"zq{i}x w{i}k v{i}m r{i}t p{i}b n{i}c", "hard")
+            for i in range(40)]
+    df = spark.createDataFrame(fluent + hard, ["doc_id", "text", "source"])
+
+    out = {r["source"]: r for r in domain_reweight_nll(df).collect()}
+    assert set(out) == {"easy", "hard"}
+    total_w = sum(r["weight"] for r in out.values())
+    assert abs(total_w - 1.0) < 1e-5
+    assert out["hard"]["mean_nll"] > out["easy"]["mean_nll"]
+    assert out["hard"]["weight"] > out["hard"]["base_share"]
+    assert out["easy"]["weight"] < out["easy"]["base_share"]
+
+    flat = {r["source"]: r for r in domain_reweight_nll(df, eta=0.0).collect()}
+    for s in ("easy", "hard"):
+        assert flat[s]["weight"] == flat[s]["base_share"]
+
+
+def test_source_js_divergence_bounds_and_extremes(spark):
+    """JSD invariants: identical distributions -> 0; disjoint vocabularies
+    -> no shared row (jsd = ln2 by convention); partial overlap lands
+    strictly inside (0, ln2)."""
+    import math
+
+    from osmesa_spark.operators.textops import source_js_divergence
+
+    rows = (
+        [(i, "alpha beta gamma delta", "s_same1") for i in range(10)]
+        + [(100 + i, "alpha beta gamma delta", "s_same2") for i in range(10)]
+        + [(200 + i, "omega psi chi phi", "s_disjoint") for i in range(10)]
+        + [(300 + i, "alpha beta omega psi", "s_half") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r["source_a"], r["source_b"]): r["jsd"]
+           for r in source_js_divergence(df).collect()}
+    ln2 = math.log(2.0)
+    assert out[("s_same1", "s_same2")] == 0.0
+    # fully disjoint vocab: no shared words -> pair absent (jsd = ln2)
+    assert ("s_disjoint", "s_same1") not in out
+    for pair, jsd in out.items():
+        assert -1e-9 <= jsd <= ln2 + 1e-9, f"{pair}: {jsd}"
+    assert 0.0 < out[("s_half", "s_same1")] < ln2
+    assert 0.0 < out[("s_disjoint", "s_half")] < ln2
