@@ -7649,6 +7649,106 @@ def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_js_divergence(d).orderBy("source_a", "source_b")
 
 
+@register(
+    "embedding_prototypicality",
+    f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings),
+    s AS (
+        SELECT v, row_number() OVER (ORDER BY
+                   ('0x' || substr(md5('29:' || vec_id::VARCHAR), 1, 15))::BIGINT,
+                   vec_id) - 1 AS cid
+        FROM v QUALIFY cid <= 3),
+    a1 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT v.vec_id, v.v, s.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       {_KM_DIST.format(a="v.v", b="s.v")}, s.cid) AS rn
+            FROM v, s) t WHERE rn = 1),
+    c1 AS (
+        SELECT cid, list(rv ORDER BY pos) AS v FROM (
+            SELECT cid, pos, round(avg(val), 6) AS rv FROM (
+                SELECT cid, unnest(v) AS val,
+                       generate_subscripts(v, 1) AS pos FROM a1) u
+            GROUP BY cid, pos) g
+        GROUP BY cid),
+    a2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c1.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       {_KM_DIST.format(a="v.v", b="c1.v")}, c1.cid) AS rn
+            FROM v, c1) t WHERE rn = 1),
+    scored AS (
+        SELECT a2.vec_id, a2.cid AS cluster,
+               ROUND(list_dot_product(v.v, c1.v)
+                     / GREATEST(sqrt(list_dot_product(v.v, v.v))
+                                * sqrt(list_dot_product(c1.v, c1.v)),
+                                1e-12), 6) AS cos_c
+        FROM a2 JOIN v USING (vec_id) JOIN c1 ON a2.cid = c1.cid),
+    ranked AS (
+        SELECT vec_id, cluster, cos_c,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY cos_c DESC, vec_id) AS rank,
+               COUNT(*) OVER (PARTITION BY cluster) AS n_c
+        FROM scored)
+    SELECT vec_id, cluster::INT AS cluster, cos_c, rank::BIGINT AS rank,
+           rank > floor(0.25 * n_c) AS keep
+    FROM ranked ORDER BY vec_id
+    """,
+    doc="SSL-prototypes data pruning (Sorscher et al. 2022): cosine of "
+    "every embedding to its OWN kmeans centroid, per-cluster "
+    "prototypicality rank, most-prototypical 25% of each cluster marked "
+    "for removal — the abundant-data pruning policy that beats random "
+    "while keeping every mode covered. One Arrow assign pass + broadcast "
+    "k-row codebook join + ONE cluster-keyed window shuffle (no pairwise "
+    "join — the cheap pass before SemDeDup). Oracle replays the seeded "
+    "2-round Lloyd chain (training-data extension)",
+)
+def q_embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.prototypicality(
+        e, k=4, iters=2, prune_frac=0.25, seed=29
+    ).orderBy("vec_id")
+
+
+@register(
+    "embedding_density",
+    lambda: f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    bk AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM v),
+    neigh AS (
+        SELECT a.vec_id AS id_a, COUNT(*)::BIGINT AS n_neighbors
+        FROM bk a JOIN bk b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v)
+                    / GREATEST(sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(b.v, b.v)),
+                               1e-12), 6) >= 0.2
+        GROUP BY a.vec_id)
+    SELECT bk.vec_id,
+           COALESCE(neigh.n_neighbors, 0)::BIGINT AS n_neighbors,
+           COALESCE(neigh.n_neighbors, 0) >= 2 AS is_core
+    FROM bk LEFT JOIN neigh ON bk.vec_id = neigh.id_a
+    ORDER BY bk.vec_id
+    """,
+    doc="ε-neighbor density census over sign-LSH blocks (the DBSCAN "
+    "core-point primitive; density-proportional pruning + outlier triage "
+    "signal): per vector, same-bucket neighbors with cosine >= 0.2, "
+    "is_core = count >= 2. Bucket-blocked self-join — pair work is "
+    "Σ|bucket|², never corpus²; plane count sets E[|bucket|] = N/2^b "
+    "(use 30-40 planes at 100 TB). Isolated vectors survive with 0 via "
+    "the left join-back; bucketed base checkpointed once for its three "
+    "consumers (similarity-search extension)",
+)
+def q_embedding_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.density_census(
+        e, _LSH_PLANES, radius_cos=0.2, min_pts=2
+    ).orderBy("vec_id")
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -7715,15 +7815,12 @@ DRIVER_PRIORITY = [
     "osm_way_reconstruction",
     "osm_utm_area",
     "osm_changeset_stats",
-    "osm_geocode",
-    "osm_hashtags",
     # NEW this round (r9): frozen train/serve paths, the skew-safe
     # domain-cap top-K, the LR calibration bins, intra-doc line dedup,
-    # the C4 blocklist gate, DoReMi domain reweighting and the source
-    # JSD matrix — never driver-checked (rule 2 puts them in the window;
-    # osm_way_tile_cover / osm_relation_assembly_deep /
-    # osm_user_statistics / osm_changeset_metadata moved to half B to
-    # make room — all four r8-green, so rule 3 holds)
+    # the C4 blocklist gate, DoReMi domain reweighting, the source JSD
+    # matrix, SSL-prototypes pruning and the LSH density census — never
+    # driver-checked (rule 2 puts them in the window; six r8-green osm
+    # half-A entries moved to half B to make room, so rule 3 holds)
     "lr_score_frozen",
     "intake_accepted_batch",
     "source_doc_cap_topk",
@@ -7733,7 +7830,11 @@ DRIVER_PRIORITY = [
     "doc_blocklist_filter",
     "domain_reweight_nll",
     "source_js_divergence",
+    "embedding_prototypicality",
+    "embedding_density",
     # ---- 50-slot window boundary ----
+    "osm_geocode",
+    "osm_hashtags",
     "osm_user_statistics",
     "osm_changeset_metadata",
     "osm_way_tile_cover",

@@ -27,6 +27,7 @@ PYTHON_OK = {
     # dense k*dim distance algebra: vectorized numpy kernel by design (the
     # all-Column unrolling compiles O(k*dim) codegen per round instead)
     "kmeans_clusters",
+    "embedding_prototypicality",
 }
 
 # kernel-defined queries whose Python stage is MATERIALIZED (localCheckpoint)
@@ -277,6 +278,9 @@ EXTENSIONS_JVM_ONLY = [
     "doc_blocklist_filter",
     "domain_reweight_nll",
     "source_js_divergence",
+    "embedding_density",
+    # (embedding_prototypicality rides the kmeans Arrow kernel — audited
+    # by test_python_only_where_defined, not the JVM-only list)
 ]
 
 

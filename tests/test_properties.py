@@ -2046,3 +2046,64 @@ def test_source_js_divergence_bounds_and_extremes(spark):
         assert -1e-9 <= jsd <= ln2 + 1e-9, f"{pair}: {jsd}"
     assert 0.0 < out[("s_half", "s_same1")] < ln2
     assert 0.0 < out[("s_disjoint", "s_half")] < ln2
+
+
+def test_prototypicality_prunes_easy_fraction_per_cluster(spark):
+    """SSL-prototypes invariants: exactly floor(frac*n_c) marked per
+    cluster; every pruned example is at least as prototypical (cos to own
+    centroid) as every kept one in its cluster."""
+    import math
+    import random
+
+    from osmesa_spark.operators.similarity import prototypicality
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(120):
+        blob = i % 3
+        base = [0.0] * 8
+        base[blob] = 1.0
+        vec = [b + rnd.uniform(-0.2, 0.2) for b in base]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = prototypicality(df, k=3, iters=2, prune_frac=0.25).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == 120
+    for cid, members in by_cluster.items():
+        n_c = len(members)
+        pruned = [r for r in members if not r["keep"]]
+        kept = [r for r in members if r["keep"]]
+        assert len(pruned) == math.floor(0.25 * n_c), (cid, n_c, len(pruned))
+        if pruned and kept:
+            assert min(p["cos_c"] for p in pruned) >= max(
+                k_["cos_c"] for k_ in kept
+            ) - 1e-9
+
+
+def test_density_census_plants_and_isolates(spark):
+    """A planted tight clump must come out core with n_neighbors =
+    clump_size-1; a far-away isolated point must report 0 neighbors and
+    not be core (the left-join zero-fill path)."""
+    import random
+
+    from osmesa_spark.operators.similarity import density_census, lsh_planes
+
+    rnd = random.Random(5)
+    clump = [
+        (i, [1.0 + rnd.uniform(-0.01, 0.01) for _ in range(8)])
+        for i in range(6)
+    ]
+    # orthogonal-ish singleton: negative mirror in a different octant
+    iso = [(99, [(-1.0) ** d * 5.0 for d in range(8)])]
+    df = spark.createDataFrame(
+        clump + iso, "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in density_census(
+        df, lsh_planes(8, n_planes=4, seed=3), radius_cos=0.9, min_pts=2
+    ).collect()}
+    assert len(out) == 7
+    for i in range(6):
+        assert out[i]["n_neighbors"] == 5 and out[i]["is_core"], out[i]
+    assert out[99]["n_neighbors"] == 0 and not out[99]["is_core"]
