@@ -1125,6 +1125,106 @@ def dedup_paragraphs(
     )
 
 
+def _merge_window_starts(ss: Column, L: int) -> Column:
+    """Merge a SORTED array of fixed-length-L window start offsets into
+    disjoint covered intervals array<struct<lo,hi>>. Starts are ascending
+    and all windows have length L, so a new window's hi always extends
+    (or abuts) the running interval — one row-local array fold."""
+    empty_iv = F.expr("CAST(array() AS array<struct<lo:int,hi:int>>)")
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    mk = lambda lo, hi: F.named_struct(  # noqa: E731
+        F.lit("lo"), lo.cast("int"), F.lit("hi"), hi.cast("int")
+    )
+    return F.aggregate(
+        F.coalesce(ss, F.expr("CAST(array() AS array<int>)")),
+        empty_iv,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= last(acc)["hi"] + 1),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(mk(last(acc)["lo"], s + L - 1)),
+            ),
+        ).otherwise(F.concat(acc, F.array(mk(s, s + L - 1)))),
+    )
+
+
+def decontaminate_spans_char(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    seed: int = 13,
+) -> DataFrame:
+    """CHARACTER-level eval-set decontamination — the exact-substring
+    criterion of Lee et al. 2022 §6.2 / the GPT-3 overlap audit, at the
+    granularity `decontaminate_overlap`'s word-5-grams approximate: a
+    train doc is contaminated wherever it shares an exact >= `min_len`-
+    char substring with ANY eval doc (every such span contains a shared
+    L-char window at each offset, so the window cover reconstructs the
+    overlap union exactly — same criterion `remove_duplicated_spans_char`
+    applies within the corpus).
+
+    Scale shape: window hashes are built ROW-LOCALLY on both sides (only
+    (id, start, hash60) rows flow); the DISTINCT eval-window hash set is
+    bounded by the eval suite — small at any corpus scale by construction
+    — so it BROADCASTS and train windows semi-join it (the
+    `decontaminate_overlap` shape); hit starts come back per doc and the
+    covered-character count is a row-local interval-merge fold. No
+    corpus-sized shuffle beyond the per-doc hit agg.
+
+    Output: (id, n_chars, n_covered, contaminated) — one row per train
+    doc, zero-filled via the left join-back; null text counts as empty."""
+    L = min_len
+    txt = F.col(text_col)
+    n = F.length(txt)
+    hashes = F.transform(
+        F.sequence(F.lit(0), n - L),
+        lambda i: _portable_hash(txt.substr(i + 1, F.lit(L)), seed),
+    )
+    base = ensure_parallelism(
+        train.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(txt, F.lit("")).alias(text_col),
+        ),
+        "id",
+    )
+    ev = ensure_parallelism(
+        eval_df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(txt, F.lit("")).alias(text_col),
+        ),
+        "id",
+    )
+    ev_h = (
+        ev.where(n >= L)
+        .select(F.explode(hashes).alias("h"))
+        .distinct()
+    )
+    wins = base.where(n >= L).select(
+        "id", F.posexplode(hashes).alias("s", "h")
+    )
+    hit_starts = (
+        wins.join(F.broadcast(ev_h), "h", "left_semi")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+    )
+    res = base.join(hit_starts, "id", "left").withColumn(
+        "iv", _merge_window_starts(F.col("ss"), L)
+    )
+    n_covered = F.aggregate(
+        F.col("iv"),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc + (i["hi"] - i["lo"] + 1),
+    )
+    return res.select(
+        "id",
+        n.cast("bigint").alias("n_chars"),
+        n_covered.alias("n_covered"),
+        (n_covered > 0).alias("contaminated"),
+    )
+
+
 def remove_duplicated_spans_char(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1208,27 +1308,7 @@ def remove_duplicated_spans_char(
         .agg(F.array_sort(F.collect_list("s")).alias("ss"))
     )
     res = base.join(dup_starts, "id", "left")
-
-    empty_iv = F.expr("CAST(array() AS array<struct<lo:int,hi:int>>)")
-    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
-    mk = lambda lo, hi: F.named_struct(  # noqa: E731
-        F.lit("lo"), lo.cast("int"), F.lit("hi"), hi.cast("int")
-    )
-    # merge sorted window starts into disjoint covered intervals:
-    # starts are ascending and all windows have length L, so the new
-    # window's hi always extends (or abuts) the running interval
-    iv = F.aggregate(
-        F.coalesce(F.col("ss"), F.expr("CAST(array() AS array<int>)")),
-        empty_iv,
-        lambda acc, s: F.when(
-            (F.size(acc) > 0) & (s <= last(acc)["hi"] + 1),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(mk(last(acc)["lo"], s + L - 1)),
-            ),
-        ).otherwise(F.concat(acc, F.array(mk(s, s + L - 1)))),
-    )
-    res = res.withColumn("iv", iv)
+    res = res.withColumn("iv", _merge_window_starts(F.col("ss"), L))
     ivc = F.col("iv")
     gap_starts = F.concat(
         F.array(F.lit(0)), F.transform(ivc, lambda i: i["hi"] + 1)

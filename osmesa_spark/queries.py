@@ -7749,6 +7749,69 @@ def q_embedding_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@register(
+    "decontaminate_spans_char",
+    """
+    WITH d AS (
+        SELECT doc_id, COALESCE(text, '') AS text,
+               ('0x' || substr(md5('17:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 20 = 0 AS is_eval
+        FROM documents),
+    w AS (
+        SELECT doc_id, is_eval, (u.i - 1)::INT AS s,
+               ('0x' || substr(md5('13:' || substr(text, u.i, 20)),
+                               1, 15))::BIGINT AS h
+        FROM d, LATERAL (SELECT unnest(range(1, length(text) - 20 + 2)) AS i) u
+        WHERE length(text) >= 20),
+    ev AS (SELECT DISTINCT h FROM w WHERE is_eval),
+    ds AS (SELECT w.doc_id, w.s FROM w JOIN ev USING (h) WHERE NOT is_eval),
+    isl AS (
+        SELECT doc_id, s,
+               CASE WHEN s > COALESCE(MAX(s) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -999999) + 20 THEN 1 ELSE 0 END AS brk
+        FROM ds),
+    grp AS (SELECT doc_id, s,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS g
+            FROM isl),
+    iv AS (SELECT doc_id, g, MIN(s) AS lo, MAX(s) + 19 AS hi
+           FROM grp GROUP BY doc_id, g),
+    cov AS (SELECT doc_id, SUM(hi - lo + 1)::BIGINT AS n_covered
+            FROM iv GROUP BY doc_id)
+    SELECT d.doc_id AS id, length(d.text)::BIGINT AS n_chars,
+           COALESCE(cov.n_covered, 0)::BIGINT AS n_covered,
+           COALESCE(cov.n_covered, 0) > 0 AS contaminated
+    FROM d LEFT JOIN cov USING (doc_id)
+    WHERE NOT d.is_eval
+    ORDER BY id
+    """,
+    doc="CHARACTER-level eval decontamination (Lee et al. 2022 §6.2 "
+    "exact-substring criterion; GPT-3 overlap audit): per train doc, the "
+    "characters covered by >= L-char windows shared with ANY eval doc "
+    "(pmod-hash 1-in-20 eval split, the decontaminate_overlap "
+    "convention). DISTINCT eval-window hash set is eval-suite-bounded -> "
+    "BROADCAST; train windows semi-join it; covered chars via row-local "
+    "interval-merge fold. L=20 here (~a 5-gram in the synthetic corpus: "
+    "156 train docs flagged at sf0.01); the operator default is the "
+    "paper's 50 (training-data extension)",
+)
+def q_decontaminate_spans_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.dedup import (
+        _portable_hash,
+        decontaminate_spans_char,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    is_eval = (
+        F.pmod(_portable_hash(F.col("doc_id").cast("string"), 17), F.lit(20))
+        == 0
+    )
+    return decontaminate_spans_char(
+        d.where(~is_eval), d.where(is_eval), min_len=20
+    ).orderBy("id")
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -7814,7 +7877,6 @@ DRIVER_PRIORITY = [
     "osm_snapshot_asof",
     "osm_way_reconstruction",
     "osm_utm_area",
-    "osm_changeset_stats",
     # NEW this round (r9): frozen train/serve paths, the skew-safe
     # domain-cap top-K, the LR calibration bins, intra-doc line dedup,
     # the C4 blocklist gate, DoReMi domain reweighting, the source JSD
@@ -7832,7 +7894,9 @@ DRIVER_PRIORITY = [
     "source_js_divergence",
     "embedding_prototypicality",
     "embedding_density",
+    "decontaminate_spans_char",
     # ---- 50-slot window boundary ----
+    "osm_changeset_stats",
     "osm_geocode",
     "osm_hashtags",
     "osm_user_statistics",

@@ -279,6 +279,7 @@ EXTENSIONS_JVM_ONLY = [
     "domain_reweight_nll",
     "source_js_divergence",
     "embedding_density",
+    "decontaminate_spans_char",
     # (embedding_prototypicality rides the kmeans Arrow kernel — audited
     # by test_python_only_where_defined, not the JVM-only list)
 ]

@@ -2107,3 +2107,42 @@ def test_density_census_plants_and_isolates(spark):
     for i in range(6):
         assert out[i]["n_neighbors"] == 5 and out[i]["is_core"], out[i]
     assert out[99]["n_neighbors"] == 0 and not out[99]["is_core"]
+
+
+def test_decontaminate_spans_char_matches_bruteforce(spark):
+    """Cross-check the distributed window-hash decontamination against a
+    brute-force python reference: covered chars = union of all >=L-char
+    exact substrings shared with any eval doc."""
+    from osmesa_spark.operators.dedup import decontaminate_spans_char
+
+    L = 8
+    evals = [(100, "SECRETEVALPASSAGEHERE"), (101, "another hidden answer")]
+    trains = [
+        (1, "prefix SECRETEVALPASSAGEHERE suffix"),      # full overlap
+        (2, "xx EVALPASSAGE yy"),                         # >=L partial
+        (3, "completely clean text with no overlap"),
+        (4, "another hidden answer another hidden answer"),
+        (5, "short"),                                     # < L, untouched
+        (6, None),                                        # null survives
+    ]
+    train_df = spark.createDataFrame(trains, ["doc_id", "text"])
+    eval_df = spark.createDataFrame(evals, ["doc_id", "text"])
+    got = {r["id"]: r for r in decontaminate_spans_char(
+        train_df, eval_df, min_len=L
+    ).collect()}
+    assert len(got) == 6
+
+    ev_windows = set()
+    for _, t in evals:
+        for i in range(len(t) - L + 1):
+            ev_windows.add(t[i:i + L])
+    for did, t in trains:
+        covered = set()
+        if t and len(t) >= L:
+            for i in range(len(t) - L + 1):
+                if t[i:i + L] in ev_windows:
+                    covered.update(range(i, i + L))
+        r = got[did]
+        assert r["n_covered"] == len(covered), (did, r, len(covered))
+        assert r["contaminated"] == (len(covered) > 0)
+        assert r["n_chars"] == (len(t) if t else 0)
