@@ -461,6 +461,85 @@ def kmeans_lloyd(
             return out
 
 
+def mmr_select(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    greedily pick `k` items maximizing
+
+        score = λ·cos(query, v) − (1−λ)·max_{s ∈ selected} cos(v, s)
+
+    — the relevance-vs-redundancy trade behind diverse retrieval results,
+    RAG context packing, and diverse exemplar/eval-set selection (the
+    query-conditioned sibling of `prototypicality`'s unconditioned prune).
+
+    Scale shape: the rel kernel runs ONCE (checkpointed); each of the k
+    rounds is a full-corpus max — a TakeOrdered(1), no shuffle beyond the
+    reduce — with the selected set riding as ≤k literal vectors (the
+    kmeans/BPE driver-round discipline: k rows total ever reach the
+    driver). O(k·N) like the textbook algorithm; for k beyond ~tens,
+    pre-shortlist with an ANN probe and run MMR on the shortlist.
+
+    Output: (rank, vec_id, rel, score) — rank 1..k in selection order."""
+    spark = corpus.sparkSession
+    from osmesa_spark.util import ensure_parallelism
+
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    base = (
+        ensure_parallelism(corpus, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.round(
+                cosine(F.col(vec_col).cast("array<double>"), qarr), 6
+            ).alias("rel"),
+        )
+        .localCheckpoint()
+    )
+    sel_vecs: list[list[float]] = []
+    sel_ids: list = []
+    picked: list[tuple] = []
+    for _ in range(k):
+        if sel_vecs:
+            sims = [
+                F.round(
+                    cosine(
+                        F.col("v"), F.array(*[F.lit(float(x)) for x in sv])
+                    ),
+                    6,
+                )
+                for sv in sel_vecs
+            ]
+            max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+            cand = base.where(~F.col("id").isin(sel_ids))
+        else:
+            max_sim = F.lit(0.0)
+            cand = base
+        score = F.round(
+            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * max_sim, 6
+        )
+        rows = (
+            cand.select("id", "v", "rel", score.alias("score"))
+            .orderBy(F.col("score").desc(), "id")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break
+        r = rows[0]
+        sel_ids.append(r["id"])
+        sel_vecs.append(list(r["v"]))
+        picked.append((len(picked) + 1, r["id"], r["rel"], r["score"]))
+    return spark.createDataFrame(
+        picked, "rank int, vec_id long, rel double, score double"
+    )
+
+
 def density_census(
     df: DataFrame,
     planes: list[list[float]],

@@ -4,7 +4,7 @@ quality scoring, token counting, fingerprinting. All Column-native.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from osmesa_spark.functions.text import (
@@ -236,6 +236,68 @@ def domain_reweight_nll(
         F.round("mean_nll", 6).alias("mean_nll"),
         F.round("share", 6).alias("base_share"),
         F.round(F.col("raw") / F.col("z"), 6).alias("weight"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf-law fit per language: ordinary-least-squares slope/intercept
+    of ln(frequency) vs ln(rank) over the top `top_n` words — the
+    dataset-card distribution-health metric (natural text sits near
+    slope −1; template/boilerplate-heavy or synthetic corpora flatten it,
+    so drift in the slope across snapshots flags generation leakage or
+    scraper loops).
+
+    Determinism: per-row regression terms (x=ln rank, y=ln count, xy, x²)
+    are quantized to BIGINT units so every aggregation is an exact
+    integer sum; the closed-form slope divides two exact-sum-derived
+    doubles once, then rounds 6dp.
+
+    Scale shape: one (lang, word) partial-agg shuffle (vocab-bounded
+    counter rows); the rank window runs per language over vocabulary
+    rows, not corpus rows, and only top_n survive into the ≤top_n-row
+    regression agg per language.
+
+    Output: (lang, n_terms, slope, intercept)."""
+    from osmesa_spark.functions.text import word_tokens
+
+    words = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("w"),
+    )
+    counts = words.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rw = Window.partitionBy("lang").orderBy(F.col("c").desc(), "w")
+    top = counts.withColumn("rank", F.row_number().over(rw)).where(
+        F.col("rank") <= top_n
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    q = lambda col: F.round(col * 1e9).cast("bigint")  # noqa: E731
+    terms = top.select(
+        "lang",
+        q(x).alias("xq"),
+        q(y).alias("yq"),
+        q(x * y).alias("xyq"),
+        q(x * x).alias("xxq"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("xq") / 1e9
+    sy = F.sum("yq") / 1e9
+    sxy = F.sum("xyq") / 1e9
+    sxx = F.sum("xxq") / 1e9
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return terms.groupBy("lang").agg(
+        n.cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
 
 

@@ -7812,6 +7812,126 @@ def q_decontaminate_spans_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def _mmr_sql(k: int = 5, lam: float = 0.7, qid: int = 0) -> str:
+    """Generated oracle for mmr_diverse_topk: unrolls the k greedy MMR
+    rounds as CTEs (the BPE/kmeans replay idiom). Round r scores every
+    unselected row as lam*rel - (1-lam)*max cos to the selected set and
+    takes the (score DESC, vec_id) top row. Float literals are formatted
+    from the SAME python doubles the Spark plan folds in, so both engines
+    multiply by bit-identical constants."""
+    cos = (
+        lambda a, b: f"ROUND(list_dot_product({a}, {b}) / "
+        f"GREATEST(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})), 1e-12), 6)"
+    )
+    one_m = 1.0 - lam
+    parts = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
+        " FROM embeddings)",
+        f"q AS (SELECT v FROM v WHERE vec_id = {qid})",
+        "scored AS (SELECT v.vec_id, v.v, "
+        + cos("v.v", "q.v")
+        + f" AS rel FROM v, q WHERE v.vec_id <> {qid})",
+        f"r1 AS (SELECT vec_id, v, rel, ROUND({lam!r} * rel, 6) AS score"
+        " FROM scored ORDER BY score DESC, vec_id LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        union = " UNION ALL ".join(
+            f"SELECT vec_id, v FROM r{i}" for i in range(1, r)
+        )
+        parts.append(f"sel{r} AS ({union})")
+        parts.append(
+            f"s{r} AS (SELECT s.vec_id, any_value(s.v) AS v, s.rel, "
+            f"ROUND({lam!r} * s.rel - {one_m!r} * "
+            f"MAX({cos('s.v', 'sel.v')}), 6) AS score "
+            f"FROM scored s, sel{r} sel "
+            f"WHERE s.vec_id NOT IN (SELECT vec_id FROM sel{r}) "
+            f"GROUP BY s.vec_id, s.rel)"
+        )
+        parts.append(
+            f"r{r} AS (SELECT vec_id, v, rel, score FROM s{r}"
+            " ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, rel, score FROM r{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {finals} ORDER BY rank"
+
+
+@register(
+    "mmr_diverse_topk",
+    _mmr_sql,
+    doc="Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein "
+    "1998): greedy score = λ·cos(query,v) − (1−λ)·max cos to the selected "
+    "set — diverse retrieval / RAG context packing / exemplar selection, "
+    "the query-conditioned sibling of prototypicality pruning. Rel kernel "
+    "checkpointed once; each of k rounds is a TakeOrdered(1) full-corpus "
+    "max with selected vectors as ≤k literals (kmeans/BPE driver-round "
+    "discipline — k rows ever reach the driver). Oracle unrolls the "
+    "greedy rounds as CTEs (similarity-search extension)",
+)
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return sim.mmr_select(
+        e.where(F.col("vec_id") != 0), qvec, k=5, lam=0.7
+    ).orderBy("rank")
+
+
+@register(
+    "corpus_zipf_fit",
+    """
+    WITH words AS (
+        SELECT lang,
+               unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '([a-z0-9]+)', 1)) AS w
+        FROM documents),
+    counts AS (
+        SELECT lang, w, COUNT(*) AS c FROM words GROUP BY lang, w),
+    top AS (
+        SELECT lang, c,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, w) AS rank
+        FROM counts QUALIFY rank <= 100),
+    terms AS (
+        SELECT lang,
+               CAST(ROUND(ln(rank::DOUBLE) * 1e9) AS BIGINT) AS xq,
+               CAST(ROUND(ln(c::DOUBLE) * 1e9) AS BIGINT) AS yq,
+               CAST(ROUND(ln(rank::DOUBLE) * ln(c::DOUBLE) * 1e9)
+                    AS BIGINT) AS xyq,
+               CAST(ROUND(ln(rank::DOUBLE) * ln(rank::DOUBLE) * 1e9)
+                    AS BIGINT) AS xxq
+        FROM top)
+    SELECT lang, COUNT(*)::BIGINT AS n_terms,
+           ROUND((COUNT(*)::DOUBLE * (SUM(xyq) / 1e9)
+                  - (SUM(xq) / 1e9) * (SUM(yq) / 1e9))
+                 / (COUNT(*)::DOUBLE * (SUM(xxq) / 1e9)
+                    - (SUM(xq) / 1e9) * (SUM(xq) / 1e9)), 6) AS slope,
+           ROUND((SUM(yq) / 1e9
+                  - ((COUNT(*)::DOUBLE * (SUM(xyq) / 1e9)
+                      - (SUM(xq) / 1e9) * (SUM(yq) / 1e9))
+                     / (COUNT(*)::DOUBLE * (SUM(xxq) / 1e9)
+                        - (SUM(xq) / 1e9) * (SUM(xq) / 1e9)))
+                    * (SUM(xq) / 1e9)) / COUNT(*)::DOUBLE, 6) AS intercept
+    FROM terms GROUP BY lang ORDER BY lang
+    """,
+    doc="Zipf-law fit per language (OLS slope/intercept of ln freq vs ln "
+    "rank over the top-100 words) — the dataset-card distribution-health "
+    "metric: natural text sits near slope −1, template/synthetic corpora "
+    "flatten it, cross-snapshot drift flags generation leakage. Per-row "
+    "regression terms quantized to 1e-9 BIGINT so all sums are exact "
+    "integers; one vocab-bounded (lang,word) shuffle + a per-lang rank "
+    "window over vocabulary rows only (training-data extension)",
+)
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.textops import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, top_n=100).orderBy("lang")
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -7875,8 +7995,6 @@ DRIVER_PRIORITY = [
     # osm parity half A (r9) — half B rotates in next round
     "osm_node_validity",
     "osm_snapshot_asof",
-    "osm_way_reconstruction",
-    "osm_utm_area",
     # NEW this round (r9): frozen train/serve paths, the skew-safe
     # domain-cap top-K, the LR calibration bins, intra-doc line dedup,
     # the C4 blocklist gate, DoReMi domain reweighting, the source JSD
@@ -7895,7 +8013,11 @@ DRIVER_PRIORITY = [
     "embedding_prototypicality",
     "embedding_density",
     "decontaminate_spans_char",
+    "mmr_diverse_topk",
+    "corpus_zipf_fit",
     # ---- 50-slot window boundary ----
+    "osm_way_reconstruction",
+    "osm_utm_area",
     "osm_changeset_stats",
     "osm_geocode",
     "osm_hashtags",

@@ -280,8 +280,11 @@ EXTENSIONS_JVM_ONLY = [
     "source_js_divergence",
     "embedding_density",
     "decontaminate_spans_char",
+    "corpus_zipf_fit",
     # (embedding_prototypicality rides the kmeans Arrow kernel — audited
-    # by test_python_only_where_defined, not the JVM-only list)
+    # by test_python_only_where_defined; mmr_diverse_topk returns a
+    # driver-assembled k-row frame, so its plan is a LocalTableScan —
+    # nothing to audit)
 ]
 
 

@@ -2146,3 +2146,57 @@ def test_decontaminate_spans_char_matches_bruteforce(spark):
         assert r["n_covered"] == len(covered), (did, r, len(covered))
         assert r["contaminated"] == (len(covered) > 0)
         assert r["n_chars"] == (len(t) if t else 0)
+
+
+def test_mmr_select_diversifies_and_degenerates_to_topk(spark):
+    """MMR invariants: lambda=1 is plain relevance top-k; with redundant
+    near-duplicates of the best item, lambda<1 must skip the duplicate in
+    favor of a diverse runner-up."""
+    from osmesa_spark.operators.similarity import mmr_select
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, [0.99, 0.1, 0.0, 0.0]),   # best match
+        (2, [0.99, 0.11, 0.0, 0.0]),  # near-duplicate of 1
+        (3, [0.6, 0.8, 0.0, 0.0]),    # diverse, decent relevance
+        (4, [0.0, 0.0, 1.0, 0.0]),    # orthogonal to query
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    topk = mmr_select(df, q, k=3, lam=1.0).collect()
+    assert [r["vec_id"] for r in topk] == [1, 2, 3]  # pure relevance order
+
+    div = mmr_select(df, q, k=3, lam=0.5).collect()
+    ids = [r["vec_id"] for r in div]
+    # greedy trace at lam=0.5: 1 first; then the orthogonal 4 (score 0)
+    # beats both the near-dup 2 (~0.5-0.5 = ~0) and the correlated 3
+    # (negative margin); the near-dup is demoted to last
+    assert ids == [1, 4, 2], f"unexpected MMR order {ids}"
+    assert ids[1] != 2, "near-duplicate must not be picked second"
+
+    # k larger than the corpus: stops early, no crash
+    assert mmr_select(df, q, k=10, lam=0.7).count() == 4
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """Plant a corpus whose word frequencies follow freq(rank) =
+    C * rank^-0.8 exactly; the OLS fit must recover slope ~ -0.8 and a
+    perfect-fit intercept ln(C)."""
+    from osmesa_spark.operators.textops import zipf_fit
+
+    C = 512
+    words = []
+    for rank in range(1, 41):
+        freq = max(1, round(C * rank ** -0.8))
+        words.extend([f"w{rank:03d}"] * freq)
+    # one big doc carrying the whole distribution
+    df = spark.createDataFrame(
+        [(1, " ".join(words), "xx")], ["doc_id", "text", "lang"]
+    )
+    out = zipf_fit(df, top_n=40).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_terms"] == 40
+    assert abs(r["slope"] - (-0.8)) < 0.05, r["slope"]
+    import math
+    assert abs(r["intercept"] - math.log(C)) < 0.15, r["intercept"]
