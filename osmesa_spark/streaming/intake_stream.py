@@ -5,6 +5,7 @@ as one structured stream — the streaming face of `apps.curate_training_corpus`
 
 Per arriving file (micro-batch):
 
+  0. optional C4 blocklist gate — literal-IN token census, row-local
   1. Gopher quality gate       — pure-Column rule bundle, row-local
   2. exact dedup, first-seen-wins ACROSS batches — watermark +
      dropDuplicatesWithinWatermark (state bounded by the horizon)
@@ -110,12 +111,15 @@ def run_streaming_corpus_intake(
     lr_model: tuple[dict[int, float], float] | None = None,
     min_p: float | None = None,
     checkpoint_dir: str | None = None,
+    blocklist_terms: list[str] | None = None,
 ):
     """File-drop document stream → gated/deduped/scored docs + manifest.
 
     Returns the started StreamingQuery; `out_dir` gains `docs/batch=*/`
     parquet and a `manifest/` ManifestTable. The frozen `ratio` (b, lr)
-    comes from `curation.dsir_ratio` trained offline."""
+    comes from `curation.dsir_ratio` trained offline. `blocklist_terms`
+    (optional) prepends the strict C4 blocklist gate — a row-local
+    literal-IN census, the cheapest rule, so it runs first."""
     docs_dir = os.path.join(out_dir, "docs")
     table = ManifestTable(os.path.join(out_dir, "manifest"),
                           n_shards=n_shards)
@@ -124,6 +128,12 @@ def run_streaming_corpus_intake(
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
+    if blocklist_terms:
+        from osmesa_spark.functions.text import blocklist_flags
+
+        stream = stream.where(
+            blocklist_flags("text", blocklist_terms)["keep"]
+        )
     gated = stream.where(gopher_quality_flags("text")["keep"])
     deduped = streaming_exact_dedup(
         gated, text_col="text", time_col="event_time", horizon=horizon

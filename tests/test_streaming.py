@@ -1344,7 +1344,8 @@ def test_streaming_corpus_intake_end_to_end(spark, tmp_path):
     t0 = "2024-01-01 00:00:00"
     b0 = [(1, good(1)), (2, good(2)), (3, good(3)), (4, good(4)),
           (5, spam(1)), (6, "too short"), (7, dup_text)]
-    b1 = [(8, good(8)), (9, dup_text), (10, spam(2))]
+    b1 = [(8, good(8)), (9, dup_text), (10, spam(2)),
+          (11, good(11) + " nsfw")]  # good text + blocklisted term
     src = tmp_path / "incoming"
     src.mkdir()
     for name, rows in (("b0", b0), ("b1", b1)):
@@ -1357,15 +1358,18 @@ def test_streaming_corpus_intake_end_to_end(spark, tmp_path):
         spark, str(src) + "/*/", out, ratio,
         n_shards=4, min_logw=thr, n_buckets=64,
         lr_model=(w_lr, b0_lr), min_p=0.5,
+        blocklist_terms=["nsfw", "jackpotxx"],
     )
     q.processAllAvailable()
     q.stop()
 
     got = spark.read.parquet(os.path.join(out, "docs"))
     ids = {r["doc_id"] for r in got.select("doc_id").collect()}
-    # 5/10 spam (threshold), 6 short (gopher), one dup copy (dedup)
+    # 5/10 spam (threshold), 6 short (gopher), one dup copy (dedup),
+    # 11 blocklisted (C4 gate — its text passes every OTHER gate)
     assert {1, 2, 3, 4, 8} <= ids
     assert 5 not in ids and 10 not in ids and 6 not in ids
+    assert 11 not in ids, "blocklisted doc must be dropped by the C4 gate"
     assert len(ids & {7, 9}) == 1, "exactly one copy of the repeated text"
     assert {"n_tokens", "logw", "lr_p"} <= set(got.columns)
     assert got.where(F.col("lr_p") < 0.5).count() == 0
