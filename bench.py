@@ -92,6 +92,17 @@ HEADLINE = [
     "intake_accepted_batch",
     "lr_calibration",
     "length_bucket_padding",
+    # r9 second batch: line dedup / blocklist / DoReMi / JSD / prototypes /
+    # density / char decontamination / MMR / Zipf
+    "doc_line_dedup",
+    "doc_blocklist_filter",
+    "domain_reweight_nll",
+    "source_js_divergence",
+    "embedding_prototypicality",
+    "embedding_density",
+    "decontaminate_spans_char",
+    "mmr_diverse_topk",
+    "corpus_zipf_fit",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

@@ -202,11 +202,17 @@ def domain_reweight_nll(
         "n_bigrams",
         F.round(F.col("nll") * 1e6).cast("decimal(20,0)").alias("q"),
     )
+    # per_src is consumed FOUR times downstream (totals, the share/mean
+    # projection, the normalizer agg and the final select); without a
+    # checkpoint each consumer replays the whole NLL chain — the plan
+    # showed 8 corpus FileScans, i.e. 8 full passes at 100 TB. The frame
+    # is ≤|sources| rows, so pinning it is free and cuts upstream to one
+    # execution.
     per_src = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_bigrams").cast("bigint").alias("nb"),
         F.sum(F.col("q") * F.col("n_bigrams")).alias("qs"),
-    )
+    ).localCheckpoint(eager=False)
     tot = per_src.agg(
         F.sum("nb").alias("nbt"), F.sum("qs").alias("qst")
     )
@@ -345,9 +351,13 @@ def source_js_divergence(
             word_tokens(F.coalesce(F.col(text_col), F.lit("")))
         ).alias("w"),
     )
+    # counts feeds the per-source totals AND the probability projection
+    # whose two aliases self-join — four consumers of the corpus explode
+    # without a pin. The frame is vocabulary-bounded (|sources|·V counter
+    # rows), so checkpointing it bounds the corpus tokenize+agg to one run.
     counts = words.groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("double").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
     p = counts.join(F.broadcast(totals), "source").select(
         "source", "w", (F.col("c") / F.col("n")).alias("p")

@@ -73,6 +73,16 @@ SCALE_SLICE = [
     # r9: the two-phase salted top-K — bucket occupancy and the phase-2
     # survivor count both shift with corpus size
     "source_doc_cap_topk",
+    # r9 second batch: cross-doc window-hash density (eval-overlap
+    # topology changes with corpus size), the word-keyed source-pair
+    # self-join (vocab and per-word source fan both grow), the NLL-chain
+    # reweighting (bigram mass 10×, exact-integer accumulator must hold),
+    # and the bucket-blocked density census (bucket occupancy grows
+    # linearly -> the Σ|bucket|² join surface actually shifts)
+    "decontaminate_spans_char",
+    "source_js_divergence",
+    "domain_reweight_nll",
+    "embedding_density",
 ]
 
 
