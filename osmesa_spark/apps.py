@@ -370,6 +370,7 @@ def curate_training_corpus(
     min_quality: float = 0.5,
     split_seed: int = 7,
     mixture_seed: int = 11,
+    blocklist_terms: list[str] | None = None,
 ) -> DataFrame:
     """End-to-end training-corpus preparation — the LLM-pipeline analogue
     of the reference's batch apps (raw table in, serving table out):
@@ -386,9 +387,18 @@ def curate_training_corpus(
     by doc_id — an id equi-join bounded by the sampled train set.
 
     Returns (doc_id, lang, quality, n_tokens, pack_id) for the sampled
-    train docs."""
+    train docs.
+
+    `blocklist_terms` (optional) prepends the strict C4 blocklist gate —
+    a row-local literal-IN census (`text.blocklist_flags`), the cheapest
+    rule, so it runs before anything shuffles; default None leaves the
+    pipeline byte-identical to the oracled composition."""
     from osmesa_spark.operators import curation as cur
 
+    if blocklist_terms:
+        from osmesa_spark.functions.text import blocklist_flags
+
+        docs = docs.where(blocklist_flags("text", blocklist_terms)["keep"])
     piped = cur.curation_pipeline(docs, min_quality=min_quality,
                                   seed=split_seed)
     train = piped.where(F.col("split") == "train")

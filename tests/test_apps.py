@@ -294,6 +294,29 @@ def test_curate_training_corpus_end_to_end(spark):
     for r in rows:
         assert r["pack_id"] >= 0 and (r["pack_id"] >> 32) < 64
 
+    # optional C4 blocklist pre-gate: terms absent from the corpus leave
+    # the output byte-identical; a term present in some docs strictly
+    # shrinks it and no surviving doc contains the term
+    same = apps.curate_training_corpus(
+        d, mix, pack_budget=512, blocklist_terms=["qzxnotaword"]
+    )
+    assert sorted(map(tuple, same.collect())) == sorted(map(tuple, rows))
+    # (no subset assertion: removing docs legitimately reshuffles dedup
+    # representatives and the count-derived mixture rates downstream)
+    gated = apps.curate_training_corpus(
+        d, mix, pack_budget=512, blocklist_terms=["slow"]
+    )
+    gated_ids = {r["doc_id"] for r in gated.collect()}
+    assert gated_ids
+    texts = {
+        r["doc_id"]: (r["text"] or "")
+        for r in d.select("doc_id", "text").collect()
+    }
+    import re as _re
+    for i in gated_ids:
+        toks = _re.findall(r"[a-z0-9]+", texts[i].lower())
+        assert "slow" not in toks, i
+
 
 def test_neardup_dedup_corpus_keeps_best_per_cluster(spark):
     """Crafted corpus: three near-identical docs (one clearly

@@ -2200,3 +2200,34 @@ def test_zipf_fit_recovers_planted_exponent(spark):
     assert abs(r["slope"] - (-0.8)) < 0.05, r["slope"]
     import math
     assert abs(r["intercept"] - math.log(C)) < 0.15, r["intercept"]
+
+
+def test_dedup_lines_within_doc_matches_python_reference(spark):
+    """Randomized cross-check: keep-first line dedup against the obvious
+    python reference over docs drawn from a tiny line alphabet (maximizes
+    collision density, including all-dup and no-dup extremes)."""
+    import random
+
+    from osmesa_spark.operators.textops import dedup_lines_within_doc
+
+    rnd = random.Random(71)
+    alphabet = ["a", "bb", "c c", "", "dd d", "e"]
+    rows = []
+    for did in range(200):
+        n = rnd.randint(1, 12)
+        rows.append(
+            (did, "\n".join(rnd.choice(alphabet) for _ in range(n)))
+        )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in dedup_lines_within_doc(df).collect()}
+    for did, text in rows:
+        lines = text.split("\n")
+        seen, kept = set(), []
+        for l in lines:
+            if l not in seen:
+                seen.add(l)
+                kept.append(l)
+        r = got[did]
+        assert r["n_lines"] == len(lines)
+        assert r["n_kept"] == len(kept)
+        assert r["text_dedup"] == "\n".join(kept), (did, text)
