@@ -103,6 +103,8 @@ HEADLINE = [
     "decontaminate_spans_char",
     "mmr_diverse_topk",
     "corpus_zipf_fit",
+    "knn_lsh_multiprobe",
+    "ann_recall_multiprobe",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

@@ -313,6 +313,64 @@ def knn_lsh(
     )
 
 
+def knn_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN (Lv et al. 2007): probe the query's own
+    bucket PLUS every Hamming-1 neighbor (one sign-bit flip per plane) —
+    the standard recall lift that costs |planes| extra bucket probes per
+    query instead of a second hash table. A vector near a hyperplane
+    falls on the wrong side for that bit; flipping each bit one at a
+    time recovers exactly those near-boundary misses.
+
+    Scale shape: the corpus side is UNCHANGED (one bucket per item — no
+    index growth); only the bounded query side fans out 1+|planes| probe
+    rows before the same bucket equi-join. Each (query, item) pair can
+    match at most one probe (an item has one bucket), so no dedup stage
+    is needed. Candidate superset ⇒ recall@k is monotonically ≥ the
+    single-probe `knn_lsh` (asserted in tests). Same output shape."""
+    from osmesa_spark.util import ensure_parallelism
+
+    b = lsh_bucket(F.col(vec_col), planes)
+    probes = F.explode(
+        F.array(
+            b, *[b.bitwiseXOR(F.lit(1 << i)) for i in range(len(planes))]
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        probes.alias("bucket"),
+    )
+    c = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     k: int = 4,

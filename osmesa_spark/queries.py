@@ -7932,6 +7932,128 @@ def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(d, top_n=100).orderBy("lang")
 
 
+_MULTIPROBE_LQ = (
+    "SELECT vec_id AS query_id, v AS qv, "
+    "unnest([bucket] || list_transform(range(0, 6), "
+    "i -> xor(bucket::BIGINT, (1::BIGINT << i)))) AS bucket "
+    "FROM bk WHERE vec_id < 8"
+)
+
+
+@register(
+    "knn_lsh_multiprobe",
+    lambda: f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    bk AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM v),
+    lq AS ({_MULTIPROBE_LQ}),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM bk),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, cv)
+                     / GREATEST(sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv)), 1e-12), 6)
+                   AS cos
+        FROM lq JOIN c ON lq.bucket = c.bucket
+        WHERE query_id <> neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id)::INT AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="multi-probe sign-LSH ANN (Lv et al. 2007): the query probes its "
+    "own bucket plus every Hamming-1 bit-flip neighbor — recovers "
+    "near-hyperplane misses for |planes| extra probes per query instead "
+    "of a second hash table. Corpus index unchanged (one bucket/item, no "
+    "growth); only the bounded query side fans out; each (query,item) "
+    "pair matches at most one probe so no dedup stage. Candidate "
+    "superset ⇒ recall@k ≥ single-probe knn_lsh, machine-asserted "
+    "(similarity-search extension)",
+)
+def q_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.knn_lsh_multiprobe(
+        e, e.where(F.col("vec_id") < 8), _LSH_PLANES, k=5
+    )
+
+
+@register(
+    "ann_recall_multiprobe",
+    lambda: f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    bq AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+    bscored AS (
+        SELECT bq.query_id, v.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qv, v.v)
+                     / GREATEST(sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(v.v, v.v)), 1e-12),
+                     6) AS cos
+        FROM bq JOIN v ON bq.query_id <> v.vec_id),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM bscored) WHERE rank <= 5),
+    bk AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM v),
+    lq AS ({_MULTIPROBE_LQ}),
+    lscored AS (
+        SELECT query_id, bk.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qv, bk.v)
+                     / GREATEST(sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(bk.v, bk.v)), 1e-12),
+                     6) AS cos
+        FROM lq JOIN bk ON lq.bucket = bk.bucket
+        WHERE query_id <> bk.vec_id),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM lscored) WHERE rank <= 5),
+    hits AS (
+        SELECT bf.query_id, COUNT(*)::BIGINT AS hits
+        FROM bf JOIN lsh USING (query_id, neighbor_id)
+        GROUP BY bf.query_id)
+    SELECT q.query_id,
+           ROUND(COALESCE(h.hits, 0) / 5.0, 2) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM bf) q
+    LEFT JOIN hits h USING (query_id)
+    ORDER BY query_id
+    """,
+    doc="recall@5 of the MULTI-PROBE sign-LSH probe vs exact brute force "
+    "— fifth row of the ANN compression/recall matrix (LSH / PQ / JL / "
+    "truncation / multiprobe); per-query recall is provably >= the "
+    "single-probe row since the candidate set is a superset "
+    "(similarity-search extension)",
+)
+def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    bf = sim.knn_bruteforce(e, q, k=5).select("query_id", "neighbor_id")
+    mp = sim.knn_lsh_multiprobe(e, q, _LSH_PLANES, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = bf.join(mp, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("hits", F.lit(0)) / 5.0, 2).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -7992,15 +8114,16 @@ DRIVER_PRIORITY = [
     "tile_histogram",
     "tokenizer_fertility",
     "user_statistics",
-    # osm parity half A (r9) — half B rotates in next round
-    "osm_node_validity",
-    "osm_snapshot_asof",
-    # NEW this round (r9): frozen train/serve paths, the skew-safe
-    # domain-cap top-K, the LR calibration bins, intra-doc line dedup,
-    # the C4 blocklist gate, DoReMi domain reweighting, the source JSD
-    # matrix, SSL-prototypes pruning and the LSH density census — never
-    # driver-checked (rule 2 puts them in the window; six r8-green osm
-    # half-A entries moved to half B to make room, so rule 3 holds)
+    # NEW this round (r9, 16 entries): frozen train/serve paths, the
+    # skew-safe domain-cap top-K, LR calibration bins, intra-doc line
+    # dedup, the C4 blocklist gate, DoReMi domain reweighting, the source
+    # JSD matrix, SSL-prototypes pruning, the LSH density census,
+    # char-level eval decontamination, MMR diverse top-k, the Zipf fit
+    # and the multi-probe LSH pair — never driver-checked, so rule 2
+    # requires every one inside the window. With the 34-query stale
+    # backlog that fills all 50 slots: the ENTIRE osm parity set (all
+    # r8-green, rule 3 satisfied) rotates to the r10 window instead of
+    # alternating halves this round.
     "lr_score_frozen",
     "intake_accepted_batch",
     "source_doc_cap_topk",
@@ -8015,7 +8138,11 @@ DRIVER_PRIORITY = [
     "decontaminate_spans_char",
     "mmr_diverse_topk",
     "corpus_zipf_fit",
+    "knn_lsh_multiprobe",
+    "ann_recall_multiprobe",
     # ---- 50-slot window boundary ----
+    "osm_node_validity",
+    "osm_snapshot_asof",
     "osm_way_reconstruction",
     "osm_utm_area",
     "osm_changeset_stats",

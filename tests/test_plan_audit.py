@@ -281,6 +281,8 @@ EXTENSIONS_JVM_ONLY = [
     "embedding_density",
     "decontaminate_spans_char",
     "corpus_zipf_fit",
+    "knn_lsh_multiprobe",
+    "ann_recall_multiprobe",
     # (embedding_prototypicality rides the kmeans Arrow kernel — audited
     # by test_python_only_where_defined; mmr_diverse_topk returns a
     # driver-assembled k-row frame, so its plan is a LocalTableScan —

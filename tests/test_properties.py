@@ -2231,3 +2231,32 @@ def test_dedup_lines_within_doc_matches_python_reference(spark):
         assert r["n_lines"] == len(lines)
         assert r["n_kept"] == len(kept)
         assert r["text_dedup"] == "\n".join(kept), (did, text)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Candidate-superset guarantee: per query, multi-probe LSH recall@5
+    vs brute force is >= single-probe recall@5 (same planes, same k),
+    and at least one query on the sf0.01 fixture actually improves or
+    stays at 1.0 overall coverage is sane."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark import queries as Q
+    from tests.conftest import SF_CORRECT
+
+    reg = Q.registry()
+    single = {
+        r["query_id"]: r["recall_at_5"]
+        for r in reg["ann_recall_lsh"].spark(spark, SF_CORRECT).collect()
+    }
+    multi = {
+        r["query_id"]: r["recall_at_5"]
+        for r in reg["ann_recall_multiprobe"].spark(
+            spark, SF_CORRECT
+        ).collect()
+    }
+    assert set(single) == set(multi)
+    for qid in single:
+        assert multi[qid] >= single[qid] - 1e-9, (
+            qid, single[qid], multi[qid]
+        )
+    assert sum(multi.values()) >= sum(single.values())
