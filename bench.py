@@ -105,6 +105,7 @@ HEADLINE = [
     "corpus_zipf_fit",
     "knn_lsh_multiprobe",
     "ann_recall_multiprobe",
+    "knn_label_accuracy",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

@@ -519,6 +519,89 @@ def kmeans_lloyd(
             return out
 
 
+def knn_label_accuracy(
+    df: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-quality evaluation by leave-one-out kNN label prediction
+    (the standard probe for 'do these embeddings encode the labels'):
+    every vector is a query; its k nearest SAME-BUCKET neighbors (sign-
+    LSH) vote by majority, and the prediction is compared to the vector's
+    own label. The aggregate accuracy is the retrain/reembed health
+    metric next to `embedding_drift`.
+
+    Scale shape: corpus-wide leave-one-out means BOTH join sides are the
+    corpus, so this deliberately does NOT reuse `knn_lsh` (which
+    broadcasts its bounded probe side) — the bucket self-join shuffles
+    both sides on the bucket key (pair work Σ|bucket|², the
+    `density_census` bound); the vote is one (query,label) partial agg
+    followed by a deterministic argmax (count desc, label asc) via
+    max(struct). Bucketed base checkpointed once for both join sides and
+    the verdict join-back.
+
+    Output: (vec_id, true_label, pred_label, correct) — vectors with no
+    same-bucket neighbor get pred_label null / correct false."""
+    from osmesa_spark.util import ensure_parallelism
+
+    base = (
+        ensure_parallelism(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.col(label_col).alias("label"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+    a = base.select(
+        "bucket", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = base.select(
+        "bucket",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("label").alias("label_b"),
+    )
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "label_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            "id_b",
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), "id_b")
+    topk = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy("id_a", "label_b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    maj = votes.groupBy("id_a").agg(
+        F.max(
+            F.struct(F.col("cnt"), (-F.col("label_b")).alias("neg"))
+        )["neg"].alias("neg_pred")
+    ).select("id_a", (-F.col("neg_pred")).alias("pred_label"))
+    return (
+        base.select("id", "label")
+        .join(maj, F.col("id") == F.col("id_a"), "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("label").alias("true_label"),
+            "pred_label",
+            F.coalesce(
+                F.col("pred_label") == F.col("label"), F.lit(False)
+            ).alias("correct"),
+        )
+    )
+
+
 def mmr_select(
     corpus: DataFrame,
     query_vec: list[float],

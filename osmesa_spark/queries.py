@@ -8054,6 +8054,55 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_label_accuracy",
+    lambda: f"""
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    bk AS (SELECT vec_id, label, v, {_lsh_bucket_sql()} AS bucket FROM v),
+    scored AS (
+        SELECT a.vec_id AS id_a, b.label AS label_b, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v)
+                     / GREATEST(sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v)),
+                                1e-12), 6) AS cos
+        FROM bk a JOIN bk b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    topk AS (
+        SELECT id_a, label_b FROM (
+            SELECT id_a, label_b,
+                   ROW_NUMBER() OVER (PARTITION BY id_a
+                                      ORDER BY cos DESC, id_b) AS rank
+            FROM scored) WHERE rank <= 5),
+    votes AS (
+        SELECT id_a, label_b, COUNT(*) AS cnt
+        FROM topk GROUP BY id_a, label_b),
+    maj AS (
+        SELECT id_a, label_b AS pred_label FROM (
+            SELECT id_a, label_b,
+                   ROW_NUMBER() OVER (PARTITION BY id_a
+                                      ORDER BY cnt DESC, label_b) AS rn
+            FROM votes) WHERE rn = 1)
+    SELECT bk.vec_id, bk.label AS true_label, maj.pred_label,
+           COALESCE(maj.pred_label = bk.label, FALSE) AS correct
+    FROM bk LEFT JOIN maj ON bk.vec_id = maj.id_a
+    ORDER BY bk.vec_id
+    """,
+    doc="leave-one-out kNN label-prediction accuracy over the sign-LSH "
+    "probe — the standard 'do these embeddings encode the labels' eval, "
+    "the retrain/reembed health metric next to embedding_drift. Both "
+    "join sides are the corpus, so this is the SHUFFLED bucket self-join "
+    "(Σ|bucket|² pair work), NOT knn_lsh's broadcast-probe shape; "
+    "majority vote = one (query,label) partial agg + deterministic "
+    "max(struct) argmax; isolated vectors survive as pred null / correct "
+    "false (similarity-search extension)",
+)
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.knn_label_accuracy(e, _LSH_PLANES, k=5).orderBy("vec_id")
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -8141,6 +8190,11 @@ DRIVER_PRIORITY = [
     "knn_lsh_multiprobe",
     "ann_recall_multiprobe",
     # ---- 50-slot window boundary ----
+    # stale OVERFLOW (backlog > 50): never-checked entries that did not
+    # fit — contiguous here so they are the FRONT of the r10 window
+    # (machine-checked by test_driver_priority_window_integrity)
+    "knn_label_accuracy",
+    # the full osm parity set (all r8-green) rotates in behind them
     "osm_node_validity",
     "osm_snapshot_asof",
     "osm_way_reconstruction",

@@ -2260,3 +2260,36 @@ def test_multiprobe_recall_dominates_single_probe(spark):
             qid, single[qid], multi[qid]
         )
     assert sum(multi.values()) >= sum(single.values())
+
+
+def test_knn_label_accuracy_separable_blobs(spark):
+    """Planted label-aligned blobs: leave-one-out kNN over LSH buckets
+    must predict nearly every label; an isolated vector (unique bucket)
+    degrades gracefully to pred_label null / correct false."""
+    import random
+
+    from osmesa_spark.operators.similarity import (
+        knn_label_accuracy,
+        lsh_planes,
+    )
+
+    rnd = random.Random(23)
+    rows = []
+    for i in range(90):
+        lbl = i % 3
+        base = [0.0] * 8
+        base[2 * lbl] = 1.0
+        rows.append(
+            (i, [b + rnd.uniform(-0.05, 0.05) for b in base], lbl)
+        )
+    rows.append((999, [(-1.0) ** d * 7.0 for d in range(8)], 7))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["vec_id"]: r for r in knn_label_accuracy(
+        df, lsh_planes(8, n_planes=4, seed=3), k=5
+    ).collect()}
+    acc = sum(1 for r in out.values() if r["correct"]) / len(out)
+    assert acc > 0.9, acc
+    blob_rows = [r for i, r in out.items() if i != 999]
+    assert all(r["correct"] for r in blob_rows[:10])
