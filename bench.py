@@ -106,6 +106,8 @@ HEADLINE = [
     "knn_lsh_multiprobe",
     "ann_recall_multiprobe",
     "knn_label_accuracy",
+    "embedding_dim_stats",
+    "collocations_pmi",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

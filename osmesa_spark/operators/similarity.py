@@ -519,6 +519,51 @@ def kmeans_lloyd(
             return out
 
 
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dead_var: float = 1e-6,
+) -> DataFrame:
+    """Per-dimension embedding health profile — mean / population
+    variance / min / max for every vector component, plus a `is_dead`
+    verdict (variance below `dead_var`): dead or near-constant dimensions
+    are wasted index bytes and distance-metric noise, and a sudden batch
+    of them flags an upstream encoder regression (the per-dimension
+    sibling of `embedding_drift`'s per-cluster view).
+
+    Determinism: components are quantized to 1e-9 BIGINT units so the
+    mean/variance sums are exact integers at any partitioning (variance
+    via E[x²]−E[x]² over the quantized values; x² in 1e-18 units held in
+    a decimal accumulator).
+
+    Scale shape: one posexplode (corpus × dim narrow rows) into a single
+    partial agg keyed by dimension — map-side combine collapses it to
+    #partitions × dim counter rows; output is dim rows."""
+    q = F.round(F.col("val").cast("double") * 1e9).cast("bigint")
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "val")
+    ).select("dim", q.alias("q"))
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("q").cast("double") / 1e9
+    sxx = (
+        F.sum(F.col("q").cast("decimal(20,0)") * F.col("q")).cast("double")
+        / 1e18
+    )
+    mean = sx / n
+    var = sxx / n - mean * mean
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            n.cast("bigint").alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(var, 6).alias("variance"),
+            F.round(F.min("q") / 1e9, 6).alias("min_val"),
+            F.round(F.max("q") / 1e9, 6).alias("max_val"),
+            (F.round(var, 6) < F.lit(dead_var)).alias("is_dead"),
+        )
+    )
+
+
 def knn_label_accuracy(
     df: DataFrame,
     planes: list[list[float]],

@@ -245,6 +245,83 @@ def domain_reweight_nll(
     )
 
 
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Collocation mining: top-k adjacent word pairs by pointwise mutual
+    information, PMI = ln(p(a,b) / (p(a)·p(b))) — the corpus-analytics
+    readout behind multi-word-expression vocab entries (tokenizer merge
+    candidates), boilerplate-phrase discovery, and NER-ish phrase lists.
+    `min_count` suppresses the low-frequency PMI explosion (a hapax pair
+    always has sky-high PMI).
+
+    Determinism: every probability is a ratio of exact integer counts, so
+    both engines derive identical doubles; PMI is rounded 6dp BEFORE the
+    top-k ordering with an (a, b) word tie-break.
+
+    Scale shape: bigrams are built row-locally (same transform as
+    `lm_nll_scores`); pair counts are vocab²-bounded counter rows with
+    zipfian mass (one partial-agg shuffle), unigram counts fold out of
+    the same instance table; the two count joins are word-keyed; the
+    result is a TakeOrdered(top_k).
+
+    Output: (a, b, c_ab, pmi) — top_k rows."""
+    from osmesa_spark.functions.text import word_tokens
+    from osmesa_spark.util import ensure_parallelism
+
+    base = ensure_parallelism(df.select(text_col), text_col)
+    toks = word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("a"),
+            F.element_at(toks, i + 2).alias("b"),
+        ),
+    )
+    db = (
+        base.where(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    c_ab = db.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    ).localCheckpoint(eager=False)
+    # marginals over the SAME event space as the joint: c_a = Σ_b c_ab
+    # (left-position occurrences), c_b = Σ_a c_ab (right-position), both
+    # normalized by the bigram total — PMI = ln(c_ab·N / (c_a·c_b)), the
+    # standard bigram-table formulation (derives from c_ab alone: no
+    # second corpus pass)
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    c_b = c_ab.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    n_b = c_ab.agg(F.sum("c_ab").alias("nb"))
+    scored = (
+        c_ab.where(F.col("c_ab") >= min_count)
+        .join(c_a, "a")
+        .join(c_b, "b")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("nb"))
+                    / (
+                        F.col("c_a").cast("double")
+                        * F.col("c_b").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(top_k)
+
+
 def zipf_fit(
     df: DataFrame,
     text_col: str = "text",

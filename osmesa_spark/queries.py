@@ -8103,6 +8103,80 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_label_accuracy(e, _LSH_PLANES, k=5).orderBy("vec_id")
 
 
+@register(
+    "embedding_dim_stats",
+    """
+    WITH e AS (
+        SELECT unnest(embedding)::DOUBLE AS val,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings),
+    q AS (SELECT dim, CAST(ROUND(val * 1e9) AS BIGINT) AS q FROM e)
+    SELECT dim,
+           COUNT(*)::BIGINT AS n,
+           ROUND((SUM(q)::DOUBLE / 1e9) / COUNT(*), 6) AS mean,
+           ROUND(SUM(q::HUGEINT * q)::DOUBLE / 1e18 / COUNT(*)
+                 - ((SUM(q)::DOUBLE / 1e9) / COUNT(*))
+                   * ((SUM(q)::DOUBLE / 1e9) / COUNT(*)), 6) AS variance,
+           ROUND(MIN(q) / 1e9, 6) AS min_val,
+           ROUND(MAX(q) / 1e9, 6) AS max_val,
+           ROUND(SUM(q::HUGEINT * q)::DOUBLE / 1e18 / COUNT(*)
+                 - ((SUM(q)::DOUBLE / 1e9) / COUNT(*))
+                   * ((SUM(q)::DOUBLE / 1e9) / COUNT(*)), 6) < 1e-6
+               AS is_dead
+    FROM q GROUP BY dim ORDER BY dim
+    """,
+    doc="per-dimension embedding health profile (mean / population "
+    "variance / min / max / dead-dimension verdict) — wasted-index-bytes "
+    "and encoder-regression detector, the per-dimension sibling of "
+    "embedding_drift. Components quantized to 1e-9 BIGINT (x² in a "
+    "decimal accumulator) so all sums are exact integers; one posexplode "
+    "into a single dim-keyed partial agg → dim rows "
+    "(similarity-search extension)",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_dim_stats(e).orderBy("dim")
+
+
+@register(
+    "collocations_pmi",
+    """
+    WITH tokens AS (
+        SELECT regexp_extract_all(lower(COALESCE(text, '')),
+                                  '([a-z0-9]+)', 1) AS w
+        FROM documents),
+    bg AS (
+        SELECT w[u.i] AS a, w[u.i + 1] AS b
+        FROM tokens, LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+        WHERE len(w) >= 2),
+    cab AS (SELECT a, b, COUNT(*)::BIGINT AS c_ab FROM bg GROUP BY a, b),
+    ca AS (SELECT a, SUM(c_ab)::BIGINT AS c_a FROM cab GROUP BY a),
+    cb AS (SELECT b, SUM(c_ab)::BIGINT AS c_b FROM cab GROUP BY b),
+    nb AS (SELECT SUM(c_ab)::BIGINT AS nb FROM cab),
+    scored AS (
+        SELECT cab.a, cab.b, cab.c_ab,
+               ROUND(ln((cab.c_ab::DOUBLE * nb.nb)
+                        / (ca.c_a::DOUBLE * cb.c_b::DOUBLE)), 6) AS pmi
+        FROM cab JOIN ca USING (a) JOIN cb USING (b), nb
+        WHERE cab.c_ab >= 5)
+    SELECT a, b, c_ab, pmi FROM scored
+    ORDER BY pmi DESC, a, b LIMIT 20
+    """,
+    doc="collocation mining: top-20 adjacent word pairs by PMI = "
+    "ln(c_ab·N/(c_a·c_b)) over the bigram event space (marginals derive "
+    "from the joint — no second corpus pass), min-count 5 against the "
+    "hapax-PMI explosion — tokenizer merge candidates / boilerplate-"
+    "phrase discovery. All probabilities are ratios of exact integer "
+    "counts; PMI rounded 6dp BEFORE the (pmi, a, b) TakeOrdered "
+    "(training-data extension)",
+)
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.textops import collocations_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    return collocations_pmi(d, min_count=5, top_k=20)
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -8194,6 +8268,8 @@ DRIVER_PRIORITY = [
     # fit — contiguous here so they are the FRONT of the r10 window
     # (machine-checked by test_driver_priority_window_integrity)
     "knn_label_accuracy",
+    "embedding_dim_stats",
+    "collocations_pmi",
     # the full osm parity set (all r8-green) rotates in behind them
     "osm_node_validity",
     "osm_snapshot_asof",

@@ -2293,3 +2293,44 @@ def test_knn_label_accuracy_separable_blobs(spark):
     assert acc > 0.9, acc
     blob_rows = [r for i, r in out.items() if i != 999]
     assert all(r["correct"] for r in blob_rows[:10])
+
+
+def test_collocations_pmi_finds_planted_phrase(spark):
+    """A planted rigid phrase ('neural network' always adjacent, its
+    words never apart) must outscore a frequent-but-independent pair;
+    sub-min-count pairs never appear."""
+    import random
+
+    from osmesa_spark.operators.textops import collocations_pmi
+
+    rnd = random.Random(9)
+    filler = ["data", "model", "train", "eval", "batch", "loss"]
+    rows = []
+    for i in range(60):
+        words = [rnd.choice(filler) for _ in range(12)]
+        words[4:4] = ["neural", "network"]   # rigid collocation
+        rows.append((i, " ".join(words)))
+    rows.append((999, "rare pair"))          # c_ab = 1 < min_count
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = collocations_pmi(df, min_count=5, top_k=10).collect()
+    pairs = [(r["a"], r["b"]) for r in out]
+    assert pairs[0] == ("neural", "network"), pairs[:3]
+    assert ("rare", "pair") not in pairs
+    pmis = [r["pmi"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_embedding_dim_stats_flags_dead_dimension(spark):
+    """A constant dimension must report variance 0 / is_dead true; a
+    live dimension reports its exact quantized mean and spread."""
+    rows = [
+        (i, [float(i % 5), 3.25, -1.0 + 0.5 * (i % 3)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from osmesa_spark.operators.similarity import embedding_dim_stats
+
+    out = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+    assert out[1]["is_dead"] and out[1]["variance"] == 0.0
+    assert out[1]["mean"] == 3.25
+    assert not out[0]["is_dead"] and out[0]["variance"] > 0
+    assert out[2]["min_val"] == -1.0 and out[2]["max_val"] == 0.0
