@@ -108,6 +108,7 @@ HEADLINE = [
     "knn_label_accuracy",
     "embedding_dim_stats",
     "collocations_pmi",
+    "knn_ivf_nprobe",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

@@ -121,6 +121,91 @@ def knn_ivf(
     )
 
 
+def _sq_l2_lit(vec: Column, centroid: list[float], round_to: int = 6) -> Column:
+    """Squared L2 distance to a literal centroid, rounded like the kmeans
+    kernel so probe selection replays identically cross-engine."""
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        round_to,
+    )
+
+
+def knn_ivf_nprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    coarse_k: int = 4,
+    iters: int = 2,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a REAL nprobe knob (the faiss recall/latency dial):
+    train the coarse quantizer (`kmeans_lloyd`), assign the corpus to its
+    inverted lists once, and probe each query's `nprobe` NEAREST clusters
+    instead of only the closest — the standard fix for queries that land
+    near a Voronoi boundary (`knn_ivf` with a precomputed bucket column
+    is the nprobe=1 special case; `knn_lsh_multiprobe` is the same idea
+    for hash buckets).
+
+    Scale shape: corpus side is the one assign kernel pass (inverted
+    lists = a cluster-keyed layout, probe surface O(nprobe·N/coarse_k));
+    the query side ranks coarse_k literal centroid distances row-locally
+    and explodes to nprobe rows before the same cluster equi-join.
+    Candidate superset of nprobe=1 ⇒ recall monotone in nprobe.
+
+    Same output shape as knn_bruteforce."""
+    assigned, cents = kmeans_lloyd(
+        corpus, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col,
+        seed=seed, emit_vector=True, return_centroids=True,
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sq_l2_lit(qv, v).alias("d"),
+                    F.lit(int(cid)).cast("int").alias("cid"),
+                )
+                for cid, v in cents
+            ]
+        )
+    )
+    probes = F.explode(
+        F.transform(
+            F.slice(ranked, 1, nprobe), lambda s: s["cid"]
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("qvec"),
+        probes.alias("cluster"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cluster")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def neardup_cosine(
     df: DataFrame,
     threshold: float = 0.3,

@@ -8177,6 +8177,78 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations_pmi(d, min_count=5, top_k=20)
 
 
+@register(
+    "knn_ivf_nprobe",
+    f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings),
+    s AS (
+        SELECT v, row_number() OVER (ORDER BY
+                   ('0x' || substr(md5('29:' || vec_id::VARCHAR), 1, 15))::BIGINT,
+                   vec_id) - 1 AS cid
+        FROM v QUALIFY cid <= 3),
+    a1 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT v.vec_id, v.v, s.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       {_KM_DIST.format(a="v.v", b="s.v")}, s.cid) AS rn
+            FROM v, s) t WHERE rn = 1),
+    c1 AS (
+        SELECT cid, list(rv ORDER BY pos) AS v FROM (
+            SELECT cid, pos, round(avg(val), 6) AS rv FROM (
+                SELECT cid, unnest(v) AS val,
+                       generate_subscripts(v, 1) AS pos FROM a1) u
+            GROUP BY cid, pos) g
+        GROUP BY cid),
+    a2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c1.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       {_KM_DIST.format(a="v.v", b="c1.v")}, c1.cid) AS rn
+            FROM v, c1) t WHERE rn = 1),
+    qsel AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+    qprobe AS (
+        SELECT query_id, qv, cid AS cluster FROM (
+            SELECT q.query_id, q.qv, c1.cid,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       {_KM_DIST.format(a="q.qv", b="c1.v")}, c1.cid) AS rn
+            FROM qsel q, c1) t WHERE rn <= 2),
+    scored AS (
+        SELECT qp.query_id, a2.vec_id AS neighbor_id,
+               ROUND(list_dot_product(qp.qv, v.v)
+                     / GREATEST(sqrt(list_dot_product(qp.qv, qp.qv))
+                                * sqrt(list_dot_product(v.v, v.v)),
+                                1e-12), 6) AS cos
+        FROM qprobe qp
+        JOIN a2 ON qp.cluster = a2.cid
+        JOIN v ON a2.vec_id = v.vec_id
+        WHERE qp.query_id <> a2.vec_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id)::INT AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="IVF ANN with the real faiss nprobe knob: the query probes its 2 "
+    "nearest trained coarse clusters instead of only the closest — the "
+    "Voronoi-boundary fix, recall monotone in nprobe (knn_ivf is the "
+    "nprobe=1 special case; knn_lsh_multiprobe is the hash-bucket "
+    "analogue). Corpus = one assign-kernel pass into inverted lists, "
+    "probe surface O(nprobe·N/coarse_k); query side ranks coarse_k "
+    "literal centroid distances row-locally. Oracle replays the seeded "
+    "Lloyd chain + the top-nprobe probe selection "
+    "(similarity-search extension)",
+)
+def q_knn_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.knn_ivf_nprobe(
+        e, e.where(F.col("vec_id") < 8), k=5, nprobe=2, coarse_k=4,
+        iters=2, seed=29,
+    )
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -8270,6 +8342,7 @@ DRIVER_PRIORITY = [
     "knn_label_accuracy",
     "embedding_dim_stats",
     "collocations_pmi",
+    "knn_ivf_nprobe",
     # the full osm parity set (all r8-green) rotates in behind them
     "osm_node_validity",
     "osm_snapshot_asof",

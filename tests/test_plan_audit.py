@@ -28,6 +28,7 @@ PYTHON_OK = {
     # all-Column unrolling compiles O(k*dim) codegen per round instead)
     "kmeans_clusters",
     "embedding_prototypicality",
+    "knn_ivf_nprobe",
 }
 
 # kernel-defined queries whose Python stage is MATERIALIZED (localCheckpoint)

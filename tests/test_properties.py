@@ -2334,3 +2334,34 @@ def test_embedding_dim_stats_flags_dead_dimension(spark):
     assert out[1]["mean"] == 3.25
     assert not out[0]["is_dead"] and out[0]["variance"] > 0
     assert out[2]["min_val"] == -1.0 and out[2]["max_val"] == 0.0
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    """nprobe monotonicity: recall@5 vs brute force is non-decreasing in
+    nprobe, and nprobe = coarse_k recovers brute force exactly (every
+    inverted list probed)."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark import queries as Q
+    from osmesa_spark.operators import similarity as sim
+    from tests.conftest import SF_CORRECT
+
+    e = Q._t(spark, SF_CORRECT, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.knn_bruteforce(e, q, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.knn_ivf_nprobe(
+                e, q, k=5, nprobe=nprobe, coarse_k=4, iters=2, seed=29
+            ).collect()
+        }
+        return len(got & bf) / len(bf)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 + 1e-9 and r2 <= r4 + 1e-9, (r1, r2, r4)
+    assert r4 == 1.0, f"nprobe=coarse_k must equal brute force, got {r4}"
