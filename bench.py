@@ -109,6 +109,7 @@ HEADLINE = [
     "embedding_dim_stats",
     "collocations_pmi",
     "knn_ivf_nprobe",
+    "doc_gopher_repetition",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

@@ -293,6 +293,200 @@ def gopher_quality_flags(text: Column | str) -> Column:
     )
 
 
+def _let(col: Column, fn) -> Column:
+    """Poor-man's `let`: bind `col` ONCE as a higher-order-function lambda
+    variable so its expression tree appears a single time in the plan no
+    matter how many times the body references it. Without this, every
+    mention of a derived array column COPIES its whole construction tree
+    — for the repetition bundle below that blew plan compilation up to
+    ~170 s; with let-bindings it is sub-second. Runtime cost: one
+    1-element array wrap."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def _ngram_strings(words: Column, n: int) -> Column:
+    """Adjacent word n-grams as space-joined strings (empty array when
+    the doc has < n words)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda s: F.concat_ws(
+                " ", F.slice(words, s + 1, n)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def gopher_repetition_flags(text: Column | str) -> Column:
+    """The Gopher REPETITION rule bundle (Rae et al. 2021 table A2 — the
+    second half of the MassiveWeb filter set; `gopher_quality_flags` is
+    table A1) as ONE struct of row-local signals + per-rule booleans +
+    overall `keep`. Everything is array-HOF Column algebra on the doc
+    row — zero shuffle, composable like the A1 gate.
+
+    Signals (exact definitions, since implementations vary):
+      * dup_line_frac      — lines whose content occurs >= 2 in the doc
+                             (every occurrence counted) / total lines
+      * dup_line_char_frac — characters of those lines / characters of
+                             all lines
+      * top{2,3,4}gram_char_frac — (occurrences of the MOST frequent
+                             n-gram, ties to the lexicographically
+                             smallest) · its non-space char length /
+                             total word chars
+      * dup{5..10}gram_char_frac — word-chars covered by the UNION of
+                             all occurrences of n-grams occurring >= 2 /
+                             total word chars (positional cover, so
+                             overlapping duplicated grams never double-
+                             count — the paper's character-coverage
+                             semantics)
+
+    Thresholds are the paper's: 0.30 / 0.20 / 0.20, 0.18, 0.16 /
+    0.15, 0.14, 0.13, 0.12, 0.11, 0.10. (The paragraph twin rules are
+    the same computation over '\\n\\n' splits; callers with paragraph
+    structure pass pre-joined paragraph text through the line rules.)
+
+    Row-local cost is O(G²) per doc in gram count (first-occurrence and
+    frequency tests are array scans) — bounded by document length, the
+    same regime as shingling, never a join. Fractions rounded 4dp."""
+    text = F.col(text) if isinstance(text, str) else text
+    text = F.coalesce(text, F.lit(""))
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
+    )
+
+    def line_part(lines: Column) -> Column:
+        line_occ = lambda l: F.size(F.filter(lines, lambda x: x == l))
+        return _let(
+            F.filter(lines, lambda l: line_occ(l) >= 2),
+            lambda dup_lines: F.struct(
+                F.size(lines).cast("bigint").alias("n_lines"),
+                F.round(
+                    F.size(dup_lines) / F.greatest(F.size(lines), F.lit(1)),
+                    4,
+                ).alias("dlf"),
+                F.round(
+                    chars(dup_lines)
+                    / F.greatest(chars(lines), F.lit(1).cast("bigint")),
+                    4,
+                ).alias("dlcf"),
+            ),
+        )
+
+    def top_gram_frac(words, tc, n: int) -> Column:
+        def body(grams: Column) -> Column:
+            occ = lambda g: F.size(F.filter(grams, lambda x: x == g))
+            # mode with deterministic tie-break: among grams at max
+            # count, the lexicographically smallest
+            return _let(
+                F.array_max(F.transform(grams, occ)),
+                lambda max_c: F.when(
+                    F.size(grams) > 0,
+                    max_c
+                    * F.length(
+                        F.replace(
+                            F.array_min(
+                                F.filter(grams, lambda g: occ(g) == max_c)
+                            ),
+                            F.lit(" "),
+                            F.lit(""),
+                        )
+                    )
+                    / tc,
+                ).otherwise(F.lit(0.0)),
+            )
+
+        return _let(_ngram_strings(words, n), body)
+
+    def dup_gram_frac(words, wlen, tc, n: int) -> Column:
+        def body(grams: Column) -> Column:
+            occ = lambda g: F.size(F.filter(grams, lambda x: x == g))
+            starts = F.filter(
+                F.sequence(F.lit(1), F.size(grams)),
+                lambda s: occ(F.element_at(grams, s)) >= 2,
+            )
+            return _let(
+                starts,
+                lambda ss: F.when(
+                    F.size(grams) > 0,
+                    F.aggregate(
+                        F.filter(
+                            F.sequence(F.lit(1), F.size(words)),
+                            lambda i: F.exists(
+                                ss, lambda s: (s <= i) & (i <= s + n - 1)
+                            ),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, i: acc + F.element_at(wlen, i),
+                    )
+                    / tc,
+                ).otherwise(F.lit(0.0)),
+            )
+
+        return _let(_ngram_strings(words, n), body)
+
+    top_thr = {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_thr = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+    def gram_part(words: Column) -> Column:
+        return _let(
+            F.transform(words, lambda w: F.length(w)),
+            lambda wlen: _let(
+                F.greatest(chars(words), F.lit(1).cast("bigint")),
+                lambda tc: F.struct(
+                    *[
+                        F.round(top_gram_frac(words, tc, n), 4).alias(
+                            f"t{n}"
+                        )
+                        for n in (2, 3, 4)
+                    ],
+                    *[
+                        F.round(
+                            dup_gram_frac(words, wlen, tc, n), 4
+                        ).alias(f"d{n}")
+                        for n in range(5, 11)
+                    ],
+                ),
+            ),
+        )
+
+    def assemble(lp: Column, gp: Column) -> Column:
+        top = {n: gp[f"t{n}"] for n in (2, 3, 4)}
+        dup = {n: gp[f"d{n}"] for n in range(5, 11)}
+        rules = [
+            (lp["dlf"] <= 0.30).alias("r_dup_line"),
+            (lp["dlcf"] <= 0.20).alias("r_dup_line_char"),
+            *[
+                (top[n] <= top_thr[n]).alias(f"r_top{n}gram")
+                for n in (2, 3, 4)
+            ],
+            *[
+                (dup[n] <= dup_thr[n]).alias(f"r_dup{n}gram")
+                for n in range(5, 11)
+            ],
+        ]
+        keep = rules[0] & rules[1]
+        for r in rules[2:]:
+            keep = keep & r
+        return F.struct(
+            lp["n_lines"].alias("n_lines"),
+            lp["dlf"].alias("dup_line_frac"),
+            lp["dlcf"].alias("dup_line_char_frac"),
+            *[top[n].alias(f"top{n}gram_char_frac") for n in (2, 3, 4)],
+            *[dup[n].alias(f"dup{n}gram_char_frac") for n in range(5, 11)],
+            *rules,
+            keep.alias("keep"),
+        )
+
+    return _let(
+        line_part(F.split(text, "\n")),
+        lambda lp: _let(
+            _let(word_tokens(text), gram_part),
+            lambda gp: assemble(lp, gp),
+        ),
+    )
+
+
 def blocklist_flags(
     text: Column | str, terms: list[str]
 ) -> Column:

@@ -8249,6 +8249,143 @@ def q_knn_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_rep_sql() -> str:
+    """Generated oracle for doc_gopher_repetition: per-doc Gopher table-A2
+    repetition signals over the derived 2-word-lined text. Per-n CTEs are
+    generated for the three top-gram fractions and six dup-gram coverage
+    fractions; coverage is a DISTINCT position union exactly like the
+    operator's positional cover."""
+    parts = [
+        "d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents)",
+        "tok AS (SELECT doc_id, regexp_extract_all(lower(text),"
+        " '([a-z0-9]+)', 1) AS w FROM d)",
+        "lined AS (SELECT doc_id, list_transform("
+        "range(0, ((len(w) + 1) // 2)::BIGINT),"
+        " i -> array_to_string(w[i*2+1 : i*2+2], ' ')) AS ls"
+        " FROM tok WHERE len(w) > 0)",
+        "lc AS (SELECT doc_id, line, COUNT(*) AS c FROM"
+        " (SELECT doc_id, unnest(ls) AS line FROM lined) GROUP BY 1, 2)",
+        "lstat AS (SELECT doc_id, SUM(c)::BIGINT AS n_lines,"
+        " ROUND(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)"
+        "       / GREATEST(SUM(c), 1)::DOUBLE, 4) AS dlf,"
+        " ROUND(SUM(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END)"
+        "       / GREATEST(SUM(c * length(line)), 1)::DOUBLE, 4) AS dlcf"
+        " FROM lc GROUP BY doc_id)",
+        "wl AS (SELECT doc_id, w,"
+        " list_transform(w, x -> length(x)) AS wlen,"
+        " GREATEST(list_sum(list_transform(w, x -> length(x))), 1) AS tc"
+        " FROM tok WHERE len(w) > 0)",
+    ]
+    for n in range(2, 11):
+        parts.append(
+            f"g{n} AS (SELECT doc_id, s.i AS s,"
+            f" array_to_string(w[s.i : s.i + {n - 1}], ' ') AS gram"
+            f" FROM wl, LATERAL (SELECT unnest(range(1, len(w) - {n} + 2))"
+            f" AS i) s WHERE len(w) >= {n})"
+        )
+        parts.append(
+            f"c{n} AS (SELECT doc_id, gram, COUNT(*) AS c FROM g{n}"
+            f" GROUP BY 1, 2)"
+        )
+    for n in (2, 3, 4):
+        parts.append(
+            f"top{n} AS (SELECT doc_id,"
+            f" c * length(replace(gram, ' ', '')) AS cov FROM"
+            f" (SELECT doc_id, gram, c, row_number() OVER"
+            f" (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn"
+            f" FROM c{n}) WHERE rn = 1)"
+        )
+    for n in range(5, 11):
+        parts.append(
+            f"ds{n} AS (SELECT g.doc_id, g.s FROM g{n} g JOIN c{n} c"
+            f" ON g.doc_id = c.doc_id AND g.gram = c.gram WHERE c.c >= 2)"
+        )
+        parts.append(
+            f"cov{n} AS (SELECT q.doc_id, SUM(ww.l)::BIGINT AS cov FROM"
+            f" (SELECT DISTINCT d2.doc_id, pos.p FROM ds{n} d2,"
+            f" LATERAL (SELECT unnest(range(d2.s, d2.s + {n})) AS p) pos) q"
+            f" JOIN (SELECT doc_id, unnest(wlen) AS l,"
+            f" generate_subscripts(wlen, 1) AS p FROM wl) ww"
+            f" ON q.doc_id = ww.doc_id AND q.p = ww.p GROUP BY q.doc_id)"
+        )
+    top_thr = {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_thr = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    tops = ", ".join(
+        f"ROUND(COALESCE(top{n}.cov, 0) / wl.tc::DOUBLE, 4)"
+        f" AS top{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    dups = ", ".join(
+        f"ROUND(COALESCE(cov{n}.cov, 0) / wl.tc::DOUBLE, 4)"
+        f" AS dup{n}gram_char_frac"
+        for n in range(5, 11)
+    )
+    keep_terms = ["lstat.dlf <= 0.30", "lstat.dlcf <= 0.20"] + [
+        f"ROUND(COALESCE(top{n}.cov, 0) / wl.tc::DOUBLE, 4)"
+        f" <= {top_thr[n]}"
+        for n in (2, 3, 4)
+    ] + [
+        f"ROUND(COALESCE(cov{n}.cov, 0) / wl.tc::DOUBLE, 4)"
+        f" <= {dup_thr[n]}"
+        for n in range(5, 11)
+    ]
+    joins = "".join(
+        f" LEFT JOIN top{n} ON wl.doc_id = top{n}.doc_id" for n in (2, 3, 4)
+    ) + "".join(
+        f" LEFT JOIN cov{n} ON wl.doc_id = cov{n}.doc_id"
+        for n in range(5, 11)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT wl.doc_id, lstat.n_lines,"
+        f" lstat.dlf AS dup_line_frac, lstat.dlcf AS dup_line_char_frac,"
+        f" {tops}, {dups}, ({' AND '.join(keep_terms)}) AS keep"
+        f" FROM wl JOIN lstat ON wl.doc_id = lstat.doc_id{joins}"
+        f" ORDER BY wl.doc_id"
+    )
+
+
+@register(
+    "doc_gopher_repetition",
+    _gopher_rep_sql,
+    doc="the Gopher REPETITION rule bundle (Rae et al. 2021 table A2 — "
+    "completes the MassiveWeb filter set next to doc_gopher_rules' table "
+    "A1): per doc, duplicate-line fraction + duplicate-line char "
+    "fraction, top-{2,3,4}-gram char fraction (mode with lexicographic "
+    "tie-break), dup-{5..10}-gram positional-cover char fraction, paper "
+    "thresholds, overall keep. Runs on the same derived 2-word-lined "
+    "text as doc_line_dedup so the line rules do real work. The operator "
+    "is ONE zero-shuffle row-local struct (array HOFs with let-bindings "
+    "— see PLANS.md on plan-compile cost); the oracle replays every "
+    "signal relationally (training-data extension)",
+)
+def q_doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = text_fns.word_tokens("text")
+    n_chunks = F.floor((F.size(toks) + 1) / 2).cast("bigint")
+    line = lambda i: F.concat_ws(" ", F.slice(toks, i * 2 + 1, 2))
+    lined = d.where(F.size(toks) > 0).select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), line), "\n"
+        ).alias("text"),
+    )
+    f = text_fns.gopher_repetition_flags("text")
+    return (
+        lined.select("doc_id", f.alias("f"))
+        .select(
+            "doc_id",
+            "f.n_lines",
+            "f.dup_line_frac",
+            "f.dup_line_char_frac",
+            *[f"f.top{n}gram_char_frac" for n in (2, 3, 4)],
+            *[f"f.dup{n}gram_char_frac" for n in range(5, 11)],
+            "f.keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -8343,6 +8480,7 @@ DRIVER_PRIORITY = [
     "embedding_dim_stats",
     "collocations_pmi",
     "knn_ivf_nprobe",
+    "doc_gopher_repetition",
     # the full osm parity set (all r8-green) rotates in behind them
     "osm_node_validity",
     "osm_snapshot_asof",

@@ -287,6 +287,7 @@ EXTENSIONS_JVM_ONLY = [
     "knn_label_accuracy",
     "embedding_dim_stats",
     "collocations_pmi",
+    "doc_gopher_repetition",
     # (embedding_prototypicality rides the kmeans Arrow kernel — audited
     # by test_python_only_where_defined; mmr_diverse_topk returns a
     # driver-assembled k-row frame, so its plan is a LocalTableScan —

@@ -2365,3 +2365,101 @@ def test_ivf_nprobe_recall_monotone(spark):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 + 1e-9 and r2 <= r4 + 1e-9, (r1, r2, r4)
     assert r4 == 1.0, f"nprobe=coarse_k must equal brute force, got {r4}"
+
+
+def _gopher_rep_reference(text):
+    """Python reference for gopher_repetition_flags' exact definitions."""
+    import re
+
+    text = text or ""
+    lines = text.split("\n")
+    from collections import Counter
+
+    lc = Counter(lines)
+    dup_lines = [l for l in lines if lc[l] >= 2]
+    n_line_chars = sum(len(l) for l in lines)
+    dup_line_frac = len(dup_lines) / max(len(lines), 1)
+    dup_line_char_frac = (
+        sum(len(l) for l in dup_lines) / max(n_line_chars, 1)
+    )
+    words = re.findall(r"[a-z0-9]+", text.lower())
+    tc = max(sum(len(w) for w in words), 1)
+    out = {
+        "dup_line_frac": round(dup_line_frac, 4),
+        "dup_line_char_frac": round(dup_line_char_frac, 4),
+    }
+    for n in (2, 3, 4):
+        grams = [" ".join(words[i:i + n])
+                 for i in range(len(words) - n + 1)]
+        if not grams:
+            out[f"top{n}gram_char_frac"] = 0.0
+            continue
+        gc = Counter(grams)
+        max_c = max(gc.values())
+        mode = min(g for g, c in gc.items() if c == max_c)
+        out[f"top{n}gram_char_frac"] = round(
+            max_c * len(mode.replace(" ", "")) / tc, 4
+        )
+    for n in range(5, 11):
+        grams = [" ".join(words[i:i + n])
+                 for i in range(len(words) - n + 1)]
+        if not grams:
+            out[f"dup{n}gram_char_frac"] = 0.0
+            continue
+        gc = Counter(grams)
+        covered = set()
+        for s, g in enumerate(grams):
+            if gc[g] >= 2:
+                covered.update(range(s, s + n))
+        out[f"dup{n}gram_char_frac"] = round(
+            sum(len(words[i]) for i in covered) / tc, 4
+        )
+    return out
+
+
+def test_gopher_repetition_flags_match_reference(spark):
+    """Randomized + crafted docs cross-checked field-by-field against the
+    python reference: repeated lines, a rigid repeated phrase (drives the
+    dup-n-gram cover), a dominant bigram (drives top-gram), short docs,
+    empty and null."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.functions.text import gopher_repetition_flags
+
+    rnd = random.Random(31)
+    vocab = ["alpha", "bb", "ccc", "dddd", "ee", "f"]
+    docs = []
+    phrase = "one two three four five six seven"
+    for i in range(40):
+        ws = [rnd.choice(vocab) for _ in range(rnd.randint(0, 30))]
+        if i % 3 == 0:
+            ws = ws[:5] + phrase.split() + ws[5:10] + phrase.split()
+        docs.append(" ".join(ws))
+    docs += [
+        "menu\nhome\nmenu\nabout\nmenu",          # repeated lines
+        "spam ham " * 20,                          # dominant bigram
+        "tiny",
+        "",
+        None,
+    ]
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", gopher_repetition_flags("text").alias("f")
+        ).collect()
+    }
+    for did, text in rows:
+        want = _gopher_rep_reference(text)
+        g = got[did]
+        for key, val in want.items():
+            assert abs(g[key] - val) < 1e-9, (did, key, g[key], val, text)
+    # crafted expectations
+    menus = got[40]
+    assert menus["dup_line_frac"] == 0.6 and not menus["r_dup_line"]
+    assert got[41]["top2gram_char_frac"] > 0.4
+    assert not got[41]["r_top2gram"] and not got[41]["keep"]
+    assert got[43]["keep"] and got[44]["keep"]  # empty/null pass the gate
