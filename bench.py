@@ -110,6 +110,7 @@ HEADLINE = [
     "collocations_pmi",
     "knn_ivf_nprobe",
     "doc_gopher_repetition",
+    "quality_source_norm",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

@@ -467,6 +467,50 @@ def merge_manifests(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def quality_source_norm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source quality-score normalization: each doc's quality
+    percentile WITHIN its source next to its global percentile — the
+    comparability fix before one corpus-wide quality threshold (a raw
+    cutoff silently biases the mix toward whichever source's scorer runs
+    hot; FineWeb-style pipelines gate on within-source rank instead).
+
+    percentile = percent_rank ∈ [0,1] with a deterministic (quality,
+    id) ordering; both engines rank identical 4dp-rounded scores, so the
+    output is exactly replayable.
+
+    Scale shape: one source-keyed window and one global window over
+    (quality, id). The global total order is the scale ceiling — at
+    100 TB swap the global percentile for a GK-sketch quantile lookup
+    (`price_quantiles_sketch`'s machinery) and keep the per-source rank,
+    which partitions by source. Output: (id_col, source, quality,
+    pct_in_source, pct_global, keep_src_q50)."""
+    from pyspark.sql import Window
+
+    from osmesa_spark.functions.text import quality_score
+
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.round(quality_score(text_col), 4).alias("quality"),
+    )
+    w_src = Window.partitionBy("source").orderBy("quality", id_col)
+    w_all = Window.orderBy("quality", id_col)
+    return base.select(
+        id_col,
+        "source",
+        "quality",
+        F.round(F.percent_rank().over(w_src), 6).alias("pct_in_source"),
+        F.round(F.percent_rank().over(w_all), 6).alias("pct_global"),
+    ).withColumn(
+        "keep_src_q50", F.col("pct_in_source") >= F.lit(0.5)
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target: Column,

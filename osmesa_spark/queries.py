@@ -8386,6 +8386,54 @@ def q_doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_source_norm",
+    """
+    WITH f AS (
+        SELECT doc_id, source,
+               length(text) AS n_chars_c,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|in|a|is|for)\\b', 1)) AS stop_hits
+        FROM documents),
+    q AS (
+        SELECT doc_id, source,
+               ROUND(
+                 (alpha / GREATEST(n_chars_c, 1)) * 0.5
+                 + (CASE WHEN n_chars_c / GREATEST(n_tokens, 1)
+                              BETWEEN 3 AND 12
+                         THEN 1.0 ELSE 0.0 END) * 0.25
+                 + LEAST((stop_hits / GREATEST(n_tokens, 1)) * 5.0, 1.0)
+                   * 0.25,
+               4) AS quality
+        FROM f)
+    SELECT doc_id, source, quality,
+           ROUND(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY quality, doc_id), 6)
+               AS pct_in_source,
+           ROUND(percent_rank() OVER (ORDER BY quality, doc_id), 6)
+               AS pct_global,
+           ROUND(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY quality, doc_id), 6) >= 0.5
+               AS keep_src_q50
+    FROM q ORDER BY doc_id
+    """,
+    doc="per-source quality-score normalization: each doc's quality "
+    "percentile WITHIN its source next to its global percentile — the "
+    "comparability fix before a corpus-wide quality threshold (a raw "
+    "cutoff biases the mix toward whichever source's scorer runs hot; "
+    "FineWeb-style pipelines gate on within-source rank). Deterministic "
+    "(quality, id) percent_rank; the per-source window partitions by "
+    "source — at 100 TB swap the GLOBAL percentile for a GK-sketch "
+    "quantile lookup and keep the source window "
+    "(training-data extension)",
+)
+def q_quality_source_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return cur.quality_source_norm(d).orderBy("doc_id")
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -8481,6 +8529,7 @@ DRIVER_PRIORITY = [
     "collocations_pmi",
     "knn_ivf_nprobe",
     "doc_gopher_repetition",
+    "quality_source_norm",
     # the full osm parity set (all r8-green) rotates in behind them
     "osm_node_validity",
     "osm_snapshot_asof",

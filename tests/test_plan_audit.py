@@ -288,6 +288,7 @@ EXTENSIONS_JVM_ONLY = [
     "embedding_dim_stats",
     "collocations_pmi",
     "doc_gopher_repetition",
+    "quality_source_norm",
     # (embedding_prototypicality rides the kmeans Arrow kernel — audited
     # by test_python_only_where_defined; mmr_diverse_topk returns a
     # driver-assembled k-row frame, so its plan is a LocalTableScan —

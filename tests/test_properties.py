@@ -2463,3 +2463,42 @@ def test_gopher_repetition_flags_match_reference(spark):
     assert got[41]["top2gram_char_frac"] > 0.4
     assert not got[41]["r_top2gram"] and not got[41]["keep"]
     assert got[43]["keep"] and got[44]["keep"]  # empty/null pass the gate
+
+
+def test_quality_source_norm_percentile_invariants(spark):
+    """Within-source percentiles are scorer-scale-free: a source whose
+    texts are uniformly 'worse' still yields the identical within-source
+    percentile ladder, while global percentiles shift — exactly the bias
+    the per-source gate removes."""
+    from osmesa_spark.operators.curation import quality_source_norm
+
+    rich = [
+        (i, "the quick brown fox and the lazy dog for a walk in town "
+            * (2 + i % 3), "rich")
+        for i in range(12)
+    ]
+    poor = [
+        (100 + i, "zzz qqq " * (30 + (i % 3) * 10), "poor")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rich + poor, ["doc_id", "text", "source"])
+    out = quality_source_norm(df).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # identical multiset of within-source percentiles per source
+    for rows in by_src.values():
+        pcts = sorted(r["pct_in_source"] for r in rows)
+        assert pcts[0] == 0.0 and pcts[-1] == 1.0
+    a = sorted(r["pct_in_source"] for r in by_src["rich"])
+    b = sorted(r["pct_in_source"] for r in by_src["poor"])
+    assert a == b, "within-source ladder must be scale-free"
+    # global percentiles separate the sources (rich scores higher)
+    mean_g = lambda s: sum(r["pct_global"] for r in by_src[s]) / len(
+        by_src[s]
+    )
+    assert mean_g("rich") > mean_g("poor")
+    # the within-source median gate keeps half of EACH source
+    kept = {s: sum(1 for r in rows if r["keep_src_q50"])
+            for s, rows in by_src.items()}
+    assert kept["rich"] == kept["poor"] == 6
