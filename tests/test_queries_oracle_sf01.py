@@ -83,6 +83,11 @@ SCALE_SLICE = [
     "source_js_divergence",
     "domain_reweight_nll",
     "embedding_density",
+    # r9 third batch: bucket occupancy (the vote census) and the trained
+    # coarse centroids both re-derive from a 10× corpus — the probe
+    # selection and majority votes must replay identically at scale
+    "knn_label_accuracy",
+    "knn_ivf_nprobe",
 ]
 
 
