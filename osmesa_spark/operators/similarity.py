@@ -165,6 +165,28 @@ def knn_ivf_nprobe(
         corpus, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col,
         seed=seed, emit_vector=True, return_centroids=True,
     )
+    return ivf_probe_frozen(
+        assigned, queries, cents, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivf_probe_frozen(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SERVING half of `knn_ivf_nprobe`: probe a pre-assigned corpus
+    (`assigned` = (id, cluster, v) inverted lists) with a FROZEN codebook
+    — train once offline, answer every arriving query batch against the
+    fixed index (the retrieval mirror of the DSIR/LR frozen train/serve
+    split; `streaming/knn_stream.py` drives this per micro-batch).
+    Queries rank the ≤k literal centroid distances row-locally, explode
+    to nprobe probe rows, and equi-join the inverted lists."""
     qv = F.col(vec_col).cast("array<double>")
     ranked = F.array_sort(
         F.array(

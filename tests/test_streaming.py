@@ -1608,3 +1608,75 @@ def test_changes_xml_dead_letters_corrupt_files(spark, tmp_path):
     assert len(err) == 1
     assert err[0]["sequence"] == 101
     assert "BROKEN" in err[0]["payload"]
+
+
+def test_streaming_knn_serves_frozen_index(spark, tmp_path):
+    """Online retrieval: query vectors dropped as two files are answered
+    per micro-batch against a frozen IVF index; the union of streamed
+    answers equals the batch probe over the same queries AND the
+    end-to-end batch knn_ivf_nprobe (train+probe) — the train/serve
+    split changes nothing. Replay idempotence comes from the per-batch
+    overwrite dirs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.similarity import (
+        ivf_probe_frozen,
+        knn_ivf_nprobe,
+    )
+    from osmesa_spark.queries import _t
+    from osmesa_spark.streaming.knn_stream import (
+        build_ivf_index,
+        run_streaming_knn,
+    )
+    from tests.conftest import SF_CORRECT
+
+    e = _t(spark, SF_CORRECT, "embeddings")
+    corpus = e.where(F.col("vec_id") >= 8)
+    queries = e.where(F.col("vec_id") < 8)
+
+    index = build_ivf_index(corpus, coarse_k=4, iters=2, seed=29)
+
+    t0 = "2024-01-01 00:00:00"
+    src = tmp_path / "queries"
+    src.mkdir()
+    qa = queries.where(F.col("vec_id") < 4)
+    qb = queries.where(F.col("vec_id") >= 4)
+    for name, qdf in (("qa", qa), ("qb", qb)):
+        qdf.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding"),
+            F.to_timestamp(F.lit(t0)).alias("event_time"),
+        ).coalesce(1).write.parquet(str(src / name))
+
+    out = str(tmp_path / "knn_out")
+    q = run_streaming_knn(
+        spark, str(src) + "/*/", out, index, k=5, nprobe=2
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(os.path.join(out, "answers"))
+            .select("query_id", "neighbor_id", "rank").collect())
+    )
+    assert len(got) == 8 * 5
+
+    assigned, cents = index
+    batch_twin = sorted(
+        map(tuple, ivf_probe_frozen(
+            assigned,
+            queries.select("vec_id",
+                           F.col("embedding").cast("array<double>")
+                           .alias("embedding")),
+            cents, k=5, nprobe=2,
+        ).collect())
+    )
+    assert got == batch_twin, "stream answers must equal the batch probe"
+
+    e2e = sorted(
+        map(tuple, knn_ivf_nprobe(
+            corpus, queries, k=5, nprobe=2, coarse_k=4, iters=2, seed=29
+        ).collect())
+    )
+    assert got == e2e, "frozen-index serving must equal train+probe"
