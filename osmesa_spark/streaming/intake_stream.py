@@ -112,6 +112,7 @@ def run_streaming_corpus_intake(
     min_p: float | None = None,
     checkpoint_dir: str | None = None,
     blocklist_terms: list[str] | None = None,
+    repetition_gate: bool = False,
 ):
     """File-drop document stream → gated/deduped/scored docs + manifest.
 
@@ -119,7 +120,11 @@ def run_streaming_corpus_intake(
     parquet and a `manifest/` ManifestTable. The frozen `ratio` (b, lr)
     comes from `curation.dsir_ratio` trained offline. `blocklist_terms`
     (optional) prepends the strict C4 blocklist gate — a row-local
-    literal-IN census, the cheapest rule, so it runs first."""
+    literal-IN census, the cheapest rule, so it runs first.
+    `repetition_gate=True` adds the Gopher table-A2 repetition bundle
+    after the A1 quality gate — together they are the complete
+    MassiveWeb rule set (both row-local projections, so gate order only
+    affects which rule gets billed for a drop)."""
     docs_dir = os.path.join(out_dir, "docs")
     table = ManifestTable(os.path.join(out_dir, "manifest"),
                           n_shards=n_shards)
@@ -135,6 +140,10 @@ def run_streaming_corpus_intake(
             blocklist_flags("text", blocklist_terms)["keep"]
         )
     gated = stream.where(gopher_quality_flags("text")["keep"])
+    if repetition_gate:
+        from osmesa_spark.functions.text import gopher_repetition_flags
+
+        gated = gated.where(gopher_repetition_flags("text")["keep"])
     deduped = streaming_exact_dedup(
         gated, text_col="text", time_col="event_time", horizon=horizon
     ).drop("fingerprint")

@@ -1680,3 +1680,77 @@ def test_streaming_knn_serves_frozen_index(spark, tmp_path):
         ).collect())
     )
     assert got == e2e, "frozen-index serving must equal train+probe"
+
+
+def test_streaming_intake_repetition_gate(spark, tmp_path):
+    """The optional Gopher table-A2 repetition gate: a varied prose doc
+    flows through, a doc that PASSES the A1 quality gate but carries a
+    dominant repeated 2-gram is dropped — and the attribution is proven
+    by evaluating both bundles directly."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.functions.text import (
+        gopher_quality_flags,
+        gopher_repetition_flags,
+    )
+    from osmesa_spark.operators.curation import dsir_ratio
+    from osmesa_spark.streaming.intake_stream import (
+        run_streaming_corpus_intake,
+    )
+
+    rnd = random.Random(13)
+    vocab = ("science theory model data result method study paper value "
+             "test claim proof idea fact note case view plan goal step "
+             "the of and to with that have for").split()
+
+    def varied(i, n=70):
+        return " ".join(rnd.choice(vocab) for _ in range(n)) + f" doc{i}"
+
+    repetitive = "of the data and " * 20  # A1-clean, A2 top-2-gram ~0.58
+    ok1, ok2 = varied(1), varied(2)
+
+    flags = spark.createDataFrame(
+        [(12, repetitive), (1, ok1)], ["doc_id", "text"]
+    ).select(
+        "doc_id",
+        gopher_quality_flags("text")["keep"].alias("a1"),
+        gopher_repetition_flags("text")["keep"].alias("a2"),
+    ).collect()
+    by = {r["doc_id"]: r for r in flags}
+    assert by[12]["a1"] is True and by[12]["a2"] is False
+    assert by[1]["a1"] is True and by[1]["a2"] is True
+
+    train = spark.createDataFrame(
+        [(100 + i, varied(100 + i), True) for i in range(4)]
+        + [(200 + i, "buy pills now win casino jackpot " * 12, False)
+           for i in range(4)],
+        ["doc_id", "text", "is_t"],
+    )
+    ratio = dsir_ratio(train, F.col("is_t"), n_buckets=64).localCheckpoint()
+
+    t0 = "2024-01-01 00:00:00"
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, ok1), (2, ok2), (12, repetitive)], ["doc_id", "text"]
+    ).select(
+        "doc_id", "text", F.to_timestamp(F.lit(t0)).alias("event_time")
+    ).coalesce(1).write.parquet(str(src / "b0"))
+
+    out = str(tmp_path / "out")
+    q = run_streaming_corpus_intake(
+        spark, str(src) + "/*/", out, ratio,
+        n_shards=4, n_buckets=64, repetition_gate=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "docs")).collect()
+    }
+    assert {1, 2} <= ids
+    assert 12 not in ids, "A2 gate must drop the repetitive doc"
