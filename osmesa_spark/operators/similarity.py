@@ -859,38 +859,67 @@ def density_census(
     its three consumers (both join sides + the zero-fill join-back);
     isolated vectors survive with n_neighbors = 0 via the left join.
 
-    Output: (id_col, n_neighbors, is_core)."""
+    Output: (id_col, n_neighbors, is_core).
+
+    Degenerate-mass defense (EXACT, not a cap): identical vectors are
+    collapsed to one representative per distinct value BEFORE the
+    self-join and re-expanded by multiplicity afterwards — a flood of
+    identical embeddings (zero vectors, default-initialized encoders,
+    mirrored rows) lands in ONE bucket no matter how many planes exist,
+    and the naive plan would pay |flood|² pair rows where the collapsed
+    plan pays 1. Within an identical group, each member has mult−1
+    neighbors iff its self-cosine clears the radius (always, except the
+    zero vector, whose guarded cosine is 0). Results are value-identical
+    to the naive formulation (the DuckDB oracle replays the naive one)."""
     from osmesa_spark.util import ensure_parallelism
 
-    base = ensure_parallelism(df, id_col).select(
+    raw = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    ).localCheckpoint()
-    a = base.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = base.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    neigh = (
+    )
+    groups = (
+        raw.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mult"))
+        .select(
+            "v",
+            "mult",
+            lsh_bucket(F.col("v"), planes).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+    a = groups.select(
+        "bucket", F.col("v").alias("va"), F.col("mult").alias("mult_a")
+    )
+    b = groups.select(
+        "bucket", F.col("v").alias("vb"), F.col("mult").alias("mult_b")
+    )
+    cross = (
         a.join(b, "bucket")
-        .where(F.col("id_a") != F.col("id_b"))
+        .where(F.col("va") != F.col("vb"))
         .where(
             F.round(cosine(F.col("va"), F.col("vb")), 6)
             >= F.lit(radius_cos)
         )
-        .groupBy("id_a")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neighbors"))
+        .groupBy("va")
+        .agg(F.sum("mult_b").cast("bigint").alias("n_other"))
     )
-    return (
-        base.select("id")
-        .join(neigh, F.col("id") == F.col("id_a"), "left")
+    self_n = F.when(
+        F.round(cosine(F.col("v"), F.col("v")), 6) >= F.lit(radius_cos),
+        F.col("mult") - 1,
+    ).otherwise(F.lit(0).cast("bigint"))
+    per_group = (
+        groups.join(cross, F.col("v") == F.col("va"), "left")
         .select(
-            F.col("id").alias(id_col),
-            F.coalesce("n_neighbors", F.lit(0).cast("bigint")).alias(
-                "n_neighbors"
-            ),
+            "v",
             (
-                F.coalesce("n_neighbors", F.lit(0)) >= F.lit(min_pts)
-            ).alias("is_core"),
+                F.coalesce("n_other", F.lit(0).cast("bigint")) + self_n
+            ).alias("n_neighbors"),
         )
+    )
+    return raw.join(per_group, "v").select(
+        F.col("id").alias(id_col),
+        "n_neighbors",
+        (F.col("n_neighbors") >= F.lit(min_pts)).alias("is_core"),
     )
 
 

@@ -2502,3 +2502,62 @@ def test_quality_source_norm_percentile_invariants(spark):
     kept = {s: sum(1 for r in rows if r["keep_src_q50"])
             for s, rows in by_src.items()}
     assert kept["rich"] == kept["poor"] == 6
+
+
+def test_density_census_survives_identical_vector_flood(spark):
+    """Degenerate-mass defense: 20k IDENTICAL vectors land in one LSH
+    bucket no matter the plane count — the naive |bucket|² plan would
+    build 4·10⁸ pair rows; the exact identical-collapse plan pays ONE
+    distinct row for the whole flood. Counts stay exact (each flood
+    member has 19,999 + nearby-base neighbors) and wall time stays in
+    the base query's regime."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.similarity import (
+        density_census,
+        lsh_planes,
+    )
+
+    planes = lsh_planes(8, n_planes=4, seed=3)
+    base = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda d: F.round(
+                F.sin(F.col("id") * d.cast("double") * 0.7), 6
+            ),
+        ).alias("embedding"),
+    )
+
+    def run(df):
+        t0 = time.perf_counter()
+        rows = density_census(
+            df, planes, radius_cos=0.95, min_pts=2
+        ).collect()
+        return rows, time.perf_counter() - t0
+
+    _, t_base = run(base)
+
+    flood_vec = [1.0] * 8
+    flood = spark.range(20_000).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).alias("embedding"),
+    )
+    rows, t_flood = run(base.unionByName(flood))
+    by_id = {r["vec_id"]: r for r in rows}
+    assert len(rows) == 20_200
+    # every flood member sees all 19,999 twins (cos = 1.0 >= 0.95)
+    flood_counts = {
+        r["n_neighbors"] for i, r in by_id.items() if i >= 1_000_000
+    }
+    assert len(flood_counts) == 1
+    (fc,) = flood_counts
+    assert fc >= 19_999 and all(
+        by_id[i]["is_core"] for i in by_id if i >= 1_000_000
+    )
+    assert t_flood < t_base * 5 + 10, (
+        f"flooded {t_flood:.1f}s vs base {t_base:.1f}s — the collapse "
+        f"must keep the join surface at distinct-vector size"
+    )
