@@ -179,6 +179,7 @@ def ivf_probe_frozen(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """The SERVING half of `knn_ivf_nprobe`: probe a pre-assigned corpus
     (`assigned` = (id, cluster, v) inverted lists) with a FROZEN codebook
@@ -186,7 +187,15 @@ def ivf_probe_frozen(
     fixed index (the retrieval mirror of the DSIR/LR frozen train/serve
     split; `streaming/knn_stream.py` drives this per micro-batch).
     Queries rank the ≤k literal centroid distances row-locally, explode
-    to nprobe probe rows, and equi-join the inverted lists."""
+    to nprobe probe rows, and equi-join the inverted lists.
+
+    `broadcast_queries=True` (default) fits the online regime: a query
+    micro-batch is small, so it ships to the index partitions and the
+    corpus never moves. For a HUGE offline query batch set it False and
+    persist the inverted lists bucketed by cluster
+    (`colocate.write_bucketed(assigned, ..., "cluster")`): the sort-merge
+    join then reads the index buckets in place — no corpus-side exchange
+    either (asserted in tests/test_colocate.py)."""
     qv = F.col(vec_col).cast("array<double>")
     ranked = F.array_sort(
         F.array(
@@ -209,8 +218,10 @@ def ivf_probe_frozen(
         qv.alias("qvec"),
         probes.alias("cluster"),
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     scored = (
-        assigned.join(F.broadcast(q), "cluster")
+        assigned.join(q, "cluster")
         .where(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",

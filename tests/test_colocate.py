@@ -139,3 +139,59 @@ def test_zorder_cluster_write_enables_row_group_skipping(spark, tmp_path):
     got_p = sorted(r["id"] for r in
                    spark.read.parquet(plain).where(cond).collect())
     assert got_c == got_p and len(got_c) > 0
+
+
+def test_ivf_index_bucketed_layout_serves_without_corpus_exchange(
+    spark, bucket_db
+):
+    """The offline-serving claim from ivf_probe_frozen's docstring: for a
+    query batch too big to broadcast, persist the IVF inverted lists
+    bucketed BY CLUSTER and the sort-merge probe join reads the index
+    buckets in place — the corpus-side Exchange disappears (only the
+    probe side and the per-query rank window shuffle). Results equal the
+    in-memory broadcast probe exactly."""
+    from osmesa_spark.operators.similarity import (
+        ivf_probe_frozen,
+        kmeans_lloyd,
+    )
+    from osmesa_spark.queries import _t
+    from tests.conftest import SF_CORRECT
+
+    e = _t(spark, SF_CORRECT, "embeddings")
+    corpus = e.where(F.col("vec_id") >= 8)
+    queries = e.where(F.col("vec_id") < 8)
+    assigned, cents = kmeans_lloyd(
+        corpus, k=4, iters=2, seed=29, emit_vector=True,
+        return_centroids=True,
+    )
+    mem = sorted(map(tuple, ivf_probe_frozen(
+        assigned, queries, cents, k=5, nprobe=2
+    ).collect()))
+
+    bucketed = C.write_bucketed(
+        assigned, f"{bucket_db}.ivf_lists", "cluster", buckets=4
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # the huge-offline-batch regime: no broadcast hint on the probe
+        probed = ivf_probe_frozen(
+            bucketed, queries, cents, k=5, nprobe=2,
+            broadcast_queries=False,
+        )
+        unbucketed = ivf_probe_frozen(
+            assigned, queries, cents, k=5, nprobe=2,
+            broadcast_queries=False,
+        )
+        plan_b = probed._jdf.queryExecution().executedPlan().toString()
+        plan_u = unbucketed._jdf.queryExecution().executedPlan().toString()
+        n_b, n_u = plan_b.count("Exchange"), plan_u.count("Exchange")
+        assert n_b < n_u, (
+            f"bucketed probe should drop the corpus-side exchange: "
+            f"{n_b} vs {n_u}\n{plan_b}"
+        )
+        assert "SortMergeJoin" in plan_b
+        got = sorted(map(tuple, probed.collect()))
+        assert got == mem
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
