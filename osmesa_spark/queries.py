@@ -8494,16 +8494,20 @@ DRIVER_PRIORITY = [
     "tile_histogram",
     "tokenizer_fertility",
     "user_statistics",
-    # NEW this round (r9, 16 entries): frozen train/serve paths, the
+    # NEW this round (r9, 22 entries): frozen train/serve paths, the
     # skew-safe domain-cap top-K, LR calibration bins, intra-doc line
     # dedup, the C4 blocklist gate, DoReMi domain reweighting, the source
     # JSD matrix, SSL-prototypes pruning, the LSH density census,
-    # char-level eval decontamination, MMR diverse top-k, the Zipf fit
-    # and the multi-probe LSH pair — never driver-checked, so rule 2
-    # requires every one inside the window. With the 34-query stale
-    # backlog that fills all 50 slots: the ENTIRE osm parity set (all
-    # r8-green, rule 3 satisfied) rotates to the r10 window instead of
-    # alternating halves this round.
+    # char-level eval decontamination, MMR diverse top-k, the Zipf fit,
+    # the multi-probe LSH pair, kNN label accuracy, embedding dim stats,
+    # PMI collocations, IVF nprobe, the Gopher A2 repetition bundle and
+    # per-source quality normalization — never driver-checked, so rule 2
+    # wants every one inside the window. With the 34-query stale backlog
+    # only 16 fit: all 50 slots hold stale entries, the remaining 6 new
+    # queries queue contiguously after the boundary (the machine-checked
+    # overflow plan — they are the FRONT of the r10 window), and the
+    # ENTIRE osm parity set (all r8-green, rule 3 satisfied) rotates to
+    # r10 behind them instead of alternating halves this round.
     "lr_score_frozen",
     "intake_accepted_batch",
     "source_doc_cap_topk",
