@@ -111,6 +111,8 @@ HEADLINE = [
     "knn_ivf_nprobe",
     "doc_gopher_repetition",
     "quality_source_norm",
+    "local_supplier_volume",
+    "event_dau_mau",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

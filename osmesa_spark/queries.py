@@ -8434,6 +8434,134 @@ def q_quality_source_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.quality_source_norm(d).orderBy("doc_id")
 
 
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*)::BIGINT AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): the 6-table join with "
+    "the customer-nation = supplier-nation LOCALITY constraint — the "
+    "classic join-order/broadcast stress (§2.3 exercise of the full "
+    "relational core in one plan). nation/region broadcast and the "
+    "region filter prunes through them; orders carries the pushed date "
+    "range; the big customer⋈orders⋈lineitem chain shuffles on its keys "
+    "with AQE free to reorder — exactly the plan family a 100 TB "
+    "warehouse run lives in",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            n.n_regionkey == r.r_regionkey,
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "event_dau_mau",
+    f"""
+    WITH {EVENTS_MICRO_CTE},
+    d AS (
+        SELECT date_trunc('week', ts)::DATE AS week,
+               date_trunc('day', ts) AS day, user_id
+        FROM ev),
+    dau AS (
+        SELECT week, day, COUNT(DISTINCT user_id) AS dau
+        FROM d GROUP BY week, day),
+    am AS (
+        SELECT week, COUNT(*)::BIGINT AS n_days,
+               SUM(dau)::BIGINT AS dau_sum
+        FROM dau GROUP BY week),
+    wau AS (
+        SELECT week, COUNT(DISTINCT user_id)::BIGINT AS wau
+        FROM d GROUP BY week)
+    SELECT am.week, am.n_days, wau.wau,
+           ROUND(am.dau_sum / am.n_days::DOUBLE, 4) AS avg_dau,
+           ROUND((am.dau_sum / am.n_days::DOUBLE) / wau.wau, 4)
+               AS stickiness
+    FROM am JOIN wau USING (week) ORDER BY week
+    """,
+    doc="DAU/WAU engagement stickiness per ISO week (avg daily actives "
+    "over weekly actives — the standard product-health ratio at the "
+    "grain the one-month fixture supports): two distinct-count aggs on "
+    "(week,day,user) / (week,user) keys + a week-keyed join of two tiny "
+    "per-week frames; all inputs exact integers so the 4dp ratios are "
+    "engine-identical (events-analytics extension)",
+)
+def q_event_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    )
+    dau = d.groupBy("week", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    am = dau.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+    )
+    wau = d.groupBy("week").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    avg_dau = F.col("dau_sum") / F.col("n_days")
+    return (
+        am.join(wau, "week")
+        .select(
+            "week",
+            "n_days",
+            "wau",
+            F.round(avg_dau, 4).alias("avg_dau"),
+            F.round(avg_dau / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("week")
+    )
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -8494,16 +8622,17 @@ DRIVER_PRIORITY = [
     "tile_histogram",
     "tokenizer_fertility",
     "user_statistics",
-    # NEW this round (r9, 22 entries): frozen train/serve paths, the
+    # NEW this round (r9, 24 entries): frozen train/serve paths, the
     # skew-safe domain-cap top-K, LR calibration bins, intra-doc line
     # dedup, the C4 blocklist gate, DoReMi domain reweighting, the source
     # JSD matrix, SSL-prototypes pruning, the LSH density census,
     # char-level eval decontamination, MMR diverse top-k, the Zipf fit,
     # the multi-probe LSH pair, kNN label accuracy, embedding dim stats,
-    # PMI collocations, IVF nprobe, the Gopher A2 repetition bundle and
-    # per-source quality normalization — never driver-checked, so rule 2
+    # PMI collocations, IVF nprobe, the Gopher A2 repetition bundle,
+    # per-source quality normalization, the TPC-H Q5 locality join and
+    # DAU/MAU stickiness — never driver-checked, so rule 2
     # wants every one inside the window. With the 34-query stale backlog
-    # only 16 fit: all 50 slots hold stale entries, the remaining 6 new
+    # only 16 fit: all 50 slots hold stale entries, the remaining 8 new
     # queries queue contiguously after the boundary (the machine-checked
     # overflow plan — they are the FRONT of the r10 window), and the
     # ENTIRE osm parity set (all r8-green, rule 3 satisfied) rotates to
@@ -8534,6 +8663,8 @@ DRIVER_PRIORITY = [
     "knn_ivf_nprobe",
     "doc_gopher_repetition",
     "quality_source_norm",
+    "local_supplier_volume",
+    "event_dau_mau",
     # the full osm parity set (all r8-green) rotates in behind them
     "osm_node_validity",
     "osm_snapshot_asof",

@@ -53,6 +53,7 @@ RELATIONAL = [
     "full_outer_stats_merge",
     "supplier_region_rollup",
     "right_outer_parts",
+    "local_supplier_volume",
 ]
 
 
@@ -289,6 +290,7 @@ EXTENSIONS_JVM_ONLY = [
     "collocations_pmi",
     "doc_gopher_repetition",
     "quality_source_norm",
+    "event_dau_mau",
     # (embedding_prototypicality rides the kmeans Arrow kernel — audited
     # by test_python_only_where_defined; mmr_diverse_topk returns a
     # driver-assembled k-row frame, so its plan is a LocalTableScan —
