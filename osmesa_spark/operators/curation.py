@@ -493,10 +493,16 @@ def quality_source_norm(
 
     from osmesa_spark.functions.text import quality_score
 
+    # null text scores as empty (repo-wide null-survival convention) —
+    # without the coalesce, quality would be NULL and the two engines'
+    # percent_rank null orderings diverge (Spark NULLS FIRST asc, DuckDB
+    # NULLS LAST)
     base = df.select(
         F.col(id_col),
         F.col(source_col).alias("source"),
-        F.round(quality_score(text_col), 4).alias("quality"),
+        F.round(
+            quality_score(F.coalesce(F.col(text_col), F.lit(""))), 4
+        ).alias("quality"),
     )
     w_src = Window.partitionBy("source").orderBy("quality", id_col)
     w_all = Window.orderBy("quality", id_col)

@@ -37,6 +37,26 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _topk_by_cos(
+    scored: DataFrame,
+    k: int,
+    part_col: str = "query_id",
+    order_col: str = "cos",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Deterministic per-query top-k: row_number by (order_col DESC,
+    id_col ASC) within part_col, keep rank <= k — the shared tail of
+    every kNN probe. The tie-break convention lives HERE once; seven
+    probes reuse it (WindowGroupLimit prunes per-partition before the
+    exchange, so this is a TakeOrdered-per-key, not a full sort)."""
+    w = Window.partitionBy(part_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
 
@@ -69,14 +89,7 @@ def knn_bruteforce(
             F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_by_cos(scored, k).select("query_id", "neighbor_id", "rank")
 
 
 def knn_ivf(
@@ -111,14 +124,7 @@ def knn_ivf(
             F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_by_cos(scored, k).select("query_id", "neighbor_id", "rank")
 
 
 def _sq_l2_lit(vec: Column, centroid: list[float], round_to: int = 6) -> Column:
@@ -229,14 +235,7 @@ def ivf_probe_frozen(
             F.round(cosine(F.col("qvec"), F.col("v")), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_by_cos(scored, k).select("query_id", "neighbor_id", "rank")
 
 
 def neardup_cosine(
@@ -363,14 +362,7 @@ def knn_quantized(
             6,
         ).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_by_cos(scored, k).select("query_id", "neighbor_id", "rank")
 
 
 def lsh_planes(dim: int, n_planes: int = 6, seed: int = 97) -> list[list[float]]:
@@ -421,14 +413,7 @@ def knn_lsh(
             F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_by_cos(scored, k).select("query_id", "neighbor_id", "rank")
 
 
 def knn_lsh_multiprobe(
@@ -479,14 +464,7 @@ def knn_lsh_multiprobe(
             F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_by_cos(scored, k).select("query_id", "neighbor_id", "rank")
 
 
 def kmeans_lloyd(
@@ -677,7 +655,11 @@ def embedding_dim_stats(
             F.round(var, 6).alias("variance"),
             F.round(F.min("q") / 1e9, 6).alias("min_val"),
             F.round(F.max("q") / 1e9, 6).alias("max_val"),
-            (F.round(var, 6) < F.lit(dead_var)).alias("is_dead"),
+            # UNROUNDED comparison: rounding first would shift the
+            # effective cutoff to dead_var/2 and make sub-1e-6 thresholds
+            # unreachable; var derives from exact-integer sums, so both
+            # engines compare bit-identical doubles
+            (var < F.lit(dead_var)).alias("is_dead"),
         )
     )
 
@@ -739,18 +721,22 @@ def knn_label_accuracy(
             "id_b",
         )
     )
-    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), "id_b")
-    topk = scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
-    )
+    topk = _topk_by_cos(scored, k, part_col="id_a", id_col="id_b")
     votes = topk.groupBy("id_a", "label_b").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    maj = votes.groupBy("id_a").agg(
-        F.max(
-            F.struct(F.col("cnt"), (-F.col("label_b")).alias("neg"))
-        )["neg"].alias("neg_pred")
-    ).select("id_a", (-F.col("neg_pred")).alias("pred_label"))
+    # argmax by (cnt DESC, label ASC) as an ORDER-based rank, never
+    # arithmetic negation: labels are frequently strings (class names),
+    # and -label would force a numeric cast (crash under ANSI, silent
+    # all-null prediction otherwise)
+    wv = Window.partitionBy("id_a").orderBy(
+        F.col("cnt").desc(), F.col("label_b")
+    )
+    maj = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("id_a", F.col("label_b").alias("pred_label"))
+    )
     return (
         base.select("id", "label")
         .join(maj, F.col("id") == F.col("id_a"), "left")
@@ -789,7 +775,9 @@ def mmr_select(
     driver). O(k·N) like the textbook algorithm; for k beyond ~tens,
     pre-shortlist with an ANN probe and run MMR on the shortlist.
 
-    Output: (rank, vec_id, rel, score) — rank 1..k in selection order."""
+    Output: (rank, <id_col>, rel, score) — rank 1..k in selection order;
+    the id column keeps the caller's name AND type (string/int doc ids
+    round-trip unchanged)."""
     spark = corpus.sparkSession
     from osmesa_spark.util import ensure_parallelism
 
@@ -839,9 +827,18 @@ def mmr_select(
         sel_ids.append(r["id"])
         sel_vecs.append(list(r["v"]))
         picked.append((len(picked) + 1, r["id"], r["rel"], r["score"]))
-    return spark.createDataFrame(
-        picked, "rank int, vec_id long, rel double, score double"
+    from pyspark.sql import types as T
+
+    id_type = corpus.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField(id_col, id_type, True),
+            T.StructField("rel", T.DoubleType(), True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
     )
+    return spark.createDataFrame(picked, schema)
 
 
 def density_census(
@@ -921,13 +918,19 @@ def density_census(
     per_group = (
         groups.join(cross, F.col("v") == F.col("va"), "left")
         .select(
-            "v",
+            F.col("v").alias("gv"),
             (
                 F.coalesce("n_other", F.lit(0).cast("bigint")) + self_n
             ).alias("n_neighbors"),
         )
     )
-    return raw.join(per_group, "v").select(
+    # null-SAFE join-back: a row with a null embedding groups under the
+    # null key, and a plain equi-join would silently drop it — the
+    # one-row-per-input contract (and the oracle's LEFT JOIN) keeps it
+    # with n_neighbors = 0
+    return raw.join(
+        per_group, F.col("v").eqNullSafe(F.col("gv"))
+    ).select(
         F.col("id").alias(id_col),
         "n_neighbors",
         (F.col("n_neighbors") >= F.lit(min_pts)).alias("is_core"),
@@ -1688,14 +1691,7 @@ def knn_rp(
         "neighbor_id",
         F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_by_cos(scored, k).select("query_id", "neighbor_id", "rank")
 
 
 def kmeans_assign(

@@ -486,8 +486,13 @@ def blocklist_filter_join(
     from osmesa_spark.functions.text import word_tokens
 
     spark = df.sparkSession
+    # explicit schema: an EMPTY lexicon (config-driven pipelines with a
+    # blank blocklist file) must behave like blocklist_flags(text, []) —
+    # zero hits, keep everything — not crash on schema inference
     lex = F.broadcast(
-        spark.createDataFrame([(t,) for t in sorted(set(terms))], ["tok"])
+        spark.createDataFrame(
+            [(t,) for t in sorted(set(terms))], "tok string"
+        )
     )
     toks = word_tokens(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(

@@ -7437,6 +7437,23 @@ def q_intake_accepted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return accepted.select("doc_id", "n_tokens", "logw").orderBy("doc_id")
 
 
+def _two_word_lined(d: DataFrame) -> DataFrame:
+    """Deterministic 2-word 'lined text' derivation SHARED by
+    doc_line_dedup and doc_gopher_repetition (the synthetic corpus has
+    no native line structure, so both engines derive the same lines
+    first). Both queries' DuckDB oracles replay exactly this
+    construction — keeping it in one place keeps them in lockstep."""
+    toks = text_fns.word_tokens("text")
+    n_chunks = F.floor((F.size(toks) + 1) / 2).cast("bigint")
+    line = lambda i: F.concat_ws(" ", F.slice(toks, i * 2 + 1, 2))
+    return d.where(F.size(toks) > 0).select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), line), "\n"
+        ).alias("text"),
+    )
+
+
 @register(
     "doc_line_dedup",
     """
@@ -7475,15 +7492,7 @@ def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmesa_spark.operators.textops import dedup_lines_within_doc
 
     d = _t(spark, sf_dir, "documents")
-    toks = text_fns.word_tokens("text")
-    n_chunks = F.floor((F.size(toks) + 1) / 2).cast("bigint")
-    line = lambda i: F.concat_ws(" ", F.slice(toks, i * 2 + 1, 2))
-    lined = d.where(F.size(toks) > 0).select(
-        "doc_id",
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), n_chunks - 1), line), "\n"
-        ).alias("text"),
-    )
+    lined = _two_word_lined(d)
     out = dedup_lines_within_doc(lined, "doc_id", "text")
     return out.select(
         "doc_id", "n_lines", "n_kept",
@@ -8119,9 +8128,9 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * ((SUM(q)::DOUBLE / 1e9) / COUNT(*)), 6) AS variance,
            ROUND(MIN(q) / 1e9, 6) AS min_val,
            ROUND(MAX(q) / 1e9, 6) AS max_val,
-           ROUND(SUM(q::HUGEINT * q)::DOUBLE / 1e18 / COUNT(*)
+           (SUM(q::HUGEINT * q)::DOUBLE / 1e18 / COUNT(*)
                  - ((SUM(q)::DOUBLE / 1e9) / COUNT(*))
-                   * ((SUM(q)::DOUBLE / 1e9) / COUNT(*)), 6) < 1e-6
+                   * ((SUM(q)::DOUBLE / 1e9) / COUNT(*))) < 1e-6
                AS is_dead
     FROM q GROUP BY dim ORDER BY dim
     """,
@@ -8361,15 +8370,7 @@ def _gopher_rep_sql() -> str:
 )
 def q_doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    toks = text_fns.word_tokens("text")
-    n_chunks = F.floor((F.size(toks) + 1) / 2).cast("bigint")
-    line = lambda i: F.concat_ws(" ", F.slice(toks, i * 2 + 1, 2))
-    lined = d.where(F.size(toks) > 0).select(
-        "doc_id",
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), n_chunks - 1), line), "\n"
-        ).alias("text"),
-    )
+    lined = _two_word_lined(d)
     f = text_fns.gopher_repetition_flags("text")
     return (
         lined.select("doc_id", f.alias("f"))
@@ -8391,10 +8392,12 @@ def q_doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH f AS (
         SELECT doc_id, source,
-               length(text) AS n_chars_c,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-               len(regexp_extract_all(lower(text),
+               length(COALESCE(text, '')) AS n_chars_c,
+               len(regexp_split_to_array(trim(COALESCE(text, '')),
+                   '\\s+')) AS n_tokens,
+               length(regexp_replace(COALESCE(text, ''),
+                   '[^A-Za-z]', '', 'g')) AS alpha,
+               len(regexp_extract_all(lower(COALESCE(text, '')),
                    '\\b(the|and|of|to|in|a|is|for)\\b', 1)) AS stop_hits
         FROM documents),
     q AS (

@@ -2561,3 +2561,88 @@ def test_density_census_survives_identical_vector_flood(spark):
         f"flooded {t_flood:.1f}s vs base {t_base:.1f}s — the collapse "
         f"must keep the join surface at distinct-vector size"
     )
+
+
+def test_review_regressions_label_types_and_edges(spark):
+    """Regression pack for the round-9 self-review findings:
+    (1) knn_label_accuracy works with STRING labels (the argmax is
+        order-based, never arithmetic negation);
+    (2) blocklist_filter_join with an EMPTY lexicon equals
+        blocklist_flags(text, []) — keep everything, no crash;
+    (3) density_census keeps a null-embedding row (n_neighbors 0) —
+        the null-safe join-back;
+    (4) mmr_select preserves the caller's id column name and type;
+    (5) embedding_dim_stats compares the UNROUNDED variance: a dimension
+        with true variance just below 1e-6 is dead, just above is not."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.operators.similarity import (
+        density_census,
+        embedding_dim_stats,
+        knn_label_accuracy,
+        lsh_planes,
+        mmr_select,
+    )
+    from osmesa_spark.operators.textops import blocklist_filter_join
+
+    rnd = random.Random(7)
+    planes = lsh_planes(8, n_planes=4, seed=3)
+
+    # (1) string labels
+    rows = []
+    for i in range(60):
+        lbl = ["cat", "dog", "owl"][i % 3]
+        base = [0.0] * 8
+        base[2 * (i % 3)] = 1.0
+        rows.append((i, [b + rnd.uniform(-0.05, 0.05) for b in base], lbl))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = knn_label_accuracy(df, planes, k=5).collect()
+    acc = sum(1 for r in out if r["correct"]) / len(out)
+    assert acc > 0.9 and isinstance(out[0]["pred_label"], str)
+
+    # (2) empty lexicon
+    docs = spark.createDataFrame(
+        [(1, "any text at all"), (2, None)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in blocklist_filter_join(docs, []).collect()}
+    assert got[1]["n_blocked"] == 0 and got[1]["keep"]
+    assert got[2]["n_blocked"] == 0 and got[2]["keep"]
+
+    # (3) null embedding survives the census
+    vecs = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    dens = {r["vec_id"]: r for r in density_census(
+        vecs, planes, radius_cos=0.9, min_pts=2
+    ).collect()}
+    assert len(dens) == 3
+    assert dens[3]["n_neighbors"] == 0 and not dens[3]["is_core"]
+    assert dens[1]["n_neighbors"] == 1
+
+    # (4) custom id column name/type round-trips through MMR
+    named = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "doc_id string, embedding array<double>",
+    )
+    sel = mmr_select(named, [1.0, 0.0], k=2, id_col="doc_id")
+    assert sel.columns == ["rank", "doc_id", "rel", "score"]
+    picked = [r["doc_id"] for r in sel.collect()]
+    assert picked[0] == "a" and len(picked) == 2
+
+    # (5) unrounded dead-variance threshold
+    vals = [0.0005 if i % 2 == 0 else -0.0005 for i in range(40)]
+    # population variance = 2.5e-7 < 1e-6 -> dead even though it rounds
+    # to 0.000000 at 6dp either way; and a ~4e-6-variance dim is alive
+    vals2 = [0.002 if i % 2 == 0 else -0.002 for i in range(40)]
+    frame = spark.createDataFrame(
+        [(i, [vals[i], vals2[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    dims = {r["dim"]: r for r in embedding_dim_stats(frame).collect()}
+    assert dims[0]["is_dead"] is True      # var 2.5e-7
+    assert dims[1]["is_dead"] is False     # var 4e-6
