@@ -113,6 +113,7 @@ HEADLINE = [
     "quality_source_norm",
     "local_supplier_volume",
     "event_dau_mau",
+    "doc_longest_dup_span",
     "incremental_new_docs",
     "doc_lm_nll",
     "doc_c4_line_filter",

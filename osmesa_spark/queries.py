@@ -8565,6 +8565,105 @@ def q_event_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_longest_dup_span",
+    """
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    w AS (
+        SELECT doc_id, (u.i - 1)::INT AS s,
+               ('0x' || substr(md5('13:' || substr(text, u.i, 20)),
+                               1, 15))::BIGINT AS h
+        FROM d, LATERAL (SELECT unnest(range(1, length(text) - 20 + 2)) AS i) u
+        WHERE length(text) >= 20),
+    c AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+    ds AS (SELECT w.doc_id, w.s FROM w JOIN c USING (h)),
+    isl AS (
+        SELECT doc_id, s,
+               CASE WHEN s > COALESCE(MAX(s) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -999999) + 20 THEN 1 ELSE 0 END AS brk
+        FROM ds),
+    grp AS (SELECT doc_id, s,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS g
+            FROM isl),
+    iv AS (SELECT doc_id, g, MIN(s) AS lo, MAX(s) + 19 AS hi
+           FROM grp GROUP BY doc_id, g),
+    mx AS (SELECT doc_id, MAX(hi - lo + 1)::BIGINT AS longest,
+                  COUNT(*)::BIGINT AS n_spans
+           FROM iv GROUP BY doc_id)
+    SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+           COALESCE(mx.longest, 0)::BIGINT AS longest_dup_span,
+           COALESCE(mx.n_spans, 0)::BIGINT AS n_spans,
+           ROUND(COALESCE(mx.longest, 0)
+                 / GREATEST(length(d.text), 1)::DOUBLE, 4)
+               AS longest_frac
+    FROM d LEFT JOIN mx USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="longest verbatim duplicated span per doc (chars) + span count + "
+    "fraction of the doc it covers — the memorization-risk distribution "
+    "Lee et al. 2022 report (a doc dominated by one long duplicated "
+    "span is a template/mirror; the tail of this distribution is what "
+    "ExactSubstr excision actually removes). Reuses the char-window-hash "
+    "machinery: row-local L=20 window hashes, ONE hash-keyed agg, "
+    "semi-join of duplicated starts, row-local interval merge "
+    "(`dedup._merge_window_starts`) then max/count — all zero-Python "
+    "(training-data extension)",
+)
+def q_doc_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmesa_spark.operators.dedup import (
+        _merge_window_starts,
+        _portable_hash,
+    )
+
+    L = 20
+    d = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.coalesce("text", F.lit("")).alias("text")
+        ),
+        "doc_id",
+    )
+    txt = F.col("text")
+    n = F.length(txt)
+    hashes = F.transform(
+        F.sequence(F.lit(0), n - L),
+        lambda i: _portable_hash(txt.substr(i + 1, F.lit(L)), 13),
+    )
+    wins = d.where(n >= L).select(
+        "doc_id", F.posexplode(hashes).alias("s", "h")
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("h")
+    )
+    dup_starts = (
+        wins.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+    )
+    iv = _merge_window_starts(F.col("ss"), L)
+    res = d.join(dup_starts, "doc_id", "left").withColumn("iv", iv)
+    longest = F.aggregate(
+        F.col("iv"),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: F.greatest(
+            acc, (i["hi"] - i["lo"] + 1).cast("bigint")
+        ),
+    )
+    return res.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        longest.alias("longest_dup_span"),
+        F.size("iv").cast("bigint").alias("n_spans"),
+        F.round(
+            longest / F.greatest(n, F.lit(1)).cast("double"), 4
+        ).alias("longest_frac"),
+    ).orderBy("doc_id")
+
+
 # OSM-domain parity queries over deterministic generated fixtures
 from osmesa_spark.queries_osm import (  # noqa: E402
     register_osm_extras_r8,
@@ -8625,17 +8724,18 @@ DRIVER_PRIORITY = [
     "tile_histogram",
     "tokenizer_fertility",
     "user_statistics",
-    # NEW this round (r9, 24 entries): frozen train/serve paths, the
+    # NEW this round (r9, 25 entries): frozen train/serve paths, the
     # skew-safe domain-cap top-K, LR calibration bins, intra-doc line
     # dedup, the C4 blocklist gate, DoReMi domain reweighting, the source
     # JSD matrix, SSL-prototypes pruning, the LSH density census,
     # char-level eval decontamination, MMR diverse top-k, the Zipf fit,
     # the multi-probe LSH pair, kNN label accuracy, embedding dim stats,
     # PMI collocations, IVF nprobe, the Gopher A2 repetition bundle,
-    # per-source quality normalization, the TPC-H Q5 locality join and
-    # DAU/MAU stickiness — never driver-checked, so rule 2
-    # wants every one inside the window. With the 34-query stale backlog
-    # only 16 fit: all 50 slots hold stale entries, the remaining 8 new
+    # per-source quality normalization, the TPC-H Q5 locality join,
+    # DAU/WAU stickiness and the longest-dup-span audit — never
+    # driver-checked, so rule 2 wants every one inside the window. With
+    # the 34-query stale backlog only 16 fit: all 50 slots hold stale
+    # entries, the remaining 9 new
     # queries queue contiguously after the boundary (the machine-checked
     # overflow plan — they are the FRONT of the r10 window), and the
     # ENTIRE osm parity set (all r8-green, rule 3 satisfied) rotates to
@@ -8668,6 +8768,7 @@ DRIVER_PRIORITY = [
     "quality_source_norm",
     "local_supplier_volume",
     "event_dau_mau",
+    "doc_longest_dup_span",
     # the full osm parity set (all r8-green) rotates in behind them
     "osm_node_validity",
     "osm_snapshot_asof",

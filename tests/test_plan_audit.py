@@ -291,6 +291,7 @@ EXTENSIONS_JVM_ONLY = [
     "doc_gopher_repetition",
     "quality_source_norm",
     "event_dau_mau",
+    "doc_longest_dup_span",
     # (embedding_prototypicality rides the kmeans Arrow kernel — audited
     # by test_python_only_where_defined; mmr_diverse_topk returns a
     # driver-assembled k-row frame, so its plan is a LocalTableScan —
