@@ -472,6 +472,8 @@ def quality_source_norm(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    gk_grid: int = 256,
+    gk_accuracy: int = 10_000_000,
 ) -> DataFrame:
     """Per-source quality-score normalization: each doc's quality
     percentile WITHIN its source next to its global percentile — the
@@ -483,12 +485,34 @@ def quality_source_norm(
     id) ordering; both engines rank identical 4dp-rounded scores, so the
     output is exactly replayable.
 
-    Scale shape: one source-keyed window and one global window over
-    (quality, id). The global total order is the scale ceiling — at
-    100 TB swap the global percentile for a GK-sketch quantile lookup
-    (`price_quantiles_sketch`'s machinery) and keep the per-source rank,
-    which partitions by source. Output: (id_col, source, quality,
-    pct_in_source, pct_global, keep_src_q50)."""
+    Scale shape — NO corpus-wide window. The exact global percent_rank
+    decomposes into two bounded pieces:
+      rank(doc) = (# docs with strictly smaller quality)
+                  + row_number within its quality tie-group (ordered by id)
+    so the plan is (a) a `groupBy(quality)` value histogram — the 4dp
+    quantization bounds it at ≤ a few thousand rows, and because a value
+    histogram merges map-side it IS the zero-error mergeable sketch for a
+    quantized score — (b) a cumulative sum over that DIMENSION table
+    (single-partition window over ≤10⁴ rows, the hashtag-dictionary
+    class, nowhere near corpus-sized), broadcast back, and (c) a
+    `row_number` window partitioned BY quality, bounded by the largest
+    tie-group. The residual exact-path risk is a degenerate tie-group
+    (e.g. billions of identical empty-doc scores); `pct_global_gk` is the
+    unconditionally-safe companion: a Greenwald-Khanna sketch
+    (`percentile_approx`, mergeable, O(accuracy·log n) memory) queried at
+    a `gk_grid`-point probability grid, each doc's percentile read off by
+    counting grid breakpoints ≤ its quality — rank error ≤ 1/gk_grid + ε.
+    gk_grid defaults to a POWER OF TWO so every grid probability i/256 and
+    every rank product p·n is an exact dyadic double: both engines then
+    compute the identical ceil(p·n) rank (a 200-point grid hit a real
+    boundary at sf0.1 — 0.035·5000 = 175.000…003 — ceiling to 176 in
+    Spark but 175 in DuckDB).
+    At `gk_accuracy` ≥ corpus rows GK degenerates to exact order
+    statistics (same contract `price_quantiles_sketch` pins), which is
+    what makes the column hash-oracle-able; production drops accuracy.
+
+    Output: (id_col, source, quality, pct_in_source, pct_global,
+    pct_global_gk, keep_src_q50)."""
     from pyspark.sql import Window
 
     from osmesa_spark.functions.text import quality_score
@@ -505,15 +529,68 @@ def quality_source_norm(
         ).alias("quality"),
     )
     w_src = Window.partitionBy("source").orderBy("quality", id_col)
-    w_all = Window.orderBy("quality", id_col)
-    return base.select(
-        id_col,
-        "source",
-        "quality",
-        F.round(F.percent_rank().over(w_src), 6).alias("pct_in_source"),
-        F.round(F.percent_rank().over(w_all), 6).alias("pct_global"),
-    ).withColumn(
-        "keep_src_q50", F.col("pct_in_source") >= F.lit(0.5)
+    # (a)+(b): quality-value histogram → dimension-sized cumulative
+    w_dim_before = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_dim_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    qdim = (
+        base.groupBy("quality")
+        .agg(F.count(F.lit(1)).alias("n_q"))
+        .select(
+            "quality",
+            F.coalesce(F.sum("n_q").over(w_dim_before), F.lit(0)).alias(
+                "cum_before"
+            ),
+            F.sum("n_q").over(w_dim_all).alias("n_total"),
+        )
+    )
+    # GK sketch: one mergeable agg over the corpus, gk_grid breakpoints
+    probs = F.array(
+        *[F.lit(i / gk_grid) for i in range(1, gk_grid + 1)]
+    )
+    breaks = base.agg(
+        F.percentile_approx("quality", probs, F.lit(gk_accuracy)).alias(
+            "gk_breaks"
+        )
+    )
+    # (c): per-tie-group row_number, then exact rank by addition
+    w_q = Window.partitionBy("quality").orderBy(id_col)
+    return (
+        base.join(F.broadcast(qdim), "quality")
+        .crossJoin(F.broadcast(breaks))
+        .select(
+            id_col,
+            "source",
+            "quality",
+            F.round(F.percent_rank().over(w_src), 6).alias("pct_in_source"),
+            F.when(
+                F.col("n_total") > 1,
+                F.round(
+                    (
+                        F.col("cum_before")
+                        + F.row_number().over(w_q)
+                        - F.lit(1)
+                    )
+                    / (F.col("n_total") - F.lit(1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_global"),
+            F.round(
+                F.size(
+                    F.filter(
+                        "gk_breaks", lambda b: b <= F.col("quality")
+                    )
+                )
+                / F.lit(float(gk_grid)),
+                6,
+            ).alias("pct_global_gk"),
+        )
+        .withColumn("keep_src_q50", F.col("pct_in_source") >= F.lit(0.5))
     )
 
 

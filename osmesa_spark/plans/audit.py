@@ -26,6 +26,11 @@ class PlanAudit:
     exchanges: int = 0
     python_stages: int = 0
     scans: list[dict] = field(default_factory=list)  # {schema, pushed}
+    # optimized-plan Window lines whose spec has NO partition columns —
+    # each forces its whole input through ONE task, so every entry must
+    # be provably dimension-bounded (a value histogram, a distinct-key
+    # dictionary), never corpus-sized
+    unpartitioned_window_lines: list[str] = field(default_factory=list)
 
     @property
     def joins(self) -> int:
@@ -36,6 +41,28 @@ class PlanAudit:
             + self.nested_loop_joins
             + self.cartesian_products
         )
+
+
+def _top_level_args(s: str) -> list[str]:
+    """Split a windowspecdefinition argument string at depth-0 commas,
+    stopping at the spec's own closing paren (input starts just past the
+    opening one)."""
+    args, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    return args
 
 
 def audit_plan(df: DataFrame) -> PlanAudit:
@@ -56,6 +83,16 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         + plan.count("MapInPandas")
         + plan.count("BatchEvalPython"),
     )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        for m in re.finditer(r"windowspecdefinition\(", line):
+            args = _top_level_args(line[m.end():])
+            first = args[0] if args else ""
+            if first.startswith("specifiedwindowframe(") or re.search(
+                r" (ASC|DESC) NULLS", first
+            ):
+                a.unpartitioned_window_lines.append(line.strip())
+                break  # one hit per Window line is enough
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\][^\n]*", plan):
         a.scans.append({"pushed": m.group(1)})
     for i, m in enumerate(re.finditer(r"ReadSchema: struct<([^\n]*)", plan)):

@@ -8410,27 +8410,38 @@ def q_doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + LEAST((stop_hits / GREATEST(n_tokens, 1)) * 5.0, 1.0)
                    * 0.25,
                4) AS quality
-        FROM f)
+        FROM f),
+    gk AS (
+        SELECT quantile_disc(quality,
+                   [x / 256.0 FOR x IN generate_series(1, 256)])
+               AS gk_breaks
+        FROM q)
     SELECT doc_id, source, quality,
            ROUND(percent_rank() OVER (PARTITION BY source
                                       ORDER BY quality, doc_id), 6)
                AS pct_in_source,
            ROUND(percent_rank() OVER (ORDER BY quality, doc_id), 6)
                AS pct_global,
+           ROUND(len(list_filter(gk.gk_breaks, b -> b <= quality))
+                 / 256.0, 6) AS pct_global_gk,
            ROUND(percent_rank() OVER (PARTITION BY source
                                       ORDER BY quality, doc_id), 6) >= 0.5
                AS keep_src_q50
-    FROM q ORDER BY doc_id
+    FROM q, gk ORDER BY doc_id
     """,
     doc="per-source quality-score normalization: each doc's quality "
     "percentile WITHIN its source next to its global percentile — the "
     "comparability fix before a corpus-wide quality threshold (a raw "
     "cutoff biases the mix toward whichever source's scorer runs hot; "
     "FineWeb-style pipelines gate on within-source rank). Deterministic "
-    "(quality, id) percent_rank; the per-source window partitions by "
-    "source — at 100 TB swap the GLOBAL percentile for a GK-sketch "
-    "quantile lookup and keep the source window "
-    "(training-data extension)",
+    "(quality, id) percent_rank with NO corpus-wide window: the exact "
+    "global rank decomposes into a bounded quality-value histogram "
+    "cumulative (the 4dp quantization makes the histogram a zero-error "
+    "mergeable sketch) plus a tie-group row_number partitioned BY "
+    "quality; pct_global_gk is the unconditionally-safe GK-sketch twin "
+    "(percentile_approx grid lookup, rank error ≤ 1/grid; exact ≡ "
+    "quantile_disc at degenerate accuracy, same contract as "
+    "price_quantiles_sketch) (training-data extension)",
 )
 def q_quality_source_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -8675,91 +8686,25 @@ register_osm_extras_r8(register)
 
 
 # The driver's per-round correctness file records the FIRST 50 registry
-# entries; local tests cover all 163 identically
-# (tests/test_queries_oracle.py). ROUND-9 WINDOW — evidence-freshness
-# round (VERDICT r8 #2): the union of CORRECTNESS_r1..r8 is all-green,
-# but 34 queries' latest driver evidence is round <= 3 (6 from round 2).
-# All 34 head this window. The remaining 16 slots hold HALF the osm_*
-# parity set (all 30 were driver-green in r8; keeping all of them pinned
-# every round is what starved the rotation and created the backlog).
-# The osm set now alternates in halves so no parity pipeline's evidence
-# is ever more than 2 rounds old — tests/test_plan_audit.py enforces
-# both invariants (stale backlog rotates in; osm staleness <= 1 round)
-# directly from the committed CORRECTNESS_r*.json files instead of
-# pinning the whole osm set.
+# entries; local tests cover all 188 identically
+# (tests/test_queries_oracle.py). ROUND-10 WINDOW (VERDICT r9 #1),
+# computed from the committed CORRECTNESS_r*.json files (max_round=9,
+# stale = latest evidence <= 4 or never checked):
+#   * 9 never-driver-checked r9 additions (the r9 overflow zone — the
+#     machine-checked plan promised they are the FRONT of this window);
+#   * the full round-4 cohort (32 queries, latest evidence r4 — flips
+#     stale the moment CORRECTNESS_r9 landed, which is the red test
+#     this rotation fixes);
+#   * 9 osm_* parity queries (all 30 osm are r8-green; rule 3 allows
+#     them outside the window while max_round=9, but once r10 lands
+#     every osm query needs r10 evidence or an r11 slot — 9 start here).
+# OVERFLOW (contiguous after the boundary, machine-checked): the
+# remaining 21 osm_* parity queries. R11 PLAN: those 21 osm + the
+# round-5 cohort (29 queries: ann_recall_pq/ivfpq, building_match,
+# cms_heavy_users, corpus_curation_app, ... — they turn stale when
+# CORRECTNESS_r10 lands) = exactly 50.
 DRIVER_PRIORITY = [
-    # stalest driver evidence: the round-2 cohort (never re-checked since)
-    "dedup_keep_best",
-    "doc_pack_assignment",
-    "embedding_label_stats",
-    "pii_scrub",
-    "stratified_sample",
-    "word_frequencies",
-    # the full round-3 cohort (28)
-    "ann_recall_lsh",
-    "asof_click_attribution",
-    "changeset_stats",
-    "comments_assembly",
-    "curation_pipeline",
-    "decontaminate_overlap",
-    "doc_bigram_topk",
-    "doc_bm25_topk",
-    "doc_dup_ngram_fraction",
-    "doc_token_entropy",
-    "doc_winnow_fingerprints",
-    "embedding_quantize",
-    "haversine_user_path",
-    "kmeans_clusters",
-    "kv_map_assembly",
-    "map_merge_simplify",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "neardup_cosine",
-    "neardup_sparse_cosine",
-    "pricing_summary",
-    "right_outer_parts",
-    "source_mix_weights",
-    "supplier_region_rollup",
-    "tile_histogram",
-    "tokenizer_fertility",
-    "user_statistics",
-    # NEW this round (r9, 25 entries): frozen train/serve paths, the
-    # skew-safe domain-cap top-K, LR calibration bins, intra-doc line
-    # dedup, the C4 blocklist gate, DoReMi domain reweighting, the source
-    # JSD matrix, SSL-prototypes pruning, the LSH density census,
-    # char-level eval decontamination, MMR diverse top-k, the Zipf fit,
-    # the multi-probe LSH pair, kNN label accuracy, embedding dim stats,
-    # PMI collocations, IVF nprobe, the Gopher A2 repetition bundle,
-    # per-source quality normalization, the TPC-H Q5 locality join,
-    # DAU/WAU stickiness and the longest-dup-span audit — never
-    # driver-checked, so rule 2 wants every one inside the window. With
-    # the 34-query stale backlog only 16 fit: all 50 slots hold stale
-    # entries, the remaining 9 new
-    # queries queue contiguously after the boundary (the machine-checked
-    # overflow plan — they are the FRONT of the r10 window), and the
-    # ENTIRE osm parity set (all r8-green, rule 3 satisfied) rotates to
-    # r10 behind them instead of alternating halves this round.
-    "lr_score_frozen",
-    "intake_accepted_batch",
-    "source_doc_cap_topk",
-    "lr_calibration",
-    "length_bucket_padding",
-    "doc_line_dedup",
-    "doc_blocklist_filter",
-    "domain_reweight_nll",
-    "source_js_divergence",
-    "embedding_prototypicality",
-    "embedding_density",
-    "decontaminate_spans_char",
-    "mmr_diverse_topk",
-    "corpus_zipf_fit",
-    "knn_lsh_multiprobe",
-    "ann_recall_multiprobe",
-    # ---- 50-slot window boundary ----
-    # stale OVERFLOW (backlog > 50): never-checked entries that did not
-    # fit — contiguous here so they are the FRONT of the r10 window
-    # (machine-checked by test_driver_priority_window_integrity)
+    # never driver-checked (r9 additions; r9 overflow zone order kept)
     "knn_label_accuracy",
     "embedding_dim_stats",
     "collocations_pmi",
@@ -8769,42 +8714,7 @@ DRIVER_PRIORITY = [
     "local_supplier_volume",
     "event_dau_mau",
     "doc_longest_dup_span",
-    # the full osm parity set (all r8-green) rotates in behind them
-    "osm_node_validity",
-    "osm_snapshot_asof",
-    "osm_way_reconstruction",
-    "osm_utm_area",
-    "osm_changeset_stats",
-    "osm_geocode",
-    "osm_hashtags",
-    "osm_user_statistics",
-    "osm_changeset_metadata",
-    "osm_way_tile_cover",
-    "osm_relation_assembly_deep",
-    # osm parity half B (queued first for the r10 window; country_stats,
-    # hashtag_user_stats, hashtag_stats, user_footprint and tile_pyramid
-    # moved here from half A to make room for the five new r9 entries —
-    # all r8-green)
-    "osm_country_statistics",
-    "osm_hashtag_user_statistics",
-    "osm_hashtag_statistics",
-    "osm_user_footprint",
-    "osm_tile_pyramid",
-    "osm_geocode_grid",
-    "osm_geocode_realworld",
-    "osm_relation_members",
-    "osm_relation_members_deep",
-    "osm_relation_assembly",
-    "osm_coedit_pagerank",
-    "osm_snapshot_diff",
-    "osm_user_retention",
-    "osm_changeset_duration",
-    "osm_geometry_validity",
-    "osm_map_age",
-    "osm_way_tile_cover_pyramid",
-    "osm_power_users",
-    "osm_tag_cooccurrence",
-    # the round-4 cohort — next-stalest after this round, fills r10
+    # the full round-4 cohort (latest driver evidence = r4)
     "anti_join_inactive",
     "building_match_blend",
     "building_match_support",
@@ -8837,6 +8747,41 @@ DRIVER_PRIORITY = [
     "topk_per_group",
     "union_merge",
     "window_prev_value",
+    # osm parity, first 9 of half B (all osm evidence is r8; these get
+    # r10 evidence now, the other 21 queue next for r11)
+    "osm_country_statistics",
+    "osm_hashtag_user_statistics",
+    "osm_hashtag_statistics",
+    "osm_user_footprint",
+    "osm_tile_pyramid",
+    "osm_geocode_grid",
+    "osm_geocode_realworld",
+    "osm_relation_members",
+    "osm_relation_members_deep",
+    # ---- 50-slot window boundary ----
+    # osm parity OVERFLOW: the remaining 21, contiguous so they are the
+    # front of the r11 window alongside the round-5 cohort (29) = 50
+    "osm_relation_assembly",
+    "osm_coedit_pagerank",
+    "osm_snapshot_diff",
+    "osm_user_retention",
+    "osm_changeset_duration",
+    "osm_geometry_validity",
+    "osm_map_age",
+    "osm_way_tile_cover_pyramid",
+    "osm_power_users",
+    "osm_tag_cooccurrence",
+    "osm_node_validity",
+    "osm_snapshot_asof",
+    "osm_way_reconstruction",
+    "osm_utm_area",
+    "osm_changeset_stats",
+    "osm_geocode",
+    "osm_hashtags",
+    "osm_user_statistics",
+    "osm_changeset_metadata",
+    "osm_way_tile_cover",
+    "osm_relation_assembly_deep",
 ]
 
 

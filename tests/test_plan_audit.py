@@ -323,6 +323,28 @@ def test_realworld_geocode_plan_shape(spark):
     assert ["event_id"] in scan_cols, f"probe scan not pruned: {scan_cols}"
 
 
+def test_quality_source_norm_no_corpus_window(spark):
+    """The r9 judge's one `weak` mark: pct_global used to be a corpus-wide
+    `Window.orderBy` (one task sorts every document). The de-weaked plan
+    decomposes the exact global rank into a quality-value histogram
+    cumulative + a per-tie-group row_number, so the ONLY unpartitioned
+    windows left must be the two dimension-table ones (cum_before /
+    n_total over the `n_q` histogram, bounded by distinct 4dp scores) —
+    any unpartitioned window NOT over the histogram is a regression to
+    the corpus-sized sort."""
+    df = Q.registry()["quality_source_norm"].spark(spark, SF_CORRECT)
+    a = assert_scaleable(df, allow_python=False)
+    assert len(a.unpartitioned_window_lines) == 2, (
+        f"expected exactly the 2 dimension windows, got "
+        f"{a.unpartitioned_window_lines}"
+    )
+    for line in a.unpartitioned_window_lines:
+        assert "n_q#" in line, (
+            f"unpartitioned window not over the quality histogram "
+            f"(corpus-sized sort regression): {line}"
+        )
+
+
 def _driver_evidence_rounds() -> "tuple[dict[str, int], int]":
     """Latest external-checker round per query, computed from the committed
     CORRECTNESS_r*.json files at the repo root. Queries never checked map

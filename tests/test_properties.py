@@ -2498,6 +2498,18 @@ def test_quality_source_norm_percentile_invariants(spark):
         by_src[s]
     )
     assert mean_g("rich") > mean_g("poor")
+    # the GK-sketch twin tracks the exact VALUE-based global CDF within
+    # its 1/grid rank bound (degenerate accuracy => exact order
+    # statistics, so the only error is grid discretization)
+    n = len(out)
+    qs = sorted(r["quality"] for r in out)
+    for r in out:
+        cume = sum(1 for q in qs if q <= r["quality"]) / n
+        assert abs(r["pct_global_gk"] - cume) <= 1 / 256 + 1e-9, (
+            r["doc_id"],
+            r["pct_global_gk"],
+            cume,
+        )
     # the within-source median gate keeps half of EACH source
     kept = {s: sum(1 for r in rows if r["keep_src_q50"])
             for s, rows in by_src.items()}

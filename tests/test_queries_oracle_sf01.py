@@ -88,6 +88,13 @@ SCALE_SLICE = [
     # selection and majority votes must replay identically at scale
     "knn_label_accuracy",
     "knn_ivf_nprobe",
+    # r10: the de-weaked global percentile — the quality-histogram
+    # cumulative, the tie-group row_number re-assembly AND the GK grid
+    # breakpoints all re-derive from a 10× corpus (more distinct 4dp
+    # scores, bigger tie-groups, shifted quantiles); the
+    # percentile_approx ≡ quantile_disc degenerate-accuracy contract
+    # must hold at the larger n
+    "quality_source_norm",
 ]
 
 
