@@ -192,7 +192,7 @@ def ivf_probe_frozen(
     — train once offline, answer every arriving query batch against the
     fixed index (the retrieval mirror of the DSIR/LR frozen train/serve
     split; `streaming/knn_stream.py` drives this per micro-batch).
-    Queries rank the ≤k literal centroid distances row-locally, explode
+    Queries rank the ≤coarse_k literal centroid distances row-locally, explode
     to nprobe probe rows, and equi-join the inverted lists.
 
     `broadcast_queries=True` (default) fits the online regime: a query
@@ -684,8 +684,10 @@ def knn_label_accuracy(
     broadcasts its bounded probe side) — the bucket self-join shuffles
     both sides on the bucket key (pair work Σ|bucket|², the
     `density_census` bound); the vote is one (query,label) partial agg
-    followed by a deterministic argmax (count desc, label asc) via
-    max(struct). Bucketed base checkpointed once for both join sides and
+    followed by a deterministic argmax (count desc, label asc) via a
+    row_number window over the (query,label) vote counts — ORDER-based,
+    not value-negation, so string labels rank correctly. Bucketed base
+    checkpointed once for both join sides and
     the verdict join-back.
 
     Output: (vec_id, true_label, pred_label, correct) — vectors with no

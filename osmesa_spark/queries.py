@@ -8103,8 +8103,9 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the retrain/reembed health metric next to embedding_drift. Both "
     "join sides are the corpus, so this is the SHUFFLED bucket self-join "
     "(Σ|bucket|² pair work), NOT knn_lsh's broadcast-probe shape; "
-    "majority vote = one (query,label) partial agg + deterministic "
-    "max(struct) argmax; isolated vectors survive as pred null / correct "
+    "majority vote = one (query,label) partial agg + a deterministic "
+    "row_number argmax (cnt DESC, label ASC); isolated vectors survive as "
+    "pred null / correct "
     "false (similarity-search extension)",
 )
 def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -204,6 +204,50 @@ class UsersTable(ParquetUpsertTable):
         self._commit(merged)
 
 
+def _assign_serial_ids(
+    new_tags: DataFrame, base: int, n_salt: int = 64
+) -> DataFrame:
+    """Deterministic contiguous ids (base+1 .. base+n) for a frame of
+    distinct `hashtag` strings — WITHOUT a dictionary-wide total order.
+
+    Two-phase salted assignment: row_number within hash-salted buckets
+    (each window partition ≈ dictionary/n_salt rows), then per-bucket
+    offsets from the n_salt-row count table (the one unpartitioned window
+    is over exactly n_salt rows — constant-bounded). A single
+    `row_number().over(Window.orderBy(...))` would sort the whole
+    dictionary in ONE task; the dictionary is dimension-sized (distinct
+    hashtags, not changesets), but at planet backfill it can reach
+    millions of rows — this keeps the largest single-task frame at
+    dictionary/n_salt. Assignment is deterministic (fixed xxhash64 salt,
+    per-bucket hashtag order) so replays produce identical ids; the
+    global order is salt-major rather than alphabetical, which no
+    consumer depends on (ids are opaque serials, only STABILITY is
+    contractual)."""
+    from pyspark.sql import Window
+
+    salted = new_tags.withColumn(
+        "__salt", F.pmod(F.xxhash64("hashtag"), F.lit(n_salt))
+    )
+    w_bucket = Window.partitionBy("__salt").orderBy("hashtag")
+    w_offsets = Window.orderBy("__salt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    counts = salted.groupBy("__salt").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__salt",
+        F.coalesce(F.sum("__n").over(w_offsets), F.lit(0)).alias("__off"),
+    )
+    return (
+        salted.join(F.broadcast(offsets), "__salt")
+        .select(
+            (
+                F.row_number().over(w_bucket) + F.col("__off") + F.lit(base)
+            ).cast("bigint").alias("id"),
+            "hashtag",
+        )
+    )
+
+
 class HashtagDictTable(ParquetUpsertTable):
     """hashtags(id, hashtag) dictionary with stable serial ids — the
     reference's `INSERT ... ON CONFLICT DO NOTHING RETURNING id` dance
@@ -216,26 +260,13 @@ class HashtagDictTable(ParquetUpsertTable):
         tags = batch.select(F.lower(F.col("hashtag")).alias("hashtag")).distinct()
         existing = self.read(spark)
         if existing is None:
-            from pyspark.sql import Window
-
-            fresh = tags.withColumn(
-                "id",
-                F.row_number().over(Window.orderBy("hashtag")).cast("bigint"),
-            ).select("id", "hashtag")
-            self._commit(fresh)
+            self._commit(_assign_serial_ids(tags, base=0))
             return self.read(spark)
         new = tags.join(existing, "hashtag", "left_anti")
         if new.isEmpty():
             return existing
-        from pyspark.sql import Window
-
         base = existing.agg(F.max("id")).first()[0] or 0
-        assigned = new.withColumn(
-            "id",
-            (F.row_number().over(Window.orderBy("hashtag")) + F.lit(base)).cast(
-                "bigint"
-            ),
-        ).select("id", "hashtag")
+        assigned = _assign_serial_ids(new, base=base)
         self._commit(existing.unionByName(assigned))
         return self.read(spark)
 

@@ -606,6 +606,33 @@ def test_hashtag_dictionary_stable_ids(spark, tmp_path):
     assert {r["hashtag"]: r["id"] for r in third.collect()} == ids2
 
 
+def test_hashtag_serial_assignment_bounded_and_contiguous(spark):
+    """The serial-id assignment must never sort the whole dictionary in
+    one task (planet backfill can push the distinct-hashtag dictionary to
+    millions of rows): the two-phase salted assignment's only
+    unpartitioned window is the n_salt-row bucket-offset table. Ids stay
+    exactly contiguous (base+1..base+n) and deterministic."""
+    from osmesa_spark.plans import audit_plan
+    from osmesa_spark.sinks.upsert import _assign_serial_ids
+
+    tags = spark.createDataFrame(
+        [(f"tag{i:05d}",) for i in range(1000)], "hashtag string"
+    )
+    out = _assign_serial_ids(tags, base=7)
+    a = audit_plan(out)
+    assert len(a.unpartitioned_window_lines) == 1, (
+        a.unpartitioned_window_lines
+    )
+    assert "__n#" in a.unpartitioned_window_lines[0], (
+        "the unpartitioned window must be over the n_salt-row count "
+        f"table, not the dictionary: {a.unpartitioned_window_lines[0]}"
+    )
+    rows = out.collect()
+    assert sorted(r["id"] for r in rows) == list(range(8, 1008))
+    again = {r["hashtag"]: r["id"] for r in _assign_serial_ids(tags, base=7).collect()}
+    assert again == {r["hashtag"]: r["id"] for r in rows}, "non-deterministic"
+
+
 def test_windowed_agg_drops_late_data(spark, tmp_path):
     """Watermark contract (T2 generalization): a row arriving later than
     the watermark is excluded from its (already finalized) window; the
