@@ -345,6 +345,37 @@ def test_quality_source_norm_no_corpus_window(spark):
         )
 
 
+# row-local operators that derive gram arrays and reference them many
+# times — the class where Column-tree copying (trees, not DAGs: every
+# mention duplicates the construction subtree) once blew plan-compile up
+# to ~170 s before `functions/text.py::_let` re-bound shared
+# subexpressions as HOF lambda variables (PLANS.md round-9 note). The
+# budget is deliberately generous (30 s vs sub-second healthy) so only a
+# genuine exponential regression trips it, not CI load.
+PLAN_COMPILE_BUDGET_S = 30.0
+LET_CLASS_QUERIES = [
+    "doc_gopher_repetition",
+    "doc_gopher_rules",
+    "doc_longest_dup_span",
+    "doc_dup_ngram_fraction",
+]
+
+
+@pytest.mark.parametrize("name", LET_CLASS_QUERIES)
+def test_let_class_plan_compile_budget(spark, name):
+    import time
+
+    t0 = time.monotonic()
+    df = Q.registry()[name].spark(spark, SF_CORRECT)
+    # force the full analyze+optimize pass (where the tree blowup lived)
+    df._jdf.queryExecution().optimizedPlan()
+    elapsed = time.monotonic() - t0
+    assert elapsed < PLAN_COMPILE_BUDGET_S, (
+        f"{name}: plan compile took {elapsed:.1f} s — a Column-tree "
+        f"sharing regression (re-bind shared subtrees with _let)"
+    )
+
+
 def _driver_evidence_rounds() -> "tuple[dict[str, int], int]":
     """Latest external-checker round per query, computed from the committed
     CORRECTNESS_r*.json files at the repo root. Queries never checked map
