@@ -140,8 +140,17 @@ def candidate_pairs(
     canonical = F.col("cell") == F.array_min(
         F.array_intersect("cells_a", "cells_b")
     )
+    # FORCE the shuffle join on the cell key. Both sides are building
+    # corpora — corpus-sized by construction — but Catalyst's size
+    # estimate sees only the narrow source scan (an 8-byte id column)
+    # and not the quad arrays synthesized AFTER it, so at 10× bench
+    # scale it picked a BroadcastHashJoin of a million-rect side: wrong
+    # at any real scale, and measured SLOWER even where the driver
+    # survives it (sf1: SMJ 15.8 s vs broadcast 17.7 s + a driver OOM at
+    # default memory; r10 rehearsal). A genuinely-small side belongs to
+    # the caller's knowledge, not a width-blind estimate.
     return (
-        aa.join(bb, "cell")
+        aa.join(bb.hint("shuffle_merge"), "cell")
         .where(dist2 < max_dist * max_dist)
         .where(canonical)
         .select(
