@@ -323,6 +323,28 @@ def test_realworld_geocode_plan_shape(spark):
     assert ["event_id"] in scan_cols, f"probe scan not pruned: {scan_cols}"
 
 
+@pytest.mark.parametrize(
+    "name", ["building_match", "building_match_volume", "building_match_blend"]
+)
+def test_building_cell_join_never_broadcasts(spark, name):
+    """r10 rehearsal finding: Catalyst's size estimate of the rect sides
+    sees only the narrow source scan (one 8-byte id column), not the quad
+    arrays synthesized after it, so at 10× bench scale the DEFAULT plan
+    broadcast a million-rect side (driver OOM at default memory; slower
+    even when it survived). candidate_pairs pins hint("shuffle_merge") on
+    the cell join — both sides are building corpora, corpus-sized by
+    construction, so the shuffle join is the only plan that exists at
+    100 TB. A BroadcastHashJoin reappearing here means the hint was lost."""
+    df = Q.registry()[name].spark(spark, SF_CORRECT)
+    a = audit_plan(df)
+    assert a.sort_merge_joins + a.shuffled_hash_joins >= 1, (
+        f"{name}: cell join is not a shuffle join"
+    )
+    assert a.broadcast_joins == 0, (
+        f"{name}: a broadcast join crept back into the match plan"
+    )
+
+
 def test_quality_source_norm_no_corpus_window(spark):
     """The r9 judge's one `weak` mark: pct_global used to be a corpus-wide
     `Window.orderBy` (one task sorts every document). The de-weaked plan
