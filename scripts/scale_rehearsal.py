@@ -101,15 +101,17 @@ def gen(out_dir: str) -> None:
                 [None if s is None else _splice_marker(s, k) for s in texts]
             )
         t = t.set_column(0, "doc_id", new_ids).set_column(1, "text", new_texts)
-        # n_chars tracks the perturbed text
-        t = t.set_column(
-            4,
-            "n_chars",
-            pa.array(
-                [0 if s is None else len(s) for s in new_texts.to_pylist()],
-                type=pa.int64(),
-            ),
-        )
+        if k > 0:
+            # n_chars tracks the perturbed text; replica 0 keeps the
+            # driver's original values verbatim
+            t = t.set_column(
+                4,
+                "n_chars",
+                pa.array(
+                    [0 if s is None else len(s) for s in new_texts.to_pylist()],
+                    type=pa.int64(),
+                ),
+            )
         batches.append(t)
     pq.write_table(pa.concat_tables(batches), os.path.join(out_dir, "documents.parquet"))
 
