@@ -2516,6 +2516,37 @@ def test_quality_source_norm_percentile_invariants(spark):
     assert kept["rich"] == kept["poor"] == 6
 
 
+def test_quality_source_norm_gk_production_regime(spark):
+    """The PRODUCTION knobs of the GK column — a real sketch (accuracy ≪
+    corpus rows, so GK actually approximates) and a non-default grid —
+    must honor the documented rank bound: |pct_global_gk − exact value
+    CDF| ≤ 1/gk_grid + n/accuracy (grid discretization + the GK
+    one-sided ε·n rank guarantee, ε = 1/accuracy). This is the contract
+    a 100 TB deployment relies on when it drops accuracy to trade error
+    for memory — the oracle only ever exercises the degenerate-exact
+    regime."""
+    from osmesa_spark.operators.curation import quality_source_norm
+
+    docs = [
+        (i, ("informative words about the town and the fox " * (1 + i % 7))
+            + "z" * (i % 13), f"s{i % 3}")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    out = quality_source_norm(df, gk_grid=64, gk_accuracy=50).collect()
+    n = len(out)
+    qs = sorted(r["quality"] for r in out)
+    bound = 1 / 64 + n / 50 / n + 1e-9  # 1/grid + eps·n ranks => eps in pct
+    worst = 0.0
+    for r in out:
+        cume = sum(1 for q in qs if q <= r["quality"]) / n
+        worst = max(worst, abs(r["pct_global_gk"] - cume))
+    assert worst <= bound, (worst, bound)
+    # the exact columns are untouched by the sketch knobs
+    for r in out:
+        assert 0.0 <= r["pct_global"] <= 1.0
+
+
 def test_density_census_survives_identical_vector_flood(spark):
     """Degenerate-mass defense: 20k IDENTICAL vectors land in one LSH
     bucket no matter the plane count — the naive |bucket|² plan would

@@ -631,6 +631,18 @@ def test_hashtag_serial_assignment_bounded_and_contiguous(spark):
     assert sorted(r["id"] for r in rows) == list(range(8, 1008))
     again = {r["hashtag"]: r["id"] for r in _assign_serial_ids(tags, base=7).collect()}
     assert again == {r["hashtag"]: r["id"] for r in rows}, "non-deterministic"
+    # contiguity holds at ANY salt width (n_salt > |tags| leaves empty
+    # buckets; n_salt=1 degenerates to the single sort) and with unicode
+    # / pathological tag shapes
+    weird = spark.createDataFrame(
+        [("#ümlaut",), ("з",), ("a b",), ("",), ("🙂🙂",), ("x" * 255,), ("0",)],
+        "hashtag string",
+    )
+    for n_salt in (1, 3, 64, 1024):
+        ids = sorted(
+            r["id"] for r in _assign_serial_ids(weird, base=100, n_salt=n_salt).collect()
+        )
+        assert ids == list(range(101, 108)), (n_salt, ids)
 
 
 def test_windowed_agg_drops_late_data(spark, tmp_path):
