@@ -255,8 +255,6 @@ def neardup_cosine(
     Output: (id_a, id_b, cos), id_a < id_b, cos rounded 6dp."""
     from osmesa_spark.util import ensure_parallelism
 
-    # the probe side of the (broadcast) self-join keeps its scan splits —
-    # spread it so the per-pair dot products use every core
     side = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -264,6 +262,16 @@ def neardup_cosine(
         F.col(bucket_col).alias("bucket"),
     )
     a, b = side.alias("a"), side.alias("b")
+    # The join strategy is deliberately LEFT TO CATALYST, unlike the
+    # buildings cell join (which pins shuffle_merge): here the broadcast
+    # side's size ESTIMATE is accurate — the scan's embedding column IS
+    # the join payload, nothing widens after it — so the planner
+    # broadcasts while the corpus fits and falls back to the shuffle
+    # join exactly when it stops fitting. Forcing the shuffle was
+    # measured 3–4× SLOWER at both sf0.1 and sf1 (the coarse bucket key
+    # has few distinct values, so the sort-merge pays a skewed
+    # whole-corpus sort the hash probe never does); the fallback plan's
+    # correctness is pinned by the NO_BROADCAST_REGIME equivalence test.
     return (
         a.join(
             b,

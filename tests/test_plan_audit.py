@@ -491,6 +491,11 @@ def test_driver_priority_window_integrity():
 NO_BROADCAST_REGIME = [
     "semdedup_prune",
     "building_match_support",
+    # r10 broadcast-provenance audit: the bucket self-join's broadcast is
+    # estimate-accurate (falls back on its own at scale) but the fallback
+    # SMJ is the plan that actually runs at 100 TB — prove it is
+    # value-identical here
+    "neardup_cosine",
     # (minhash_lsh_pairs is exempt BY SHAPE: candidate generation is a
     # groupBy + in-column pair combination — its plan has no join at all,
     # so there is no broadcast to fall back from.)
