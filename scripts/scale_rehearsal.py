@@ -24,9 +24,22 @@ still run exclusively on the driver's parquet):
 (no cartesian products; join/exchange/python counts recorded at both
 sizes so a plan-shape flip is visible), and prints the PLANS.md table.
 
+`sweep` builds (without fully executing) every non-osm registry query's
+physical plan at sf0.1 and sf1 and reports shape diffs — a plan flip
+between sizes is a size-driven planning decision worth eyeballing.
+
+`bcast` walks every BroadcastExchange subtree at sf1 (AQE off so the
+tree is walkable) and flags broadcasts of unbounded fact-table lineage.
+Interpretation rule (PLANS.md r10): flags over raw narrow scans are
+usually fine (the size estimate is accurate, so Catalyst falls back by
+itself at scale); the misplan class is WIDTH-BLIND estimates — arrays/
+structs synthesized between scan and join, or post-Python frames.
+
 Usage:
-  python scripts/scale_rehearsal.py gen  [--out /tmp/sf1]
-  python scripts/scale_rehearsal.py run  [--sf1 /tmp/sf1] [--queries a,b]
+  python scripts/scale_rehearsal.py gen   [--out /tmp/sf1]
+  python scripts/scale_rehearsal.py run   [--sf1 /tmp/sf1] [--queries a,b]
+  python scripts/scale_rehearsal.py sweep [--sf1 /tmp/sf1]
+  python scripts/scale_rehearsal.py bcast [--sf1 /tmp/sf1]
 """
 
 from __future__ import annotations
@@ -225,14 +238,119 @@ def run(sf1_dir: str, names: list[str]) -> None:
         )
 
 
+def _session(extra: dict | None = None):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def sweep(sf1_dir: str) -> None:
+    from osmesa_spark import queries as Q
+    from osmesa_spark.plans import audit_plan
+
+    spark = _session()
+    reg = Q.registry()
+    flips, errs, same = [], [], 0
+    for name, spec in reg.items():
+        if name.startswith("osm_"):
+            continue
+        try:
+            def shape(sf):
+                a = audit_plan(spec.spark(spark, sf))
+                return (a.broadcast_joins, a.sort_merge_joins,
+                        a.shuffled_hash_joins, a.cartesian_products,
+                        a.python_stages, len(a.unpartitioned_window_lines))
+            s01, s1 = shape(SF01), shape(sf1_dir)
+            assert s1[3] == 0, f"{name}: cartesian at sf1"
+            if s01 != s1:
+                flips.append((name, s01, s1))
+                print(f"FLIP {name}: {s01} -> {s1}", flush=True)
+            else:
+                same += 1
+        except Exception as e:
+            errs.append(name)
+            print(f"ERR {name}: {str(e)[:80]}", flush=True)
+    print(f"identical: {same}, flips: {len(flips)}, errors: {len(errs)} "
+          "(shape = bj,smj,shj,cart,py,uw)")
+
+
+def bcast(sf1_dir: str) -> None:
+    from osmesa_spark import queries as Q
+
+    spark = _session({"spark.sql.adaptive.enabled": "false"})
+    reg = Q.registry()
+    facts = ("documents", "embeddings", "events", "lineitem", "orders")
+
+    def flags_for(df):
+        root = df._jdf.queryExecution().executedPlan()
+        flags = []
+
+        def walk(node):
+            if "BroadcastExchange" in node.nodeName():
+                info = {"leaf": None, "bounded": False}
+
+                def inner(n):
+                    nn = n.nodeName()
+                    s0 = n.toString().split("\n")[0]
+                    if ("Aggregate" in nn or "Limit" in nn
+                            or "Deduplicate" in nn or "LocalTableScan" in nn):
+                        info["bounded"] = True
+                        return
+                    if ("Scan" in nn or "ReusedExchange" in nn) and any(
+                        f in s0 for f in facts
+                    ):
+                        info["leaf"] = s0[:90]
+                    for i in range(n.children().size()):
+                        inner(n.children().apply(i))
+
+                inner(node)
+                if info["leaf"] and not info["bounded"]:
+                    flags.append(info["leaf"])
+                return
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(root)
+        return flags
+
+    n_flagged = 0
+    for name, spec in reg.items():
+        if name.startswith("osm_"):
+            continue
+        try:
+            fl = flags_for(spec.spark(spark, sf1_dir))
+            if fl:
+                n_flagged += 1
+                print(f"FLAG {name}: {fl}", flush=True)
+        except Exception as e:
+            print(f"ERR {name}: {str(e)[:80]}", flush=True)
+    print(f"done; flagged {n_flagged} (apply the pin-vs-trust rule from "
+          "PLANS.md before changing anything)")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["gen", "run"])
+    ap.add_argument("cmd", choices=["gen", "run", "sweep", "bcast"])
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--sf1", default="/tmp/sf1")
     ap.add_argument("--queries", default=",".join(HEAVY_TAIL))
     args = ap.parse_args()
     if args.cmd == "gen":
         gen(args.out)
+    elif args.cmd == "sweep":
+        sweep(args.sf1)
+    elif args.cmd == "bcast":
+        bcast(args.sf1)
     else:
         run(args.sf1, [n for n in args.queries.split(",") if n])
