@@ -1783,10 +1783,15 @@ def test_capped_lsh_survives_degenerate_bucket_flood(spark):
         f"flood added {extra} candidates (base {n_base}, flooded {n_flood})"
         f" — the cap is not bounding the degenerate bucket"
     )
-    # quadratic behavior would add tens of seconds; linear routing keeps
-    # the flooded run in the base run's regime (generous shared-machine
-    # margin, but far below the uncapped blow-up)
-    assert t_flood < t_base * 4 + 5, (
+    # quadratic behavior is the measured 245 s uncapped blow-up (PLANS.md
+    # r9 flood experiment); linear routing keeps the flooded run within a
+    # small multiple of the base run. The margin must absorb full-suite
+    # conditions: after ~250 tests of shared-session state the same run
+    # measured 37.2 s (vs ~15 s isolated) with base still at 2.1 s, so a
+    # tight t_base-relative bound flakes on ambient GC/scheduler load
+    # while remaining ~6x below the quadratic regime. Keep the separation
+    # wide instead: linear ≲ 40 s even under load, quadratic ≥ 245 s.
+    assert t_flood < t_base * 6 + 30, (
         f"flooded run {t_flood:.1f}s vs base {t_base:.1f}s — "
         f"not the linear-cost regime"
     )
