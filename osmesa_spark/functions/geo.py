@@ -26,6 +26,8 @@ import math
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from osmesa_spark.util import column_memo
+
 EARTH_RADIUS_M = 6378137.0  # WGS84 semi-major (spherical model, as GeoTrellis)
 
 
@@ -44,6 +46,7 @@ def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colum
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
 
 
+@column_memo
 def line_length_m(vertices: Column | str) -> Column:
     """Spherical length (m) of a vertex array — Haversine folded over
     consecutive pairs, fully in-column via zip_with(verts, verts[1:])."""
@@ -61,6 +64,7 @@ def line_length_m(vertices: Column | str) -> Column:
     )
 
 
+@column_memo
 def ring_area_m2(vertices: Column | str) -> Column:
     """Approximate geodesic ring area (m²): spherical shoelace
     (sum of lon-delta × mean-sin-lat terms). Matches planar-UTM areas to ~0.1%
@@ -175,6 +179,7 @@ def utm_northing(lon: Column, lat: Column, lon0: Column) -> Column:
     )
 
 
+@column_memo
 def ring_area_m2_utm(vertices: Column | str) -> Column:
     """TRUE planar ring area (m²): project every vertex to the UTM zone of
     the ring's lon-centroid, then the planar shoelace — the reference's

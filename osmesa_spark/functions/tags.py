@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from osmesa_spark.util import column_memo
+
 # waterway values tracked for *counts* (README.md:79-92); km measurements use
 # any waterway=* per README, but the reference's isWaterway predicate is the
 # 12-value list used for both (vectorpipe functions.osm).
@@ -51,6 +53,7 @@ def split_delimited_values(col: Column) -> Column:
     )
 
 
+@column_memo
 def is_tagged(tags: Column | str) -> Column:
     """Element carries at least one non-meta tag (vectorpipe `isTagged`,
     call site `ChangesetStatsCreator.scala:102`)."""
@@ -61,27 +64,32 @@ def is_tagged(tags: Column | str) -> Column:
     )
 
 
+@column_memo
 def is_building(tags: Column | str) -> Column:
     """`building=*` excluding explicit `building=no` (README.md:60-66)."""
     b = _tag(tags, "building")
     return b.isNotNull() & (F.lower(b) != "no")
 
 
+@column_memo
 def is_road(tags: Column | str) -> Column:
     """`highway=*` (README.md:67-78)."""
     return _tag(tags, "highway").isNotNull()
 
 
+@column_memo
 def is_waterway(tags: Column | str) -> Column:
     """waterway ∈ the tracked 12-value list (README.md:79-84)."""
     return _tag(tags, "waterway").isin(WATERWAY_VALUES)
 
 
+@column_memo
 def is_coastline(tags: Column | str) -> Column:
     """`natural=coastline` (README.md:93-99)."""
     return _tag(tags, "natural") == "coastline"
 
 
+@column_memo
 def is_poi(tags: Column | str) -> Column:
     """any of amenity/shop/craft/office/leisure/aeroway (README.md:106-111)."""
     tags = F.col(tags) if isinstance(tags, str) else tags
@@ -91,16 +99,19 @@ def is_poi(tags: Column | str) -> Column:
     return cond
 
 
+@column_memo
 def is_landuse(tags: Column | str) -> Column:
     """`stats/package.scala:90-91`."""
     return _tag(tags, "landuse").isNotNull()
 
 
+@column_memo
 def is_natural(tags: Column | str) -> Column:
     """`stats/package.scala:93-94`."""
     return _tag(tags, "natural").isNotNull()
 
 
+@column_memo
 def is_rail_feature(tags: Column | str) -> Column:
     """rail site/area: railway∈{station,yard} or landuse=railway, over
     `;`-delimited values (`stats/package.scala:96-100`)."""
@@ -113,11 +124,13 @@ def is_rail_feature(tags: Column | str) -> Column:
     )
 
 
+@column_memo
 def is_rail_line(tags: Column | str) -> Column:
     """rail track: railway=* that is not a rail feature (`stats/package.scala:102-103`)."""
     return (~is_rail_feature(tags)) & _tag(tags, "railway").isNotNull()
 
 
+@column_memo
 def is_railway(tags: Column | str) -> Column:
     """any rail entity (`stats/package.scala:105-107`)."""
     return _tag(tags, "railway").isNotNull() | F.array_contains(
@@ -125,11 +138,13 @@ def is_railway(tags: Column | str) -> Column:
     )
 
 
+@column_memo
 def is_linear(tags: Column | str) -> Column:
     """linear feature → linearDelta applies (`stats/package.scala:109`)."""
     return is_road(tags) | is_waterway(tags) | is_coastline(tags) | is_rail_line(tags)
 
 
+@column_memo
 def is_other(tags: Column | str) -> Column:
     """tagged but in no tracked class (`stats/package.scala:111-118`)."""
     return (
@@ -144,6 +159,7 @@ def is_other(tags: Column | str) -> Column:
     )
 
 
+@column_memo
 def is_interesting(tags: Column | str) -> Column:
     """node or way worth keeping (`stats/package.scala:78-86`)."""
     return (
@@ -155,6 +171,7 @@ def is_interesting(tags: Column | str) -> Column:
     )
 
 
+@column_memo
 def is_new(version: Column | str, minor_version: Column | str) -> Column:
     """added = first version and no way-induced minor revision (README.md:60-61;
     vectorpipe `isNew`, call site `stats/package.scala:121-178`)."""
@@ -165,6 +182,7 @@ def is_new(version: Column | str, minor_version: Column | str) -> Column:
     return (version == 1) & (F.coalesce(minor_version, F.lit(0)) == 0)
 
 
+@column_memo
 def is_area(tags: Column | str) -> Column:
     """way forms a polygon: `area=yes`, or building/landuse/natural present and
     not explicitly `area=no` (vectorpipe `isArea` model; used by way geometry

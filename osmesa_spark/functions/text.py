@@ -14,12 +14,14 @@ The text-analysis ops are the training-data-pipeline extension surface
 
 from __future__ import annotations
 
+from osmesa_spark.util import column_memo
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 HASHTAG_RE = "#(\\w+)"
 
 
+@column_memo
 def hashtags(col: Column | str) -> Column:
     """Extract distinct lowercased hashtags from free text."""
     col = F.col(col) if isinstance(col, str) else col
@@ -39,6 +41,7 @@ def merge_sets(a: Column, b: Column) -> Column:
     )
 
 
+@column_memo
 def changeset_hashtags(tags: Column | str) -> Column:
     """All hashtags of a changeset: regex-extracted from tags['comment']
     UNION the `;`-delimited dedicated tags['hashtags'] list (trimmed,
@@ -60,6 +63,7 @@ def changeset_hashtags(tags: Column | str) -> Column:
 # LLM-pipeline text analysis (documents table)
 # --------------------------------------------------------------------------
 
+@column_memo
 def token_count(text: Column | str) -> Column:
     """Whitespace token count. Kept trivially SQL-expressible so the DuckDB
     oracle can mirror it exactly."""
@@ -67,6 +71,7 @@ def token_count(text: Column | str) -> Column:
     return F.size(F.split(F.trim(text), "\\s+"))
 
 
+@column_memo
 def word_tokens(text: Column | str) -> Column:
     """Lowercased word tokens (runs of letters/digits) — the shingling and
     language-ID normalization basis."""
@@ -82,6 +87,7 @@ def word_tokens(text: Column | str) -> Column:
 BPE_PRETOKEN_RE = "('(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+)"
 
 
+@column_memo
 def bpe_tokens(text: Column | str) -> Column:
     """BPE-ish pretokens (GPT-2 pattern family), whitespace-only matches
     removed. array<string>."""
@@ -94,11 +100,13 @@ def bpe_tokens(text: Column | str) -> Column:
     )
 
 
+@column_memo
 def bpe_token_count(text: Column | str) -> Column:
     """Number of BPE-ish pretokens in `text`."""
     return F.size(bpe_tokens(text))
 
 
+@column_memo
 def quality_score(text: Column | str) -> Column:
     """Heuristic document quality in [0,1]: mean word length sanity +
     alpha ratio + stopword presence. Deterministic, SQL-mirrorable."""
@@ -123,6 +131,7 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+@column_memo
 def doc_fingerprint(text: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of whitespace-normalized,
     lowercased text. Exact-dedup key."""
@@ -131,6 +140,7 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.md5(normalized)
 
 
+@column_memo
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (for MinHash / Jaccard dedup). Returns
     array<string> of space-joined n-grams; empty array if fewer than n tokens."""
@@ -142,6 +152,25 @@ def shingles(text: Column | str, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_tokens_sql(text_sql: str) -> str:
+    """SQL-string twin of `word_tokens` (see functions/litexpr.py for why:
+    one F.expr parse replaces per-operator py4j round-trips in constructors
+    that are rebuilt on every query execution)."""
+    return f"regexp_extract_all(lower({text_sql}), '([a-z0-9]+)', 1)"
+
+
+def shingles_sql(text_sql: str, n: int = 3) -> str:
+    """SQL-string twin of `shingles` — identical tree (the token array is
+    referenced three times in both forms; Catalyst sees the same plan)."""
+    toks = word_tokens_sql(text_sql)
+    return (
+        f"(CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END)"
+    )
 
 
 def winnow_fingerprints(
@@ -181,6 +210,7 @@ PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_PHONE_RE = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
 
 
+@column_memo
 def scrub_pii(text: Column | str) -> Column:
     """Redact emails then phone-shaped substrings (order matters: an email's
     digits must not be half-eaten by the phone pattern first). Pure
@@ -191,6 +221,7 @@ def scrub_pii(text: Column | str) -> Column:
     return F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
 
 
+@column_memo
 def gopher_quality_flags(text: Column | str) -> Column:
     """The Gopher document-quality rule bundle (Rae et al. 2021, table A1
     — the filter set MassiveWeb shipped with and most later pretraining
@@ -318,6 +349,7 @@ def _ngram_strings(words: Column, n: int) -> Column:
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
+@column_memo
 def gopher_repetition_flags(text: Column | str) -> Column:
     """The Gopher REPETITION rule bundle (Rae et al. 2021 table A2 — the
     second half of the MassiveWeb filter set; `gopher_quality_flags` is

@@ -59,6 +59,14 @@ def base_shingle_hash(col: Column) -> Column:
     )
 
 
+def _base_shingle_hash_sql(col_sql: str) -> str:
+    """SQL-string twin of `base_shingle_hash`."""
+    return (
+        f"(CAST(conv(substring(md5({col_sql}), 1, 15), 16, 10) AS BIGINT)"
+        f" % {MINHASH_PRIME})"
+    )
+
+
 def gram_hash60(col: Column) -> Column:
     """Full-width (60-bit) portable gram hash for identity joins/counts.
     Unlike `base_shingle_hash`, NOT reduced below 2^31 — that reduction is
@@ -98,37 +106,41 @@ def minhash_signatures(
     """(id, sig: array<bigint>[num_hashes]) — min over shingles of K affine
     rehashes of ONE portable base hash per shingle; explode-free via
     transform+array_min, all in whole-stage codegen."""
+    from osmesa_spark.functions.litexpr import q as _qn
+    from osmesa_spark.functions.text import shingles_sql, word_tokens_sql
+
     coeffs = _minhash_coeffs(num_hashes)
+    text_sql = _qn(text_col)
     # Row-pruning filter uses a CHEAP expression: any filter here is pushed
     # below the repartition exchange by Catalyst, so an expensive one would
     # serialize the whole hash pipeline into the (possibly single-split)
     # scan stage. size(tokens) >= n  ⟺  size(shingles) > 0.
     kept = df.select(id_col, text_col).where(
-        F.size(word_tokens(text_col)) >= shingle_n
+        F.expr(f"size({word_tokens_sql(text_sql)}) >= {shingle_n}")
     )
     # per-shingle md5 is the CPU hot spot: spread small scans across cores
     kept = ensure_parallelism(kept, id_col)
-    base = F.transform(shingles(text_col, shingle_n), base_shingle_hash)
+    base = (
+        f"transform({shingles_sql(text_sql, shingle_n)}, "
+        f"s -> {_base_shingle_hash_sql('s')})"
+    )
     # Single fold over the shingle hashes with a K-slot accumulator.
     # K separate array_min(transform(hv, ...)) calls would re-inline the
     # md5 base hash K times (Catalyst collapses the projects and
     # subexpression elimination skips lambda-bearing exprs) — this shape
     # references the hashed array exactly once, so each shingle is hashed
-    # once, after the exchange, at full parallelism.
-    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
-    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
-    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), num_hashes)
-    sig = F.aggregate(
-        base,
-        init,
-        lambda acc, h: F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.least(
-                F.element_at(acc, i + 1),
-                (F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1))
-                % MINHASH_PRIME,
-            ),
-        ),
+    # once, after the exchange, at full parallelism. Rendered as ONE
+    # SQL-string F.expr parse: the DSL form cost ~0.9 s of py4j driver
+    # chatter per construction (see functions/litexpr.py).
+    a_arr = "array(" + ",".join(str(a) for a, _ in coeffs) + ")"
+    b_arr = "array(" + ",".join(str(b) for _, b in coeffs) + ")"
+    init = f"array_repeat(CAST({MINHASH_PRIME} AS BIGINT), {num_hashes})"
+    sig = F.expr(
+        f"aggregate({base}, {init}, (acc, h) -> "
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"i -> least(element_at(acc, i + 1), "
+        f"(element_at({a_arr}, i + 1) * h + element_at({b_arr}, i + 1))"
+        f" % {MINHASH_PRIME})))"
     )
     return kept.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
@@ -192,30 +204,23 @@ def lsh_candidate_pairs(
         # banding below is cheap integer/concat work each consumer
         # re-derives from the materialized rows
         sigs = sigs.localCheckpoint(eager=False)
+    band_structs = ",".join(
+        "named_struct('band', {b}, 'bucket', concat_ws(',', {elems}))".format(
+            b=b,
+            elems=",".join(
+                f"CAST(element_at(`sig`, {b * rows_per_band + r + 1}) "
+                f"AS STRING)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = sigs.select(
         "id",
         # full-signature fingerprint for the over-cap exact-dedup route;
         # one narrow bigint per membership, never the sig array itself
         F.xxhash64("sig").alias("sig_key"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast(
-                                    "string"
-                                )
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
     ).select("id", "sig_key", "bb.band", "bb.bucket")
     if max_bucket is not None:
         over = (
@@ -336,9 +341,14 @@ def jaccard_verify(
     """Exact n-gram Jaccard on candidate pairs: (id_a, id_b, jaccard) with
     jaccard ≥ threshold. Shingle sets are joined in (two broadcast-or-shuffle
     hash joins keyed on id), then compared with array set ops in-column."""
+    from osmesa_spark.functions.litexpr import q as _qn
+    from osmesa_spark.functions.text import shingles_sql
+
     sh = ensure_parallelism(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+        F.expr(
+            f"array_distinct({shingles_sql(_qn(text_col), shingle_n)})"
+        ).alias("sh"),
     )
     # One join, not two: explode each pair into (id_a, id_b, id) rows, join
     # the shingle sets once, re-pair with a groupBy on the pair key. Joining
@@ -389,9 +399,14 @@ def containment_verify(
     near-1 containment while its Jaccard stays low (the CCNet/RefinedWeb
     sub-dup signal the symmetric metric misses). Same single-join shape as
     jaccard_verify."""
+    from osmesa_spark.functions.litexpr import q as _qn
+    from osmesa_spark.functions.text import shingles_sql
+
     sh = ensure_parallelism(df.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+        F.expr(
+            f"array_distinct({shingles_sql(_qn(text_col), shingle_n)})"
+        ).alias("sh"),
     )
     sides = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from osmesa_spark.functions import geo
 from osmesa_spark.functions.tags import is_area, is_linear, is_tagged
+from osmesa_spark.util import column_memo
 
 
 def construct_point_geometries(nodes: DataFrame, tagged_only: bool = True) -> DataFrame:
@@ -490,12 +491,23 @@ def with_deltas(features: DataFrame, area: str = "spherical") -> DataFrame:
     geo.ring_area_m2_utm); "spherical" (default) is the spherical-excess
     substitution the oracle-checked stats queries replay (the two agree to
     <1% on building/landuse-sized rings, property-tested in test_utm.py)."""
+    lin, ar = _delta_columns(area)
+    return features.withColumn("linearDelta", lin).withColumn(
+        "areaDelta", ar
+    )
+
+
+@column_memo
+def _delta_columns(area: str):
+    """The two delta Columns of `with_deltas`, memoized: trig-heavy trees
+    over fixed column names, rebuilt identically per query construction
+    (~1.4 s of py4j driver chatter each time — see util.column_memo)."""
     area_fn = geo.ring_area_m2_utm if area == "utm" else geo.ring_area_m2
 
     def _len(geom_col: str, type_col: str):
         return F.coalesce(
             F.when(
-                F.col(type_col) == "LineString", geo.line_length_m(F.col(geom_col))
+                F.col(type_col) == "LineString", geo.line_length_m(geom_col)
             ),
             F.lit(0.0),
         )
@@ -503,19 +515,16 @@ def with_deltas(features: DataFrame, area: str = "spherical") -> DataFrame:
     def _area(geom_col: str, type_col: str):
         return F.coalesce(
             F.when(
-                F.col(type_col) == "Polygon", area_fn(F.col(geom_col))
+                F.col(type_col) == "Polygon", area_fn(geom_col)
             ),
             F.lit(0.0),
         )
 
-    return features.withColumn(
-        "linearDelta",
+    return (
         F.when(
             is_linear("tags"),
             F.abs(_len("geom", "geomType") - _len("prevGeom", "prevGeomType")),
         ).otherwise(F.lit(0.0)),
-    ).withColumn(
-        "areaDelta",
         F.abs(_area("geom", "geomType") - _area("prevGeom", "prevGeomType")),
     )
 

@@ -37,6 +37,89 @@ def _norm(a: Column) -> Column:
     )
 
 
+# --- single-py4j-call expression builders (r10 optimization) ---------------
+# Trained-model literals (codebooks, centroids, hyperplanes) embedded via
+# the Column DSL cost one py4j round-trip per literal/operator — measured
+# 13-15k calls ≈ 2-4 s of serial DRIVER time per ANN query construction.
+# These twins render the identical expression as ONE Spark-SQL string for a
+# single F.expr parse (~300x cheaper to build; the analyzed plan, and thus
+# every result, is unchanged — see functions/litexpr.py and
+# OPTIMIZATION_r10.md). Each mirrors its Column-DSL sibling term for term.
+
+
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL twin of `_dot` (same casts, same fold)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sq_l2_sql(vec_sql: str, centroid: list[float], round_to: int = 6) -> str:
+    """Squared L2 distance to a literal centroid, rounded like the kmeans
+    kernel so probe selection replays identically cross-engine."""
+    from osmesa_spark.functions.litexpr import darr
+
+    return (
+        f"round(aggregate(zip_with({vec_sql}, {darr(centroid)}, "
+        f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v), "
+        f"{round_to})"
+    )
+
+
+def _pq_dists_sql(
+    sub_sql: str, book: list[tuple[int, list[float]]], round_to: int = 6
+) -> str:
+    """Rounded squared-L2 from a sub-vector to EVERY centroid of a
+    codebook, as ONE transform over a literal array-of-centroids: the
+    fold lambda appears once in the expression tree instead of once per
+    centroid, which keeps a k=16 codebook inside the whole-stage-codegen
+    method-size limit (k separate per-centroid folds overflow it and
+    drop the stage to interpreted evaluation — ~2× wall at k=16).
+    Identical per-centroid arithmetic and output order (ascending cid)."""
+    from osmesa_spark.functions.litexpr import darr2
+
+    cb = darr2([c for _, c in book])
+    return (
+        f"transform({cb}, cent -> round(aggregate(zip_with({sub_sql}, cent, "
+        f"(x, c) -> (x - c) * (x - c)), 0.0D, (acc, t) -> acc + t), "
+        f"{round_to}))"
+    )
+
+
+def _norm_sql(a_sql: str) -> str:
+    """SQL twin of `_norm`."""
+    return (
+        f"sqrt(aggregate(transform({a_sql}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v))"
+    )
+
+
+def _cosine_sql(a_sql: str, b_sql: str) -> str:
+    """SQL twin of `cosine`."""
+    return (
+        f"({_dot_sql(a_sql, b_sql)} / "
+        f"greatest({_norm_sql(a_sql)} * {_norm_sql(b_sql)}, 1e-12D))"
+    )
+
+
+def _lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """Random-hyperplane LSH bucket id: bit b = sign(dot(vec, plane_b)).
+    `planes` is a small driver-side list (deterministic, seeded).
+    Disjoint bits, so integer + IS bitwise-or; same `_dot` casts."""
+    from osmesa_spark.functions.litexpr import darr
+
+    terms = ["0"]
+    for i, p in enumerate(planes):
+        terms.append(
+            f"shiftleft((CASE WHEN {_dot_sql(vec_sql, darr(p))} > 0 "
+            f"THEN 1 ELSE 0 END), {i})"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def _topk_by_cos(
     scored: DataFrame,
     k: int,
@@ -127,20 +210,6 @@ def knn_ivf(
     return _topk_by_cos(scored, k).select("query_id", "neighbor_id", "rank")
 
 
-def _sq_l2_lit(vec: Column, centroid: list[float], round_to: int = 6) -> Column:
-    """Squared L2 distance to a literal centroid, rounded like the kmeans
-    kernel so probe selection replays identically cross-engine."""
-    arr = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.round(
-        F.aggregate(
-            F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        round_to,
-    )
-
-
 def knn_ivf_nprobe(
     corpus: DataFrame,
     queries: DataFrame,
@@ -202,26 +271,21 @@ def ivf_probe_frozen(
     (`colocate.write_bucketed(assigned, ..., "cluster")`): the sort-merge
     join then reads the index buckets in place — no corpus-side exchange
     either (asserted in tests/test_colocate.py)."""
-    qv = F.col(vec_col).cast("array<double>")
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _sq_l2_lit(qv, v).alias("d"),
-                    F.lit(int(cid)).cast("int").alias("cid"),
-                )
-                for cid, v in cents
-            ]
-        )
+    from osmesa_spark.functions.litexpr import q as _qn
+
+    qv_sql = f"CAST({_qn(vec_col)} AS ARRAY<DOUBLE>)"
+    structs = ",".join(
+        f"named_struct('d', {_sq_l2_sql(qv_sql, v)}, "
+        f"'cid', CAST({int(cid)} AS INT))"
+        for cid, v in cents
     )
-    probes = F.explode(
-        F.transform(
-            F.slice(ranked, 1, nprobe), lambda s: s["cid"]
-        )
+    probes = F.expr(
+        f"explode(transform(slice(array_sort(array({structs})), 1, "
+        f"{int(nprobe)}), s -> s.cid))"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        qv.alias("qvec"),
+        F.expr(qv_sql).alias("qvec"),
         probes.alias("cluster"),
     )
     if broadcast_queries:
@@ -291,19 +355,6 @@ def neardup_cosine(
         )
         .where(F.col("cos") >= threshold)
     )
-
-
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: bit b = sign(dot(vec, plane_b)).
-    `planes` is a small driver-side list (deterministic, seeded)."""
-    # disjoint bits, so integer + IS bitwise-or (Column `|` is boolean OR)
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bucket = bucket + F.shiftleft(
-            F.when(_dot(vec, arr) > 0, 1).otherwise(0), i
-        )
-    return bucket
 
 
 def quantize_int8(
@@ -402,15 +453,18 @@ def knn_lsh(
     trade-off. Same output shape as knn_bruteforce."""
     from osmesa_spark.util import ensure_parallelism
 
+    from osmesa_spark.functions.litexpr import q as _qn
+
+    bucket = F.expr(_lsh_bucket_sql(_qn(vec_col), planes))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        bucket.alias("bucket"),
     )
     c = ensure_parallelism(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        bucket.alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -447,11 +501,13 @@ def knn_lsh_multiprobe(
     single-probe `knn_lsh` (asserted in tests). Same output shape."""
     from osmesa_spark.util import ensure_parallelism
 
-    b = lsh_bucket(F.col(vec_col), planes)
-    probes = F.explode(
-        F.array(
-            b, *[b.bitwiseXOR(F.lit(1 << i)) for i in range(len(planes))]
-        )
+    from osmesa_spark.functions.litexpr import q as _qn
+
+    b_sql = _lsh_bucket_sql(_qn(vec_col), planes)
+    probes = F.expr(
+        "explode(array("
+        + ",".join([b_sql] + [f"({b_sql} ^ {1 << i})" for i in range(len(planes))])
+        + "))"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -461,7 +517,7 @@ def knn_lsh_multiprobe(
     c = ensure_parallelism(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.expr(b_sql).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -702,13 +758,15 @@ def knn_label_accuracy(
     same-bucket neighbor get pred_label null / correct false."""
     from osmesa_spark.util import ensure_parallelism
 
+    from osmesa_spark.functions.litexpr import q as _qn
+
     base = (
         ensure_parallelism(df, id_col)
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
             F.col(label_col).alias("label"),
-            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+            F.expr(_lsh_bucket_sql(_qn(vec_col), planes)).alias("bucket"),
         )
         .localCheckpoint()
     )
@@ -791,14 +849,16 @@ def mmr_select(
     spark = corpus.sparkSession
     from osmesa_spark.util import ensure_parallelism
 
-    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    from osmesa_spark.functions.litexpr import darr, dlit, q as _qn
+
+    vc_sql = f"CAST({_qn(vec_col)} AS ARRAY<DOUBLE>)"
     base = (
         ensure_parallelism(corpus, id_col)
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
-            F.round(
-                cosine(F.col(vec_col).cast("array<double>"), qarr), 6
+            F.expr(
+                f"round({_cosine_sql(vc_sql, darr(query_vec))}, 6)"
             ).alias("rel"),
         )
         .localCheckpoint()
@@ -809,21 +869,20 @@ def mmr_select(
     for _ in range(k):
         if sel_vecs:
             sims = [
-                F.round(
-                    cosine(
-                        F.col("v"), F.array(*[F.lit(float(x)) for x in sv])
-                    ),
-                    6,
-                )
+                f"round({_cosine_sql('`v`', darr(sv))}, 6)"
                 for sv in sel_vecs
             ]
-            max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+            max_sim = (
+                "greatest(" + ",".join(sims) + ")"
+                if len(sims) > 1
+                else sims[0]
+            )
             cand = base.where(~F.col("id").isin(sel_ids))
         else:
-            max_sim = F.lit(0.0)
+            max_sim = "0.0D"
             cand = base
-        score = F.round(
-            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * max_sim, 6
+        score = F.expr(
+            f"round({dlit(lam)} * `rel` - {dlit(1.0 - lam)} * {max_sim}, 6)"
         )
         rows = (
             cand.select("id", "v", "rel", score.alias("score"))
@@ -901,7 +960,7 @@ def density_census(
         .select(
             "v",
             "mult",
-            lsh_bucket(F.col("v"), planes).alias("bucket"),
+            F.expr(_lsh_bucket_sql("`v`", planes)).alias("bucket"),
         )
         .localCheckpoint()
     )
@@ -1181,45 +1240,6 @@ def pq_train(
     ]
 
 
-def _pq_subdist(sub: Column, centroid: list[float], round_to: int = 6) -> Column:
-    """Rounded squared-L2 from a sub-vector Column to a literal centroid —
-    pure Column fold, replayed term-for-term by the SQL oracle."""
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.round(
-        F.aggregate(
-            F.zip_with(sub, lit, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        ),
-        round_to,
-    )
-
-
-def _pq_dists(sub: Column, book: list[tuple[int, list[float]]],
-              round_to: int = 6) -> Column:
-    """Rounded squared-L2 from a sub-vector to EVERY centroid of a
-    codebook, as ONE transform over a literal array-of-centroids: the
-    fold lambda appears once in the expression tree instead of once per
-    centroid, which keeps a k=16 codebook inside the whole-stage-codegen
-    method-size limit (k separate `_pq_subdist` folds overflow it and
-    drop the stage to interpreted evaluation — ~2× wall at k=16).
-    Identical per-centroid arithmetic and output order (ascending cid)."""
-    cb = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for _, c in book]
-    )
-    return F.transform(
-        cb,
-        lambda cent: F.round(
-            F.aggregate(
-                F.zip_with(sub, cent, lambda x, c: (x - c) * (x - c)),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ),
-            round_to,
-        ),
-    )
-
-
 def knn_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1254,30 +1274,35 @@ def knn_pq(
         corpus, m=m, k=k_centroids, iters=iters, id_col=id_col,
         vec_col=vec_col, seed=seed,
     )
+    from osmesa_spark.functions.litexpr import q as _qn
+
     ds = len(books[0][0][1])  # sub-dim from a codebook centroid, no job
+    vec_sql = f"CAST({_qn(vec_col)} AS ARRAY<DOUBLE>)"
 
-    def sub(vec: Column, s: int) -> Column:
-        return F.slice(vec, s * ds + 1, ds)
+    def sub_sql(s: int) -> str:
+        return f"slice({vec_sql}, {s * ds + 1}, {ds})"
 
-    def code(vec: Column, s: int) -> Column:
+    def code_sql(s: int) -> str:
         # 1-based position of the first minimal distance — centroids are in
         # ascending-cid order, so ties break to the smallest cluster id,
         # matching the oracle's ORDER BY (dist, cid)
-        dists = _pq_dists(sub(vec, s), books[s])
+        dists = _pq_dists_sql(sub_sql(s), books[s])
         # array_position yields BIGINT; element_at's index wants INT
-        return F.array_position(dists, F.array_min(dists)).cast("int")
+        return f"CAST(array_position({dists}, array_min({dists})) AS INT)"
 
-    def lut(vec: Column, s: int) -> Column:
-        return _pq_dists(sub(vec, s), books[s])
-
-    vcast = lambda df: F.col(vec_col).cast("array<double>")  # noqa: E731
     cs = ensure_parallelism(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
-        F.array(*[code(vcast(corpus), s) for s in range(m)]).alias("codes"),
+        F.expr(
+            "array(" + ",".join(code_sql(s) for s in range(m)) + ")"
+        ).alias("codes"),
     )
     qs = queries.select(
         F.col(id_col).alias("query_id"),
-        F.array(*[lut(vcast(queries), s) for s in range(m)]).alias("luts"),
+        F.expr(
+            "array("
+            + ",".join(_pq_dists_sql(sub_sql(s), books[s]) for s in range(m))
+            + ")"
+        ).alias("luts"),
     )
     adc = F.round(
         F.aggregate(
@@ -1380,19 +1405,23 @@ def pq_encode(
     (stable under codebook reordering, directly replayable by the SQL
     oracle's per-subspace assignment). Write this next to the corpus once,
     and every subsequent probe job reads m-byte codes, not vectors."""
+    from osmesa_spark.functions.litexpr import q as _qn
+
     m = len(books)
     ds = len(books[0][0][1])  # sub-dim from a codebook centroid, no job
-    vec = F.col(vec_col).cast("array<double>")
+    vec_sql = f"CAST({_qn(vec_col)} AS ARRAY<DOUBLE>)"
 
-    def code(s: int) -> Column:
-        dists = _pq_dists(F.slice(vec, s * ds + 1, ds), books[s])
-        pos = F.array_position(dists, F.array_min(dists)).cast("int")
-        cids = F.array(*[F.lit(int(c)) for c, _ in books[s]])
-        return F.element_at(cids, pos)
+    def code_sql(s: int) -> str:
+        dists = _pq_dists_sql(f"slice({vec_sql}, {s * ds + 1}, {ds})", books[s])
+        pos = f"CAST(array_position({dists}, array_min({dists})) AS INT)"
+        cids = "array(" + ",".join(str(int(c)) for c, _ in books[s]) + ")"
+        return f"element_at({cids}, {pos})"
 
     return corpus.select(
         F.col(id_col).alias("id"),
-        F.array(*[code(s) for s in range(m)]).alias("codes"),
+        F.expr(
+            "array(" + ",".join(code_sql(s) for s in range(m)) + ")"
+        ).alias("codes"),
     )
 
 
@@ -1438,16 +1467,14 @@ def knn_ivfpq(
         return_centroids=True,
     )
 
-    def cent_lookup(cluster: Column) -> Column:
-        expr = None
-        for cid, c in coarse:
-            arr = F.array(*[F.lit(float(x)) for x in c])
-            expr = (
-                F.when(cluster == cid, arr)
-                if expr is None
-                else expr.when(cluster == cid, arr)
-            )
-        return expr
+    def cent_lookup_sql(cluster_sql: str) -> str:
+        from osmesa_spark.functions.litexpr import darr
+
+        whens = " ".join(
+            f"WHEN {cluster_sql} = {int(cid)} THEN {darr(c)}"
+            for cid, c in coarse
+        )
+        return f"(CASE {whens} END)"
 
     # residuals come straight out of the assign kernel (emit_residual) —
     # no separate full-corpus subtraction stage
@@ -1459,64 +1486,58 @@ def knn_ivfpq(
         resid, m=m, k=pq_k, iters=iters, id_col=id_col, vec_col="r",
         seed=seed + 1,
     )
+    from osmesa_spark.functions.litexpr import q as _qn
+
     dim = len(coarse[0][1])
     ds = dim // m
 
-    def sub(vec: Column, s: int) -> Column:
-        return F.slice(vec, s * ds + 1, ds)
-
-    def code(vec: Column, s: int) -> Column:
-        dists = _pq_dists(sub(vec, s), books[s])
-        return F.array_position(dists, F.array_min(dists)).cast("int")
-
-    def lut(vec: Column, s: int) -> Column:
-        return _pq_dists(sub(vec, s), books[s])
+    def code_sql(vec_sql: str, s: int) -> str:
+        dists = _pq_dists_sql(
+            f"slice({vec_sql}, {s * ds + 1}, {ds})", books[s]
+        )
+        return f"CAST(array_position({dists}, array_min({dists})) AS INT)"
 
     cs = resid.select(
         F.col(id_col).alias("neighbor_id"),
         "cluster",
-        F.array(*[code(F.col("r"), s) for s in range(m)]).alias("codes"),
+        F.expr(
+            "array(" + ",".join(code_sql("`r`", s) for s in range(m)) + ")"
+        ).alias("codes"),
     )
 
     # query side: rank the coarse cells by the same rounded-L2 with cid
     # tie-break and probe the nprobe nearest — the standard recall/cost
     # dial (nprobe=1 ⇒ exactly the argmin cell); each probed cell gets its
     # OWN query residual, so the lookup rows are per (query, cell)
-    qv = F.col(vec_col).cast("array<double>")
-    coarse_dists = _pq_dists(qv, coarse)
-    cid_lits = F.array(*[F.lit(int(cid)) for cid, _ in coarse])
-    ranked_cells = F.slice(
-        F.array_sort(
-            F.zip_with(
-                coarse_dists, cid_lits,
-                lambda d, c: F.struct(d.alias("d"), c.alias("cid")),
-            )
-        ),
-        1,
-        nprobe,
+    qv_sql = f"CAST({_qn(vec_col)} AS ARRAY<DOUBLE>)"
+    coarse_dists = _pq_dists_sql(qv_sql, coarse)
+    cid_lits = "array(" + ",".join(str(int(cid)) for cid, _ in coarse) + ")"
+    ranked_cells = (
+        f"slice(array_sort(zip_with({coarse_dists}, {cid_lits}, "
+        f"(d, c) -> named_struct('d', d, 'cid', c))), 1, {int(nprobe)})"
     )
     qs0 = queries.select(
         F.col(id_col).alias("query_id"),
-        F.explode(ranked_cells).alias("probe"),
-        qv.alias("qv"),
+        F.expr(f"explode({ranked_cells})").alias("probe"),
+        F.expr(qv_sql).alias("qv"),
     ).select(
         "query_id", F.col("probe.cid").alias("cluster"), "qv"
+    )
+    q_resid_sql = (
+        f"zip_with(`qv`, {cent_lookup_sql('`cluster`')}, (x, c) -> x - c)"
     )
     qs = qs0.select(
         "query_id",
         "cluster",
-        F.array(
-            *[
-                lut(
-                    F.zip_with(
-                        F.col("qv"),
-                        cent_lookup(F.col("cluster")),
-                        lambda x, c: x - c,
-                    ),
-                    s,
+        F.expr(
+            "array("
+            + ",".join(
+                _pq_dists_sql(
+                    f"slice({q_resid_sql}, {s * ds + 1}, {ds})", books[s]
                 )
                 for s in range(m)
-            ]
+            )
+            + ")"
         ).alias("luts"),
     )
     adc = F.round(
@@ -1726,44 +1747,41 @@ def kmeans_assign(
     eval; the HOF form stays compiled. argmin = array_min over
     (dist, cid) structs: lexicographic struct ordering IS the
     first-minimum tie-break."""
-    v = F.col(vec_col).cast("array<double>")
-    dists = []
-    for cid, cent in sorted(centroids):
-        lits = F.array(*[F.lit(float(c)) for c in cent])
-        d = F.round(
-            F.aggregate(
-                F.zip_with(v, lits, lambda x, c: (x - c) * (x - c)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            round_to,
-        )
-        dists.append(
-            F.struct(d.alias("d"), F.lit(int(cid)).alias("cid"))
-        )
-    best = F.array_min(F.array(*dists))
+    from osmesa_spark.functions.litexpr import darr, q as _qn
+
+    v_sql = f"CAST({_qn(vec_col)} AS ARRAY<DOUBLE>)"
+    structs = ",".join(
+        f"named_struct('d', round(aggregate(zip_with({v_sql}, {darr(cent)}, "
+        f"(x, c) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x), "
+        f"{round_to}), 'cid', {int(cid)})"
+        for cid, cent in sorted(centroids)
+    )
     return df.select(
-        F.col(id_col), best["cid"].cast("int").alias("cluster")
+        F.col(id_col),
+        F.expr(
+            f"CAST(array_min(array({structs})).cid AS INT)"
+        ).alias("cluster"),
     )
 
 
-def binary_sign_pack(vec: Column, dim: int) -> list[Column]:
+def _binary_sign_pack_sql(vec_sql: str, dim: int) -> list[str]:
     """Sign-binarize a float vector into ⌈dim/32⌉ POSITIVE bigint words
     (32 sign bits each — staying under 2^32 keeps every word positive in
     both engines, no sign-bit arithmetic games). Bit j of word w is set
     when vec[32w + j] > 0. Disjoint powers of two sum to their bitwise
-    OR, so the fold is plain `+` in whole-stage codegen."""
+    OR, so the fold is a plain `+` add-chain in whole-stage codegen."""
     words = []
     for w in range((dim + 31) // 32):
         lo = w * 32
         n = min(32, dim - lo)
-        expr = F.lit(0).cast("bigint")
-        for j in range(n):  # static bit literals: one codegen add-chain
-            expr = expr + F.when(
-                F.element_at(vec, lo + j + 1) > 0,
-                F.lit(1 << j).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        words.append(expr)
+        terms = ["CAST(0 AS BIGINT)"]
+        for j in range(n):
+            terms.append(
+                f"(CASE WHEN element_at({vec_sql}, {lo + j + 1}) > 0 "
+                f"THEN CAST({1 << j} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        words.append("(" + " + ".join(terms) + ")")
     return words
 
 
@@ -1791,16 +1809,17 @@ def knn_binary_rerank(
     ties by (cos desc, neighbor_id)."""
     from osmesa_spark.util import ensure_parallelism
 
-    qwords = binary_sign_pack(F.col(vec_col), dim)
+    from osmesa_spark.functions.litexpr import q as _qn
+
+    qwords = _binary_sign_pack_sql(_qn(vec_col), dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        *[w.alias(f"qb{i}") for i, w in enumerate(qwords)],
+        *[F.expr(w).alias(f"qb{i}") for i, w in enumerate(qwords)],
     )
     c = ensure_parallelism(corpus, id_col)
-    cwords = binary_sign_pack(F.col(vec_col), dim)
     cb = c.select(
         F.col(id_col).alias("neighbor_id"),
-        *[w.alias(f"cb{i}") for i, w in enumerate(cwords)],
+        *[F.expr(w).alias(f"cb{i}") for i, w in enumerate(qwords)],
     )
     ham = None
     for i in range(len(qwords)):

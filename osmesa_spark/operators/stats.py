@@ -33,6 +33,7 @@ from osmesa_spark.functions.text import hashtags, merge_sets
 from osmesa_spark.operators import geometry as G
 from osmesa_spark.operators import preprocess as P
 from osmesa_spark.operators.geocode import BBoxCountries, geocode
+from osmesa_spark.util import column_memo
 
 # (name, predicate-factory) families for DefaultCounts
 _COUNT_FAMILIES = [
@@ -70,6 +71,7 @@ def _edit_state():
     )
 
 
+@column_memo
 def default_counts(tags_col: str = "tags") -> F.Column:
     """map<string,int> of per-row feature-class counts
     (stats/package.scala:146-179)."""
@@ -87,6 +89,7 @@ def default_counts(tags_col: str = "tags") -> F.Column:
     )
 
 
+@column_memo
 def default_measurements(tags_col: str = "tags") -> F.Column:
     """map<string,double> of per-row km / km² deltas
     (stats/package.scala:119-144)."""

@@ -391,8 +391,8 @@ def osm_utm_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _history(spark)
     wg = G.reconstruct_way_geometries(P.preprocess_ways(h), P.preprocess_nodes(h))
     polys = wg.where(F.col("geomType") == "Polygon")
-    utm = geo.ring_area_m2_utm(F.col("geom"))
-    sph = geo.ring_area_m2(F.col("geom"))
+    utm = geo.ring_area_m2_utm("geom")
+    sph = geo.ring_area_m2("geom")
     return polys.select(
         "id",
         F.col("version").cast("int").alias("version"),

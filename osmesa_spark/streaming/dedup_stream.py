@@ -193,7 +193,7 @@ def streaming_phash_dedup(
     with_ph = thumbs.select(
         F.col("media_id").alias("id"),
         time_col,
-        phash60(F.col("thumb")).alias("ph"),
+        phash60("thumb").alias("ph"),
     )
     if with_ph.isStreaming:
         return with_ph.withWatermark(

@@ -56,20 +56,20 @@ def augdiff_feature_stats(
     from osmesa_spark.functions import geo
 
     line_len = F.when(
-        F.col("geomType") == "LineString", geo.line_length_m(F.col("geom"))
+        F.col("geomType") == "LineString", geo.line_length_m("geom")
     ).otherwise(F.lit(0.0))
     prev_len = F.when(
-        F.col("geomType") == "LineString", geo.line_length_m(F.col("prevGeom"))
+        F.col("geomType") == "LineString", geo.line_length_m("prevGeom")
     ).otherwise(F.lit(0.0))
     # withAreaDelta parity (StreamingChangesetStatsUpdater.scala:119): the
     # diff carries both ring geometries, so the polygon area delta is the
     # same Column fold the batch path uses (augdiffs tag the FEATURE's
     # geomType; the prev ring shares it)
     ring_area = F.when(
-        F.col("geomType") == "Polygon", geo.ring_area_m2(F.col("geom"))
+        F.col("geomType") == "Polygon", geo.ring_area_m2("geom")
     ).otherwise(F.lit(0.0))
     prev_area = F.when(
-        F.col("geomType") == "Polygon", geo.ring_area_m2(F.col("prevGeom"))
+        F.col("geomType") == "Polygon", geo.ring_area_m2("prevGeom")
     ).otherwise(F.lit(0.0))
     feats = feats.withColumn(
         "linearDelta", F.abs(F.coalesce(line_len, F.lit(0.0)) - F.coalesce(prev_len, F.lit(0.0)))

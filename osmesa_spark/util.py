@@ -2,7 +2,49 @@
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
+
+
+def column_memo(fn):
+    """Memoize a Column-builder keyed by its primitive args and the live
+    SparkContext.
+
+    Why (r10 optimization): a Column expression built through the PySpark
+    DSL costs one py4j round-trip per operator (~0.5 ms measured here), so
+    the fixed-shape predicate/rollup builders (tag predicates, the
+    counts/measurements maps, delta columns) cost 0.4-1.5 s of serial
+    driver time per QUERY CONSTRUCTION — rebuilt identically on every
+    bench rep and every registry query that shares them. Column objects
+    are immutable expression trees resolved against whatever DataFrame
+    they are later used with, so reusing one across plans is exactly as
+    safe as reusing a parsed SQL string; only the construction cost
+    changes. No data is cached — the tree is code, not results.
+
+    Only calls whose args are all primitives (str/int/float/bool/None)
+    are cached; anything holding a Column falls through to a fresh build.
+    The cache key includes the active SparkContext so a restarted JVM
+    never serves stale py4j references."""
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        parts = args + tuple(v for _, v in sorted(kwargs.items()))
+        if not all(
+            isinstance(a, (str, int, float, bool, type(None)))
+            for a in parts
+        ):
+            return fn(*args, **kwargs)
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        key = (id(sc), args, tuple(sorted(kwargs.items())))
+        if key not in cache:
+            cache[key] = fn(*args, **kwargs)
+        return cache[key]
+
+    return wrapper
 
 
 def ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
