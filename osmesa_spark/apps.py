@@ -327,7 +327,9 @@ def footprint_vt_zips(
     from osmesa_spark.sinks import updater as U
     from osmesa_spark.sinks.mvt import save_pyramid_in_zips
 
-    geoms = geoms.localCheckpoint()  # one scan feeds every zoom level
+    # one scan feeds every zoom level; lazy — the write action's first
+    # zoom stage materializes the blocks
+    geoms = geoms.localCheckpoint(eager=False)
     encoded = U.generate_geometry_vt(geoms, min_zoom)
     for z in range(min_zoom + 1, max_zoom + 1):
         encoded = encoded.unionByName(U.generate_geometry_vt(geoms, z))
@@ -612,7 +614,7 @@ def prepare_pretraining_shards(
 
     verdicts = neardup_dedup_corpus(
         docs, threshold=neardup_threshold
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     components = verdicts.select(
         F.col("doc_id").alias("node"), F.col("component").alias("component_id")
     )
@@ -621,7 +623,9 @@ def prepare_pretraining_shards(
         reps.select("doc_id", "lang", "quality"), components
     )
     train = split.where(F.col("split") == "train")
-    sampled = cur.mixture_sample(train, "lang", mixture).localCheckpoint()
+    sampled = cur.mixture_sample(train, "lang", mixture).localCheckpoint(
+        eager=False
+    )
     withtext = sampled.select("doc_id", "lang", "quality", "group_key").join(
         docs.select("doc_id", "text"), "doc_id"
     )

@@ -672,7 +672,10 @@ def with_support(
     from pyspark.sql import Window
 
     if materialize_input:
-        scored = scored.localCheckpoint()
+        # lazy: the cell join's first map stage materializes the clipping-
+        # kernel blocks under the caller's action; cache locks keep the
+        # kernel computed once across the anchor and candidate sides
+        scored = scored.localCheckpoint(eager=False)
     if anchor_pred is None:
         anchor_pred = F.col("p") >= anchor_threshold
     anchors = scored.where(anchor_pred).select(

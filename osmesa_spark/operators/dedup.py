@@ -286,9 +286,15 @@ def sparse_cosine_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(word_tokens(text_col)).alias("w"),
     )
+    # tf feeds THREE consumers (the n_docs scalar, the df_ marginal and
+    # the wts projection) — without a pin the tokenize+count subtree runs
+    # once under the n_docs job and TWICE more inside the final action
+    # (Catalyst plans the subtree per reference). Lazy checkpoint: the
+    # n_docs count below materializes it; everything downstream reads the
+    # (doc_id, w, tf) counter blocks.
     tf = words.groupBy("doc_id", "w").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
     n_docs = tf.select("doc_id").distinct().count()
     wts = tf.join(df_, "w").select(
@@ -531,10 +537,14 @@ def _cc_raw(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
     the pair subtree upstream (typically the whole LSH pipeline) must not
     re-execute for every downstream consumer (node set, edge set, star
     fallback)."""
+    # eager=False: the first consumer's job (the propagation init agg)
+    # materializes the blocks — one job instead of a separate checkpoint
+    # job followed by the agg (guide §1.2: fewer passes/barriers); every
+    # later consumer (star fallback, self-roots union) reads the blocks.
     return pairs.select(
         F.col(id_a).cast("bigint").alias("a"),
         F.col(id_b).cast("bigint").alias("b"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
 
 def _with_self_roots(raw: DataFrame, labels: DataFrame) -> DataFrame:
@@ -565,10 +575,12 @@ def _cc_propagation_labels(raw: DataFrame, max_rounds: int):
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).union(e.select(F.col("b").alias("src"), F.col("a").alias("dst"))).persist()
     # init: label(v) = min(v, min neighbor) — one propagation round for free
+    # lazy: the convergence agg right below materializes the checkpoint —
+    # one job per round instead of two (checkpoint job + agg job)
     labels = edges.groupBy("src").agg(F.min("dst").alias("m")).select(
         F.col("src").alias("node"),
         F.least(F.col("src"), F.col("m")).alias("component_id"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # decimal(38,0): immune to ANSI bigint-sum overflow at any node count
     lab_sum = F.sum(F.col("component_id").cast("decimal(38,0)"))
     prev_sum = labels.agg(lab_sum).first()[0]
@@ -596,7 +608,7 @@ def _cc_propagation_labels(raw: DataFrame, max_rounds: int):
                     F.coalesce(F.col("nmin"), F.col("component_id")),
                 ).alias("component_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(lab_sum).first()[0]
         if cur_sum == prev_sum:
@@ -909,7 +921,10 @@ def _cc_star_labels(raw: DataFrame, max_iterations: int) -> DataFrame:
             F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
         )
         .distinct()
-        .localCheckpoint()
+        # lazy: each round's signature agg materializes that round's
+        # small-star checkpoint, whose computation folds in the pending
+        # large-star checkpoint — 1 job per star round instead of 3
+        .localCheckpoint(eager=False)
     )
 
     def bidir(und: DataFrame) -> DataFrame:
@@ -956,7 +971,7 @@ def _cc_star_labels(raw: DataFrame, max_iterations: int) -> DataFrame:
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("a"), F.col("m").alias("b"))
         )
-        e = normalize(large).localCheckpoint()
+        e = normalize(large).localCheckpoint(eager=False)
         bi = bidir(e)
         mins = bi.groupBy("src").agg(
             F.least(F.col("src"), F.min("dst")).alias("m")
@@ -968,7 +983,7 @@ def _cc_star_labels(raw: DataFrame, max_iterations: int) -> DataFrame:
             .select(F.col("dst").alias("a"), F.col("m").alias("b"))
             .union(mins.select(F.col("src").alias("a"), F.col("m").alias("b")))
         )
-        e = normalize(small).localCheckpoint()
+        e = normalize(small).localCheckpoint(eager=False)
         new_sig = signature(e)
         if new_sig == sig:
             converged = True
@@ -1026,7 +1041,12 @@ def winnow_overlap_pairs(
     keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df_")).where(
         F.col("df_") <= max_df
     )
-    pruned = fps.join(keep.select("fp"), "fp", "left_semi").localCheckpoint()
+    # lazy: counts/a/b all sit under the caller's single action — the first
+    # stage to touch `pruned` materializes it (partition-level cache locks
+    # keep it computed once); saves the separate construction-time job
+    pruned = fps.join(keep.select("fp"), "fp", "left_semi").localCheckpoint(
+        eager=False
+    )
     counts = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = pruned.select(F.col("id").alias("id_a"), "fp")
     b = pruned.select(F.col("id").alias("id_b"), "fp")

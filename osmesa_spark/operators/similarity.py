@@ -768,7 +768,10 @@ def knn_label_accuracy(
             F.col(label_col).alias("label"),
             F.expr(_lsh_bucket_sql(_qn(vec_col), planes)).alias("bucket"),
         )
-        .localCheckpoint()
+        # lazy: both join sides + the verdict join-back sit under ONE
+        # action — its first stage materializes the blocks (cache locks
+        # keep it computed once); saves the construction-time job
+        .localCheckpoint(eager=False)
     )
     a = base.select(
         "bucket", F.col("id").alias("id_a"), F.col("v").alias("va")
@@ -861,7 +864,8 @@ def mmr_select(
                 f"round({_cosine_sql(vc_sql, darr(query_vec))}, 6)"
             ).alias("rel"),
         )
-        .localCheckpoint()
+        # lazy: round 1's TakeOrdered materializes the rel kernel blocks
+        .localCheckpoint(eager=False)
     )
     sel_vecs: list[list[float]] = []
     sel_ids: list = []
@@ -962,7 +966,9 @@ def density_census(
             "mult",
             F.expr(_lsh_bucket_sql("`v`", planes)).alias("bucket"),
         )
-        .localCheckpoint()
+        # lazy: the census self-join's first stage materializes the
+        # distinct-collapsed groups once under the caller's action
+        .localCheckpoint(eager=False)
     )
     a = groups.select(
         "bucket", F.col("v").alias("va"), F.col("mult").alias("mult_a")
@@ -1097,7 +1103,11 @@ def semdedup(
     included) and both sides scan the blocks. Set False only when the input
     is already a bare table scan or cached."""
     if materialize_input:
-        clustered = clustered.localCheckpoint()
+        # lazy: the self-join's first map stage materializes the assign-
+        # kernel blocks under the caller's action (partition-level cache
+        # locks keep the Arrow kernel computed once even though both join
+        # sides read it) — no separate construction-time pass
+        clustered = clustered.localCheckpoint(eager=False)
     a = clustered.select(
         F.col(cluster_col).alias("c"),
         F.col(id_col).alias("id_a"),
@@ -1478,9 +1488,10 @@ def knn_ivfpq(
 
     # residuals come straight out of the assign kernel (emit_residual) —
     # no separate full-corpus subtraction stage
+    # lazy: pq_train's seed job materializes the residual kernel blocks
     resid = assigned.select(
         F.col(id_col), "cluster", "r"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     books = pq_train(
         resid, m=m, k=pq_k, iters=iters, id_col=id_col, vec_col="r",

@@ -125,9 +125,14 @@ def lm_nll_scores(
         .select("id", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
         .localCheckpoint(eager=False)
     )
+    # c_ab feeds the V distinct-count job below AND (via c_a/probs) the
+    # final scoring plan — without a pin the bigram-instance aggregation
+    # runs twice per execution. Lazy checkpoint: the V job materializes
+    # the vocabulary²-bounded counter rows once (same pin
+    # collocations_pmi already carries).
     c_ab = db.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("double").alias("c_ab")
-    )
+    ).localCheckpoint(eager=False)
     c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     # V = distinct tokens over the bigram-participating corpus, derived
     # from the CHECKPOINTED instance table (map-side combine bounds the
@@ -637,9 +642,11 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # lazy: round 1's argmax first() materializes the vocab blocks — one
+    # corpus word-count job instead of checkpoint-then-argmax
     vocab = words.select(
         "cnt", F.split("w", "").alias("syms")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, str, int]] = []
     for r in range(n_merges):
@@ -678,7 +685,12 @@ def bpe_train_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        vocab = vocab.select("cnt", folded.alias("syms")).localCheckpoint()
+        # lazy: the NEXT round's argmax materializes this round's fold —
+        # one job per merge round instead of two, and the LAST round's
+        # fold (consumed by nothing) never runs at all
+        vocab = vocab.select("cnt", folded.alias("syms")).localCheckpoint(
+            eager=False
+        )
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )

@@ -5283,11 +5283,13 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # materialize the #sources-row agg once: three consumers below (total,
-    # normalizer, final projection) must not re-run the corpus scan
+    # normalizer, final projection) must not re-run the corpus scan.
+    # Lazy: the first consumer's broadcast build materializes it — no
+    # separate construction-time job.
     per = (
         d.groupBy("source")
         .agg(F.sum(text_fns.token_count("text")).alias("n_tokens"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(F.sum("n_tokens").cast("double").alias("tot"))
     sh = per.crossJoin(F.broadcast(tot)).select(
@@ -5373,7 +5375,9 @@ def q_split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dd.minhash_signatures(d, num_hashes=16)
     # pairs feed BOTH the component labeling and the straddle join below —
     # materialize the LSH pipeline once (pairs ≪ corpus)
-    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=1000).localCheckpoint()
+    pairs = dd.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=4, max_bucket=1000
+    ).localCheckpoint(eager=False)
     comp = dd.connected_components(pairs)
     ids = d.select("doc_id")
     assign = (
@@ -5408,7 +5412,7 @@ def q_split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum((F.col("da") != F.col("db")).cast("int")).alias("cross_doc"),
         F.sum((F.col("ca") != F.col("cb")).cast("int")).alias("cross_clu"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     per_doc = out.select(
         F.lit("per_doc").alias("policy"),
         F.col("n_pairs").cast("bigint"),
@@ -5543,7 +5547,7 @@ def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         d.groupBy("source")
         .agg(F.sum(text_fns.token_count("text")).alias("n_tokens"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(
         F.sum("n_tokens").cast("bigint").alias("w_tot"),
@@ -5568,7 +5572,7 @@ def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "saturated",
         F.lit(8) * F.col("n_tokens") * (F.col("n_src") - F.col("k") + 1)
         <= F.col("t2") - F.lit(8) * F.col("cum_prev"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     sat = flagged.agg(
         F.coalesce(
             F.sum(F.when(F.col("saturated"), F.col("n_tokens"))), F.lit(0)

@@ -303,7 +303,7 @@ def osm_way_tile_cover_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _history(spark)
     recon = G.reconstruct_way_geometries(
         P.preprocess_ways(h), P.preprocess_nodes(h)
-    ).select(F.lit(0).alias("sequence"), "*").localCheckpoint()
+    ).select(F.lit(0).alias("sequence"), "*").localCheckpoint(eager=False)
     keyed = U.diffs_with_tiles(recon, zoom=_PYR_ZOOMS[0])
     for z in _PYR_ZOOMS[1:]:
         keyed = keyed.unionByName(U.diffs_with_tiles(recon, zoom=z))
