@@ -549,14 +549,40 @@ def upsert_tile(
     return "written" if existing is None else "updated"
 
 
+def _spread_groups(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-spread rows across the session's full parallelism BEFORE a
+    per-tile/per-archive collect_list feeding a Python sink loop.
+
+    The sink's per-row cost is Python encode CPU (MVT varints + gzip,
+    ~ms per tile), not bytes — but AQE's post-shuffle coalescing packs
+    partitions by BYTE size, so a small batch (a streaming micro-batch,
+    a per-sequence update) collapses into ONE task that serializes
+    thousands of per-tile encodes on a single core (measured: the bench
+    stream's 3,069-tile batch ran as 1 write partition). An explicit
+    numPartitions keeps AQE from re-coalescing, and hashing on the
+    group keys lets the downstream groupBy reuse this exchange — one
+    shuffle total, same rows per group.
+
+    numPartitions = 2 × defaultParallelism is scale-adaptive, not a
+    local[32] constant: defaultParallelism is the session's core count
+    at every deployment size, a CPU-bound stage saturates at that
+    width, and the 2× spreads hot groups (apex tiles, dense ancestor
+    zips) across more tasks. Partition row counts are bounded by the
+    executor loop's chunked iteration, not by this width."""
+    n = 2 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
+
+
 def _foreach_rows_counted(
     df: DataFrame, make_one, io_threads: int, count: bool = True
 ) -> int:
-    """Shared sink executor loop: per partition, materialize the rows,
-    build the per-row writer via the executor-side `make_one` factory
-    (store handles / imports live there), overlap IO with a small thread
-    pool, and ride the row count out on ONE accumulator so the caller
-    never re-executes the lineage just to report a number.
+    """Shared sink executor loop: per partition, build the per-row writer
+    via the executor-side `make_one` factory (store handles / imports
+    live there), overlap IO with a small thread pool, and ride the row
+    count out on ONE accumulator so the caller never re-executes the
+    lineage just to report a number. Rows are consumed in bounded chunks
+    (4 × io_threads) so a large partition never materializes as one
+    Python list while still keeping the IO pool saturated.
 
     `count=False` skips the accumulator entirely and returns -1: a
     long-running streaming sink calls this once per micro-batch, and
@@ -569,13 +595,20 @@ def _foreach_rows_counted(
 
     def write_partition(rows):
         from concurrent.futures import ThreadPoolExecutor
+        from itertools import islice
 
         one = make_one()
-        rows = list(rows)
+        n = 0
+        it = iter(rows)
         with ThreadPoolExecutor(max_workers=io_threads) as pool:
-            list(pool.map(one, rows))
+            while True:
+                chunk = list(islice(it, 4 * io_threads))
+                if not chunk:
+                    break
+                n += len(chunk)
+                list(pool.map(one, chunk))
         if counter is not None:
-            counter.add(len(rows))
+            counter.add(n)
 
     df.foreachPartition(write_partition)
     return counter.value if counter is not None else -1
@@ -607,6 +640,7 @@ def write_tile_pyramid(
             F.struct("__id", "ccol", "crow", F.col(value_col).alias("value"))
             .alias("cell"),
         )
+        .transform(lambda d: _spread_groups(d, "zoom", "tx", "ty"))
         .groupBy("zoom", "tx", "ty")
         .agg(F.collect_list("cell").alias("cells"))
     )
@@ -680,11 +714,13 @@ def write_tile_pyramid_grouped(
     group_keys = ([F.col(key_col).cast("string").alias("__key")] if key_col else []) + [
         F.col("zoom"), F.col("tx"), F.col("ty")
     ]
+    group_names = (["__key"] if key_col else []) + ["zoom", "tx", "ty"]
     tiles = (
         vectorized.select(
             *group_keys, F.struct(*cell_fields).alias("cell")
         )
-        .groupBy(*[c for c in (["__key"] if key_col else []) + ["zoom", "tx", "ty"]])
+        .transform(lambda d: _spread_groups(d, *group_names))
+        .groupBy(*group_names)
         .agg(F.collect_list("cell").alias("cells"))
     )
 
@@ -779,6 +815,7 @@ def save_tiles_in_zips(
                 F.col("data").alias("data"),
             ).alias("t"),
         )
+        .transform(lambda d: _spread_groups(d, "atx", "aty"))
         .groupBy("atx", "aty")
         .agg(F.array_sort(F.collect_list("t")).alias("entries"))
     )
@@ -861,6 +898,7 @@ def encode_tiles(
             F.struct("__id", "ccol", "crow", F.col(value_col).alias("value"))
             .alias("cell"),
         )
+        .transform(lambda d: _spread_groups(d, "zoom", "tx", "ty"))
         .groupBy("zoom", "tx", "ty")
         .agg(F.collect_list("cell").alias("cells"))
     )
@@ -946,6 +984,7 @@ def save_pyramid_in_zips(
                 F.col("data").alias("data"),
             ).alias("t"),
         )
+        .transform(lambda d: _spread_groups(d, "base", "atx", "aty"))
         .groupBy("base", "atx", "aty")
         .agg(F.array_sort(F.collect_list("t")).alias("entries"))
     )

@@ -146,16 +146,23 @@ def run_streaming_stats_to_upsert(
     checkpoints = CheckpointTable(f"{table_path}/_checkpoints")
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Observation
+
         # ONE materialization per micro-batch: the batch plan re-executes
-        # for every action inside foreachBatch (the emptiness probe, the
-        # upsert write and the max-sequence agg would otherwise run the
-        # stateful rollup three times — and fire any observe() metrics
-        # three times over)
+        # for every action inside foreachBatch (the emptiness probe and
+        # the upsert write would otherwise run the stateful rollup twice
+        # — and fire any observe() metrics twice over)
         mat = batch.localCheckpoint(eager=True)
         try:
             if mat.isEmpty():
                 return
-            prepared = mat.select(
+            # max(sequence) rides the upsert's own write job as a batch
+            # Observation instead of a separate agg action — one fewer
+            # Spark job per micro-batch for the checkpoint bookkeeping
+            seq_obs = Observation()
+            prepared = mat.observe(
+                seq_obs, F.max("sequence").alias("max_seq")
+            ).select(
                 F.col("changeset").alias("id"),
                 F.col("counts").cast("map<string,bigint>").alias("counts"),
                 "measurements",
@@ -165,7 +172,7 @@ def run_streaming_stats_to_upsert(
                 ),
             )
             table.upsert_stats(prepared)
-            max_seq = mat.agg(F.max("sequence")).first()[0]
+            max_seq = seq_obs.get["max_seq"]
             if max_seq is not None:
                 checkpoints.save(proc_name, int(max_seq))
         finally:
