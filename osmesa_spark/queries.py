@@ -5898,7 +5898,15 @@ def semdedup_k(n: int, target: int = SEMDEDUP_TARGET_CLUSTER) -> int:
     "yields at the driver's sf0.01 fixture (N=500)",
 )
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    # spread the single-split scan BEFORE the kernel: unlike the light
+    # trainer-only queries (where the extra exchange measured as a net
+    # loss — kmeans_clusters 0.86→1.18 s), semdedup's downstream is the
+    # cluster-blocked Σ|cluster|²·dim cosine stage, which inherits the
+    # kernel's partitioning; on the one-task scan it serialized ~2 s of
+    # pair CPU on one core (stage profile: one 2.1 s CPU task at 80% of
+    # query wall). Interleaved same-session A/B, 6 pairs: median
+    # 3.35 → 2.50 s. No-op at real scale (scan has many splits).
+    e = ensure_parallelism(_t(spark, sf_dir, "embeddings"), "vec_id")
     k = semdedup_k(e.count())
     # emit_vector: the assign kernel already holds each row, so the
     # cluster-blocked self-join needs no join back to the source table
