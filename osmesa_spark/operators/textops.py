@@ -797,6 +797,23 @@ def hashed_features(
         )
     )
 
+def _weight_lookup(weights: dict[int, float], n_buckets: int) -> Column:
+    """Per-row model weight for the bucket column `b`: the trained model is
+    a data-independent vector of n_buckets doubles (model width, not a data
+    size), so it rides the plan as ONE literal array indexed with
+    element_at — pure codegen, no broadcast relation to build and no
+    per-round createDataFrame + broadcast stage-job (r10 measurement: each
+    z_frame call paid one). This is NOT the interpreted literal-map HOF
+    fold that measured ~50× slower — element_at on an array literal
+    compiles into the same whole-stage codegen as the arithmetic around
+    it. Missing buckets densify to 0.0, exactly the old join's
+    coalesce(w, 0.0)."""
+    from osmesa_spark.functions.litexpr import darr
+
+    arr = F.expr(darr([weights.get(i, 0.0) for i in range(n_buckets)]))
+    return F.element_at(arr, F.col("b") + F.lit(1))
+
+
 def lr_quality_train(
     df: DataFrame,
     label: Column,
@@ -836,9 +853,11 @@ def lr_quality_train(
     localCheckpointed ONCE and reused by every round and the final scoring
     pass; the per-round err frame is checkpointed lazily so its two
     consumers (gradient, bias) inside the single job share one
-    materialization. Weights ride as a broadcast join, NOT a literal-map
-    fold — higher-order-function lambdas evaluate interpreted per element,
-    which measured ~50× slower than the codegen join at sf0.1.
+    materialization. Weights ride as a LITERAL dense array indexed by
+    element_at (`_weight_lookup`) — pure codegen, no per-round broadcast
+    relation or createDataFrame. (NOT the literal-map HOF fold:
+    higher-order-function lambdas evaluate interpreted per element, which
+    measured ~50× slower at sf0.1; array element_at codegens.)
 
     Output: (id, n_tokens, p, pred) — p = σ(z) under the trained weights
     rounded 6dp, pred = p ≥ 0.5."""
@@ -898,7 +917,6 @@ def _lr_fit(
     from osmesa_spark.operators.dedup import _portable_hash
     from osmesa_spark.util import ensure_parallelism
 
-    spark = df.sparkSession
     base = ensure_parallelism(
         df.select(
             F.col(id_col).alias("id"),
@@ -933,15 +951,11 @@ def _lr_fit(
     def z_frame(w: dict[int, float], b0: float) -> DataFrame:
         """(id, y, z) under the current weights — empty docs get b0."""
         if w:
-            wdf = spark.createDataFrame(
-                sorted(w.items()), "b int, w double"
-            )
             zz = (
-                inst.join(F.broadcast(wdf), "b", "left")
-                .groupBy("id")
+                inst.groupBy("id")
                 .agg(
                     F.sum(
-                        F.col("n") * F.coalesce(F.col("w"), F.lit(0.0))
+                        F.col("n") * _weight_lookup(w, n_buckets)
                     ).alias("zz")
                 )
             )
@@ -1006,7 +1020,7 @@ def lr_score(
     of `lr_quality_train` (pair it with `lr_train_weights`), mirroring the
     `dsir_ratio`/`dsir_score` split: train the filter once on a reference
     corpus, then gate arriving batches against the fixed model. One
-    (doc, bucket) partial-count shuffle + a broadcast weight join +
+    (doc, bucket) partial-count shuffle + a literal-array weight lookup +
     an id-keyed agg per batch; stream-composable inside foreachBatch.
 
     Output: (id, n_tokens, p, pred)."""
@@ -1014,7 +1028,6 @@ def lr_score(
     from osmesa_spark.operators.dedup import _portable_hash
     from osmesa_spark.util import ensure_parallelism
 
-    spark = df.sparkSession
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
         "id",
@@ -1036,15 +1049,11 @@ def lr_score(
     )
     z_in = F.coalesce(F.col("zz"), F.lit(0.0)) + F.lit(bias)
     if weights:
-        wdf = spark.createDataFrame(
-            sorted(weights.items()), "b int, w double"
-        )
         zdf = (
-            inst.join(F.broadcast(wdf), "b", "left")
-            .groupBy("id")
+            inst.groupBy("id")
             .agg(
                 F.sum(
-                    F.col("n") * F.coalesce(F.col("w"), F.lit(0.0))
+                    F.col("n") * _weight_lookup(weights, n_buckets)
                 ).alias("zz"),
                 F.sum("n").alias("n_tokens"),
             )

@@ -2096,11 +2096,21 @@ def osm_coedit_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("uid") != F.col("nuid"))
         .select(F.col("uid").alias("s"), F.col("nuid").alias("d"))
     )
+    # The edge list feeds every round's contribution join plus deg/nodes/
+    # nsc — unrolled, Catalyst re-expands the scan→explode→join→distinct
+    # subtree per mention (246 Exchange nodes / 120 scans in the captured
+    # before-plan; ReuseExchange dedupes at runtime but analysis+codegen
+    # over the 4,000-line plan is serial driver time). One lazy
+    # localCheckpoint materializes the edges in the first consumer's job
+    # and collapses every round to joins over the checkpoint scan — the
+    # same pin `connected_components_star` carries. 9dp per-round rounding
+    # keeps values bit-identical.
     pairs = (
         directed.unionByName(
             directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     nodes = pairs.select(F.col("s").alias("uid")).distinct()
