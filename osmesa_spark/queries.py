@@ -8700,80 +8700,21 @@ register_osm_extras_r8(register)
 
 # The driver's per-round correctness file records the FIRST 50 registry
 # entries; local tests cover all 188 identically
-# (tests/test_queries_oracle.py). ROUND-10 WINDOW (VERDICT r9 #1),
-# computed from the committed CORRECTNESS_r*.json files (max_round=9,
-# stale = latest evidence <= 4 or never checked):
-#   * 9 never-driver-checked r9 additions (the r9 overflow zone — the
-#     machine-checked plan promised they are the FRONT of this window);
-#   * the full round-4 cohort (32 queries, latest evidence r4 — flips
-#     stale the moment CORRECTNESS_r9 landed, which is the red test
-#     this rotation fixes);
-#   * 9 osm_* parity queries (all 30 osm are r8-green; rule 3 allows
-#     them outside the window while max_round=9, but once r10 lands
-#     every osm query needs r10 evidence or an r11 slot — 9 start here).
-# OVERFLOW (contiguous after the boundary, machine-checked): the
-# remaining 21 osm_* parity queries. R11 PLAN: those 21 osm + the
-# round-5 cohort (29 queries: ann_recall_pq/ivfpq, building_match,
-# cms_heavy_users, corpus_curation_app, ... — they turn stale when
-# CORRECTNESS_r10 lands) = exactly 50.
+# (tests/test_queries_oracle.py). ROUND-11 WINDOW, computed from the
+# committed CORRECTNESS_r*.json files (max_round=10, stale = latest
+# evidence <= 5 or never checked) — exactly the plan the r10 comment
+# recorded:
+#   * the 21 osm_* parity queries that were the r10 overflow zone (all
+#     their evidence is r8; rule 3 requires r10-or-r11 coverage, and the
+#     other 9 osm got r10 evidence last round);
+#   * the full round-5 cohort (29 queries, latest evidence r5 — flipped
+#     stale the moment CORRECTNESS_r10 landed, which is the red test
+#     this rotation fixes). 21 + 29 = exactly 50.
+# OVERFLOW (contiguous after the boundary, machine-checked): the 18
+# queries whose latest evidence is r6 — they turn stale the moment
+# CORRECTNESS_r11 lands, so they are the FRONT of the r12 window.
 DRIVER_PRIORITY = [
-    # never driver-checked (r9 additions; r9 overflow zone order kept)
-    "knn_label_accuracy",
-    "embedding_dim_stats",
-    "collocations_pmi",
-    "knn_ivf_nprobe",
-    "doc_gopher_repetition",
-    "quality_source_norm",
-    "local_supplier_volume",
-    "event_dau_mau",
-    "doc_longest_dup_span",
-    # the full round-4 cohort (latest driver evidence = r4)
-    "anti_join_inactive",
-    "building_match_blend",
-    "building_match_support",
-    "building_match_volume",
-    "day_key_histogram",
-    "doc_c4_line_filter",
-    "doc_dedup_spans",
-    "doc_lm_nll",
-    "doc_quality",
-    "doc_quality_bins",
-    "doc_repetition_stats",
-    "doc_token_stats",
-    "earliest_event_type",
-    "event_sessions",
-    "exact_dedup_docs",
-    "full_outer_stats_merge",
-    "incremental_new_docs",
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_lsh",
-    "knn_quantized",
-    "lang_id",
-    "minor_version_assignment",
-    "neardup_containment",
-    "range_temporal_join",
-    "semdedup_prune",
-    "semi_join_active",
-    "simhash_pairs",
-    "top_revenue_orders",
-    "topk_per_group",
-    "union_merge",
-    "window_prev_value",
-    # osm parity, first 9 of half B (all osm evidence is r8; these get
-    # r10 evidence now, the other 21 queue next for r11)
-    "osm_country_statistics",
-    "osm_hashtag_user_statistics",
-    "osm_hashtag_statistics",
-    "osm_user_footprint",
-    "osm_tile_pyramid",
-    "osm_geocode_grid",
-    "osm_geocode_realworld",
-    "osm_relation_members",
-    "osm_relation_members_deep",
-    # ---- 50-slot window boundary ----
-    # osm parity OVERFLOW: the remaining 21, contiguous so they are the
-    # front of the r11 window alongside the round-5 cohort (29) = 50
+    # osm parity: the r10 overflow zone, order kept (evidence r8)
     "osm_relation_assembly",
     "osm_coedit_pagerank",
     "osm_snapshot_diff",
@@ -8795,6 +8736,57 @@ DRIVER_PRIORITY = [
     "osm_changeset_metadata",
     "osm_way_tile_cover",
     "osm_relation_assembly_deep",
+    # the full round-5 cohort (latest driver evidence = r5)
+    "ann_recall_ivfpq",
+    "ann_recall_pq",
+    "building_match",
+    "cms_heavy_users",
+    "corpus_curation_app",
+    "corpus_profile",
+    "dataset_split",
+    "dedup_cluster_stats",
+    "distinct_user_types",
+    "doc_bpe_segment",
+    "doc_bpe_tokens",
+    "doc_bpe_train",
+    "doc_hashed_features",
+    "doc_tfidf_top_terms",
+    "embedding_pq_codes",
+    "event_sliding_rollup",
+    "event_tumbling_rollup",
+    "explode_membership_join",
+    "hard_negatives",
+    "knn_ivfpq",
+    "knn_pq",
+    "mixture_sample",
+    "multimodal_audio_stats",
+    "neardup_winnow_pairs",
+    "price_quantiles",
+    "rollup_pricing",
+    "sequence_rollup",
+    "user_cardinality_approx",
+    "weighted_sample_quality",
+    # ---- 50-slot window boundary ----
+    # OVERFLOW: the round-6 cohort (latest evidence r6) — stale the
+    # moment CORRECTNESS_r11 lands, the front of the r12 window
+    "ann_recall_rp",
+    "ann_recall_trunc",
+    "corpus_ngram_diversity",
+    "decontaminate_semantic",
+    "doc_chunking",
+    "embedding_drift",
+    "embedding_rp_project",
+    "event_funnel",
+    "event_props_rollup",
+    "hybrid_rrf_retrieval",
+    "ivf_append",
+    "knn_rp",
+    "lsh_miss_rate",
+    "minhash_calibration",
+    "mixture_temperature",
+    "price_quantiles_sketch",
+    "quality_dup_correlation",
+    "source_dup_matrix",
 ]
 
 
