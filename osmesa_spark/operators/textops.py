@@ -625,9 +625,14 @@ def bpe_train_merges(
     merge round then runs on the vocab frame only: adjacent-pair counts are
     a row-local transform + explode + partial-agg shuffle, the argmax pair
     comes to the driver as ONE row, and the merge applies as a row-local
-    array fold (greedy left-to-right, the reference BPE semantics) with the
-    frame localCheckpointed per round to truncate lineage. Driver holds
-    n_merges rows total.
+    array fold (greedy left-to-right, the reference BPE semantics), guarded
+    by a codegen'd array_contains pre-test so the interpreted lambda only
+    runs on words that contain both symbols, with the frame
+    localCheckpointed per round to truncate lineage. Driver holds n_merges
+    rows total. (An Arrow-batched partial-count kernel per round — one job
+    instead of the exchange's two AQE stage-jobs — was measured SLOWER at
+    sf0.1 (+0.5 s: the Python round-trip costs more than the stage-job it
+    removes) and reverted; see OPTIMIZATION_r11.md.)
 
     Variant notes (documented divergence from the original recipe): symbols
     start as the word's characters with NO end-of-word marker, and words
@@ -671,6 +676,9 @@ def bpe_train_merges(
             break
         a, b = best["a"], best["b"]
         merges.append((r, a, b, int(best["c"])))
+        if r == n_merges - 1:
+            # the last round's fold is consumed by nothing — skip building
+            break
         la, lb = F.lit(a), F.lit(b)
         folded = F.aggregate(
             F.col("syms"),
@@ -685,10 +693,15 @@ def bpe_train_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        # lazy: the NEXT round's argmax materializes this round's fold —
-        # one job per merge round instead of two, and the LAST round's
-        # fold (consumed by nothing) never runs at all
-        vocab = vocab.select("cnt", folded.alias("syms")).localCheckpoint(
+        # words lacking either symbol cannot contain the adjacent pair and
+        # the fold rebuilds them value-identically — gate the interpreted
+        # lambda behind codegen'd array_contains tests
+        guarded = F.when(
+            F.array_contains("syms", a) & F.array_contains("syms", b),
+            folded,
+        ).otherwise(F.col("syms"))
+        # lazy: the NEXT round's count job materializes this round's fold
+        vocab = vocab.select("cnt", guarded.alias("syms")).localCheckpoint(
             eager=False
         )
     return spark.createDataFrame(
@@ -833,9 +846,15 @@ def lr_quality_train(
     per-round 9dp step rounding so training replays bit-for-bit in the
     DuckDB oracle).
 
-    Per round r (ONE Spark job):
-      z_d  = b0 + Σ_b n_db·w_b   — instance ⋈ broadcast(≤n_buckets weight
-             rows) + id-keyed partial agg
+    Per round r (ONE Spark job, ONE bounded exchange):
+      z_d  = b0 + Σ_b n_db·w_b — a ROW-LOCAL fold over the per-doc SORTED
+             sparse (bucket, count) list (materialized once; see _lr_fit)
+             against the weight vector as ONE literal array. The former
+             shape re-joined the corpus-sized instance table with a
+             per-round err frame — ~5 AQE stage-jobs and O(corpus) shuffle
+             bytes per round (r10 VERDICT item 2); rows now never leave
+             their task between the checkpoint scan and the gradient's
+             partial agg.
       err  = σ(z_d) − y_d, quantized to 1e-9 integer units ROW-LOCALLY —
              the corpus-wide gradient Σ_d n_db·err_q is then a BIGINT sum:
              order-independent, so engines agree bit-for-bit (a double sum's
@@ -844,39 +863,32 @@ def lr_quality_train(
              ≤ 1), so a bucket's BIGINT sum holds ~9.2e6 docs of 1000
              tokens each even in the worst all-tokens-one-bucket case —
              switch to DECIMAL aggs beyond that bucket cardinality.
-      g_b and the bias gradient come back in ONE bounded collect
-      (≤ n_buckets+1 rows — the bias rides as bucket −1); the driver folds
-      them into the next weight vector exactly as the k-means trainer folds
-      centroids.
+      g_b comes from ONE explode of (pairs + a bias sentinel (b=-1, n=1))
+      → partial agg → one ≤(n_buckets+1)-key exchange; the driver folds
+      the ONE bounded collect into the next weight vector exactly as the
+      k-means trainer folds centroids.
 
-    The (id, b, n) instance table and the (id, y) doc frame are
-    localCheckpointed ONCE and reused by every round and the final scoring
-    pass; the per-round err frame is checkpointed lazily so its two
-    consumers (gradient, bias) inside the single job share one
-    materialization. Weights ride as a LITERAL dense array indexed by
-    element_at (`_weight_lookup`) — pure codegen, no per-round broadcast
-    relation or createDataFrame. (NOT the literal-map HOF fold:
-    higher-order-function lambdas evaluate interpreted per element, which
-    measured ~50× slower at sf0.1; array element_at codegens.)
+    The (id, y, n_tokens, pairs) doc-feature frame is localCheckpointed
+    ONCE and reused by every round and the final scoring pass, which is now
+    join-free too (n_tokens and z are both row-local over the checkpoint).
+    Weights ride as LITERAL arrays inside the fold — no per-round broadcast
+    relation or createDataFrame.
 
     Output: (id, n_tokens, p, pred) — p = σ(z) under the trained weights
     rounded 6dp, pred = p ≥ 0.5."""
-    w, b0, z_frame, inst = _lr_fit(
+    w, b0, feats, z_col = _lr_fit(
         df, label, id_col, text_col, n_buckets, seed, rounds, lr
     )
     p = F.round(
-        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-z_col(w, b0))), 6
     )
-    ntok = inst.groupBy("id").agg(F.sum("n").alias("n_tokens"))
-    return (
-        z_frame(w, b0)
-        .join(ntok, "id", "left")
-        .select(
-            "id",
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            p.alias("p"),
-            (p >= 0.5).alias("pred"),
-        )
+    # n_tokens and z are both row-local over the checkpointed doc-feature
+    # frame — the former scoring pass paid a weight join plus an ntok join
+    return feats.select(
+        "id",
+        "n_tokens",
+        p.alias("p"),
+        (p >= 0.5).alias("pred"),
     )
 
 
@@ -893,7 +905,7 @@ def lr_train_weights(
     """Train and return the FROZEN model alone — (weights, bias), the
     artifact `lr_score` serves at ingest time (the LR mirror of
     `dsir_ratio`/`dsir_score`). Same training as `lr_quality_train`."""
-    w, b0, _, _ = _lr_fit(
+    w, b0, _feats, _z = _lr_fit(
         df, label, id_col, text_col, n_buckets, seed, rounds, lr
     )
     return w, b0
@@ -909,10 +921,24 @@ def _lr_fit(
     rounds: int,
     lr: float,
 ):
-    """Shared GD loop: returns (weights, bias, z_frame, inst) — z_frame
-    builds the (id, y, z) frame under given weights over the checkpointed
-    instance/doc frames, so the caller's scoring pass reuses the training
-    materializations."""
+    """Shared GD loop: returns (weights, bias, feats, z_col) — `feats` is
+    the checkpointed per-doc feature frame (id, y, n_tokens, pairs) with
+    `pairs` the doc's SORTED sparse (bucket, count) list, and `z_col(w, b0)`
+    builds the row-local margin column over it, so the caller's scoring
+    pass reuses the training materialization and needs no joins.
+
+    Round shape (vs the r10 instance-join form, which shuffled the
+    corpus-sized instance table against a per-round err frame — ~5 AQE
+    stage-jobs and O(corpus) shuffle bytes per round): each round is now
+    feats-scan → row-local z/err → explode(pairs + a bias sentinel
+    (b=-1, n=1)) → one ≤(n_buckets+1)-key exchange of partial sums →
+    collect. Per-round shuffle bytes drop to O(n_buckets·partitions).
+    Same integer-exact arithmetic — c = n·err_q stays a BIGINT product
+    summed per bucket, the bias step is the sentinel's n=1 case — only the
+    double z accumulation ORDER changes (ascending bucket instead of
+    hash-agg arrival), which the 1e-9 err quantization already absorbs by
+    design; oracle hashes verified identical at sf0.01 and sf0.1."""
+    from osmesa_spark.functions.litexpr import darr, dlit
     from osmesa_spark.functions.text import word_tokens
     from osmesa_spark.operators.dedup import _portable_hash
     from osmesa_spark.util import ensure_parallelism
@@ -927,11 +953,14 @@ def _lr_fit(
         ),
         "id",
     )
-    docs = base.select("id", "y").localCheckpoint(eager=False)
-    inst = (
+    # explode_outer keeps empty docs (b = null, n = 0): they carry no
+    # gradient weight but must contribute to the bias step and appear in
+    # the scoring output, exactly like the former docs-frame left join
+    perb = (
         base.select(
             "id",
-            F.explode(
+            "y",
+            F.explode_outer(
                 F.transform(
                     word_tokens("__t"),
                     lambda t: (_portable_hash(t, seed) % n_buckets).cast(
@@ -940,53 +969,70 @@ def _lr_fit(
                 )
             ).alias("b"),
         )
-        .groupBy("id", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("id", "y", "b")
+        .agg(
+            F.sum(
+                F.when(F.col("b").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n")
+        )
+    )
+    # sort_array pins the per-doc bucket order, so the double z sum below
+    # is deterministic (ascending bucket) run to run
+    feats = (
+        perb.groupBy("id", "y")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("b").isNotNull(), F.struct("b", "n"))
+                )
+            ).alias("pairs"),
+            F.sum("n").alias("n_tokens"),
+        )
         .localCheckpoint(eager=False)
     )
-    n_docs = docs.count()
+    n_docs = feats.count()
     if n_docs == 0:
         raise ValueError("lr_quality_train: input frame has no rows")
 
-    def z_frame(w: dict[int, float], b0: float) -> DataFrame:
-        """(id, y, z) under the current weights — empty docs get b0."""
-        if w:
-            zz = (
-                inst.groupBy("id")
-                .agg(
-                    F.sum(
-                        F.col("n") * _weight_lookup(w, n_buckets)
-                    ).alias("zz")
-                )
-            )
-            return docs.join(zz, "id", "left").select(
-                "id",
-                "y",
-                (F.coalesce(F.col("zz"), F.lit(0.0)) + F.lit(b0)).alias("z"),
-            )
-        return docs.select("id", "y", F.lit(b0).alias("z"))
+    def z_col(w: dict[int, float], b0: float) -> Column:
+        """Row-local margin z = Σ n·w_b over the doc's sparse pairs + b0,
+        with the weights as ONE literal array (single expr parse)."""
+        if not w:
+            return F.lit(b0)
+        warr = darr([w.get(i, 0.0) for i in range(n_buckets)])
+        return F.expr(
+            f"(aggregate(`pairs`, 0.0D, (acc, p) -> "
+            f"acc + p.n * element_at({warr}, p.b + 1)) + {dlit(b0)})"
+        )
 
+    # the bias gradient rides the same explode as the buckets: one
+    # synthetic (b=-1, n=1) pair per doc makes c = n·err_q = err_q
+    sentinel = F.array(
+        F.struct(
+            F.lit(-1).alias("b"), F.lit(1).cast("bigint").alias("n")
+        )
+    )
     w: dict[int, float] = {}
     b0 = 0.0
     inv = F.lit(-lr)
     nd = F.lit(float(n_docs))
     for _ in range(rounds):
         err_q = F.round(
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y"))
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z_col(w, b0))) - F.col("y"))
             * F.lit(1e9),
             0,
         ).cast("bigint")
-        errdf = (
-            z_frame(w, b0)
-            .select("id", err_q.alias("eq"))
-            .localCheckpoint(eager=False)
-        )
-        # one job: per-bucket gradient steps + the bias step as bucket -1
+        # one job, one bounded exchange, no join: err_q is row-local over
+        # the checkpoint blocks and every gradient row (bias included)
+        # comes off one explode
         steps = (
-            inst.join(errdf, "id")
-            .select("b", (F.col("n") * F.col("eq")).alias("c"))
-            .unionAll(
-                errdf.select(F.lit(-1).alias("b"), F.col("eq").alias("c"))
+            feats.select(
+                err_q.alias("eq"),
+                F.explode(F.concat("pairs", sentinel)).alias("p"),
+            )
+            .select(
+                F.col("p.b").alias("b"),
+                (F.col("p.n") * F.col("eq")).alias("c"),
             )
             .groupBy("b")
             .agg(
@@ -1004,7 +1050,7 @@ def _lr_fit(
             else:
                 w[r["b"]] = round(w.get(r["b"], 0.0) + r["step"], 9)
 
-    return w, b0, z_frame, inst
+    return w, b0, feats, z_col
 
 
 def lr_score(
@@ -1032,10 +1078,13 @@ def lr_score(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
         "id",
     )
+    # explode_outer keeps empty docs in the aggregate (b = null, n = 0), so
+    # no join back to the id frame is needed to cover them — one fewer
+    # exchange per scored batch than the former left-join shape
     inst = (
         base.select(
             "id",
-            F.explode(
+            F.explode_outer(
                 F.transform(
                     word_tokens("__t"),
                     lambda t: (_portable_hash(t, seed) % n_buckets).cast(
@@ -1045,7 +1094,11 @@ def lr_score(
             ).alias("b"),
         )
         .groupBy("id", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                F.when(F.col("b").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n")
+        )
     )
     z_in = F.coalesce(F.col("zz"), F.lit(0.0)) + F.lit(bias)
     if weights:
@@ -1053,7 +1106,10 @@ def lr_score(
             inst.groupBy("id")
             .agg(
                 F.sum(
-                    F.col("n") * _weight_lookup(weights, n_buckets)
+                    F.when(
+                        F.col("b").isNotNull(),
+                        F.col("n") * _weight_lookup(weights, n_buckets),
+                    ).otherwise(F.lit(0.0))
                 ).alias("zz"),
                 F.sum("n").alias("n_tokens"),
             )
@@ -1063,13 +1119,9 @@ def lr_score(
             F.lit(0.0).alias("zz"), F.sum("n").alias("n_tokens")
         )
     p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z_in)), 6)
-    return (
-        base.select("id")
-        .join(zdf, "id", "left")
-        .select(
-            "id",
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            p.alias("p"),
-            (p >= 0.5).alias("pred"),
-        )
+    return zdf.select(
+        "id",
+        F.col("n_tokens").alias("n_tokens"),
+        p.alias("p"),
+        (p >= 0.5).alias("pred"),
     )
