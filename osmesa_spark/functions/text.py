@@ -143,15 +143,28 @@ def doc_fingerprint(text: Column | str) -> Column:
 @column_memo
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (for MinHash / Jaccard dedup). Returns
-    array<string> of space-joined n-grams; empty array if fewer than n tokens."""
+    array<string> of space-joined n-grams; empty array if fewer than n tokens.
+
+    The token array is LET-BOUND via a single-element transform so the
+    tokenizing regex runs ONCE per row: higher-order-function lambdas
+    re-evaluate captured subtrees per element, so the former direct
+    `slice(word_tokens(text), i+1, n)` re-ran regexp_extract_all once per
+    shingle POSITION — measured 8x slower on sf0.1 documents (3.5 s vs
+    0.45 s for the shingle projection; r11). Values are identical."""
     toks = word_tokens(text)
-    return F.when(
-        F.size(toks) >= n,
+    return F.element_at(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.array(toks),
+            lambda t: F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        1,
+    )
 
 
 def word_tokens_sql(text_sql: str) -> str:
@@ -162,14 +175,16 @@ def word_tokens_sql(text_sql: str) -> str:
 
 
 def shingles_sql(text_sql: str, n: int = 3) -> str:
-    """SQL-string twin of `shingles` — identical tree (the token array is
-    referenced three times in both forms; Catalyst sees the same plan)."""
+    """SQL-string twin of `shingles` — identical tree, including the
+    let-binding of the token array (see `shingles` for the 8x measured
+    cost of capturing the regex inside the per-position lambda)."""
     toks = word_tokens_sql(text_sql)
     return (
-        f"(CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(0, size({toks}) - {n}), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END)"
+        f"element_at(transform(array({toks}), t -> "
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(0, size(t) - {n}), "
+        f"i -> concat_ws(' ', slice(t, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END), 1)"
     )
 
 

@@ -107,16 +107,22 @@ def lm_nll_scores(
     counter rows, never holder lists).
 
     Output: (id, n_bigrams, nll) — docs with ≥2 tokens only."""
-    from osmesa_spark.functions.text import word_tokens
+    from osmesa_spark.functions.text import _let, word_tokens
     from osmesa_spark.util import ensure_parallelism
 
     base = ensure_parallelism(df.select(id_col, text_col), id_col)
     toks = word_tokens(text_col)
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.struct(
-            F.element_at(toks, i + 1).alias("a"),
-            F.element_at(toks, i + 2).alias("b"),
+    # let-bind the token array: referencing `toks` inside the per-position
+    # lambda would re-run the tokenizing regex twice per bigram (see
+    # functions.text.shingles, same fix)
+    bigrams = _let(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("a"),
+                F.element_at(t, i + 2).alias("b"),
+            ),
         ),
     )
     db = (
@@ -274,16 +280,20 @@ def collocations_pmi(
     result is a TakeOrdered(top_k).
 
     Output: (a, b, c_ab, pmi) — top_k rows."""
-    from osmesa_spark.functions.text import word_tokens
+    from osmesa_spark.functions.text import _let, word_tokens
     from osmesa_spark.util import ensure_parallelism
 
     base = ensure_parallelism(df.select(text_col), text_col)
     toks = word_tokens(F.coalesce(F.col(text_col), F.lit("")))
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.struct(
-            F.element_at(toks, i + 1).alias("a"),
-            F.element_at(toks, i + 2).alias("b"),
+    # let-bound token array — same regex-in-lambda fix as lm_nll_scores
+    bigrams = _let(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("a"),
+                F.element_at(t, i + 2).alias("b"),
+            ),
         ),
     )
     db = (

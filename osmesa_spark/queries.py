@@ -6108,18 +6108,28 @@ def q_doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     toks = text_fns.word_tokens("text")
-    n_chunks = F.floor((F.size(toks) + 5) / 6).cast("bigint")
-    line = lambda i: F.concat(
-        F.concat_ws(" ", F.slice(toks, i * 6 + 1, 6)),
-        F.when((i + F.col("doc_id")) % 3 != 0, F.lit(".")).otherwise(
-            F.lit("")
+    # let-bind the token array: the per-chunk lambda referencing `toks`
+    # directly re-ran the tokenizing regex once per 6-word chunk (see
+    # functions.text.shingles, same fix)
+    lined_text = text_fns._let(
+        toks,
+        lambda t: F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size(t) + 5) / 6).cast("bigint") - 1
+                ),
+                lambda i: F.concat(
+                    F.concat_ws(" ", F.slice(t, i * 6 + 1, 6)),
+                    F.when(
+                        (i + F.col("doc_id")) % 3 != 0, F.lit(".")
+                    ).otherwise(F.lit("")),
+                ),
+            ),
+            "\n",
         ),
     )
     lined = d.where(F.size(toks) > 0).select(
-        "doc_id",
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), n_chunks - 1), line), "\n"
-        ).alias("text"),
+        "doc_id", lined_text.alias("text")
     )
     out = c4_line_filter(lined, "doc_id", "text", min_line_words=5)
     return out.select(
@@ -7456,13 +7466,22 @@ def _two_word_lined(d: DataFrame) -> DataFrame:
     first). Both queries' DuckDB oracles replay exactly this
     construction — keeping it in one place keeps them in lockstep."""
     toks = text_fns.word_tokens("text")
-    n_chunks = F.floor((F.size(toks) + 1) / 2).cast("bigint")
-    line = lambda i: F.concat_ws(" ", F.slice(toks, i * 2 + 1, 2))
+    # let-bound token array: the per-chunk lambda otherwise re-runs the
+    # tokenizing regex once per 2-word chunk (functions.text.shingles fix)
+    lined_text = text_fns._let(
+        toks,
+        lambda t: F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size(t) + 1) / 2).cast("bigint") - 1
+                ),
+                lambda i: F.concat_ws(" ", F.slice(t, i * 2 + 1, 2)),
+            ),
+            "\n",
+        ),
+    )
     return d.where(F.size(toks) > 0).select(
-        "doc_id",
-        F.array_join(
-            F.transform(F.sequence(F.lit(0), n_chunks - 1), line), "\n"
-        ).alias("text"),
+        "doc_id", lined_text.alias("text")
     )
 
 

@@ -2207,17 +2207,24 @@ def osm_tag_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s.visible"))
         .select(F.col("s.tags").alias("tags"))
     )
+    from osmesa_spark.functions.text import _let
+
     ks = F.array_sort(F.map_keys(F.col("tags")))
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ks) - 1),
-            lambda i: F.transform(
-                F.slice(ks, i + 1, F.size(ks) - i),
-                lambda k2: F.struct(
-                    F.element_at(ks, i).alias("k1"), k2.alias("k2")
+    # let-bind the sorted key array: referencing `ks` inside the pair
+    # lambdas re-derived map_keys+array_sort per pair position
+    pairs = _let(
+        ks,
+        lambda k: F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(k) - 1),
+                lambda i: F.transform(
+                    F.slice(k, i + 1, F.size(k) - i),
+                    lambda k2: F.struct(
+                        F.element_at(k, i).alias("k1"), k2.alias("k2")
+                    ),
                 ),
-            ),
-        )
+            )
+        ),
     )
     return (
         latest.where(F.size(ks) >= 2)
