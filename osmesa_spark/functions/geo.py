@@ -50,18 +50,28 @@ def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colum
 def line_length_m(vertices: Column | str) -> Column:
     """Spherical length (m) of a vertex array — Haversine folded over
     consecutive pairs, fully in-column via zip_with(verts, verts[1:])."""
-    v = F.col(vertices) if isinstance(vertices, str) else vertices
-    shifted = F.slice(v, 2, F.greatest(F.size(v) - 1, F.lit(0)))
-    seg = F.zip_with(
-        F.slice(v, 1, F.greatest(F.size(v) - 1, F.lit(0))),
-        shifted,
-        lambda p, c: haversine_m(
-            p.getField("lon"), p.getField("lat"), c.getField("lon"), c.getField("lat")
-        ),
-    )
-    return F.coalesce(
-        F.aggregate(seg, F.lit(0.0), lambda acc, x: acc + x), F.lit(0.0)
-    )
+    from osmesa_spark.functions.text import _let
+
+    v0 = F.col(vertices) if isinstance(vertices, str) else vertices
+
+    # let-bound: `v` feeds two slice arguments, so an expression-valued
+    # vertex column would otherwise be evaluated twice per row
+    def body(v: Column) -> Column:
+        seg = F.zip_with(
+            F.slice(v, 1, F.greatest(F.size(v) - 1, F.lit(0))),
+            F.slice(v, 2, F.greatest(F.size(v) - 1, F.lit(0))),
+            lambda p, c: haversine_m(
+                p.getField("lon"),
+                p.getField("lat"),
+                c.getField("lon"),
+                c.getField("lat"),
+            ),
+        )
+        return F.coalesce(
+            F.aggregate(seg, F.lit(0.0), lambda acc, x: acc + x), F.lit(0.0)
+        )
+
+    return _let(v0, body)
 
 
 @column_memo
@@ -70,22 +80,28 @@ def ring_area_m2(vertices: Column | str) -> Column:
     (sum of lon-delta × mean-sin-lat terms). Matches planar-UTM areas to ~0.1%
     for building/landuse-sized rings, with no reprojection UDF — replaces
     `transformLatLngToUtm` + `st_area` (`stats/package.scala:17-32,49-60`)."""
-    v = F.col(vertices) if isinstance(vertices, str) else vertices
-    shifted = F.slice(v, 2, F.greatest(F.size(v) - 1, F.lit(0)))
-    terms = F.zip_with(
-        F.slice(v, 1, F.greatest(F.size(v) - 1, F.lit(0))),
-        shifted,
-        lambda p, c: _rad(c.getField("lon") - p.getField("lon"))
-        * (
-            F.lit(2.0)
-            + F.sin(_rad(p.getField("lat")))
-            + F.sin(_rad(c.getField("lat")))
-        ),
-    )
-    folded = F.coalesce(
-        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), F.lit(0.0)
-    )
-    return F.abs(folded * F.lit(EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0))
+    from osmesa_spark.functions.text import _let
+
+    v0 = F.col(vertices) if isinstance(vertices, str) else vertices
+
+    # let-bound for the same two-slice reason as line_length_m
+    def body(v: Column) -> Column:
+        terms = F.zip_with(
+            F.slice(v, 1, F.greatest(F.size(v) - 1, F.lit(0))),
+            F.slice(v, 2, F.greatest(F.size(v) - 1, F.lit(0))),
+            lambda p, c: _rad(c.getField("lon") - p.getField("lon"))
+            * (
+                F.lit(2.0)
+                + F.sin(_rad(p.getField("lat")))
+                + F.sin(_rad(c.getField("lat")))
+            ),
+        )
+        folded = F.coalesce(
+            F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), F.lit(0.0)
+        )
+        return F.abs(folded * F.lit(EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0))
+
+    return _let(v0, body)
 
 
 # --------------------------------------------------------------------------
@@ -185,35 +201,67 @@ def ring_area_m2_utm(vertices: Column | str) -> Column:
     the ring's lon-centroid, then the planar shoelace — the reference's
     `transformLatLngToUtm` + `st_area` pipeline (stats/package.scala:17-32,
     49-60) with the reprojection done as Column trig instead of a UDF."""
+    from osmesa_spark.functions.text import _let
+
     v = F.col(vertices) if isinstance(vertices, str) else vertices
-    nv = F.greatest(F.size(v), F.lit(1)).cast("double")
-    cx = (
-        F.aggregate(
-            F.transform(v, lambda p: p.getField("lon")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+
+    # Every derived stage is LET-BOUND (one-element-array lambda binding):
+    # referencing the centroid fold `lon0` inside the per-vertex projection
+    # lambda re-ran the whole-ring aggregate PER VERTEX (O(n²) trig per
+    # ring), and `proj`/`closed` each appeared in two array arguments,
+    # doubling the projection twice over. Values identical; r11.
+    def with_lon0(vv: Column) -> Column:
+        nv = F.greatest(F.size(vv), F.lit(1)).cast("double")
+        cx = (
+            F.aggregate(
+                F.transform(vv, lambda p: p.getField("lon")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / nv
         )
-        / nv
-    )
-    lon0 = utm_lon0(cx)
-    proj = F.transform(
-        v,
-        lambda p: F.struct(
-            utm_easting(p.getField("lon"), p.getField("lat"), lon0).alias("x"),
-            utm_northing(p.getField("lon"), p.getField("lat"), lon0).alias("y"),
-        ),
-    )
-    closed = F.concat(proj, F.slice(proj, 1, 1))  # wrap last -> first edge
-    terms = F.zip_with(
-        F.slice(closed, 1, F.greatest(F.size(closed) - 1, F.lit(0))),
-        F.slice(closed, 2, F.greatest(F.size(closed) - 1, F.lit(0))),
-        lambda p, c: p.getField("x") * c.getField("y")
-        - c.getField("x") * p.getField("y"),
-    )
-    folded = F.coalesce(
-        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), F.lit(0.0)
-    )
-    return F.abs(folded) / 2.0
+        return _let(
+            utm_lon0(cx),
+            lambda lon0: _let(
+                F.transform(
+                    vv,
+                    lambda p: F.struct(
+                        utm_easting(
+                            p.getField("lon"), p.getField("lat"), lon0
+                        ).alias("x"),
+                        utm_northing(
+                            p.getField("lon"), p.getField("lat"), lon0
+                        ).alias("y"),
+                    ),
+                ),
+                shoelace,
+            ),
+        )
+
+    def shoelace(proj: Column) -> Column:
+        # wrap last -> first edge
+        return _let(
+            F.concat(proj, F.slice(proj, 1, 1)),
+            lambda closed: F.coalesce(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(
+                            closed, 1, F.greatest(F.size(closed) - 1, F.lit(0))
+                        ),
+                        F.slice(
+                            closed, 2, F.greatest(F.size(closed) - 1, F.lit(0))
+                        ),
+                        lambda p, c: p.getField("x") * c.getField("y")
+                        - c.getField("x") * p.getField("y"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit(0.0),
+            ),
+        )
+
+    return F.abs(_let(v, with_lon0)) / 2.0
 
 
 # --------------------------------------------------------------------------

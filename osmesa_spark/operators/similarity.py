@@ -77,14 +77,30 @@ def _pq_dists_sql(
     centroid, which keeps a k=16 codebook inside the whole-stage-codegen
     method-size limit (k separate per-centroid folds overflow it and
     drop the stage to interpreted evaluation — ~2× wall at k=16).
-    Identical per-centroid arithmetic and output order (ascending cid)."""
+    Identical per-centroid arithmetic and output order (ascending cid).
+    The sub-vector is LET-BOUND (one-element transform) so its slice/cast
+    evaluates once per row instead of once per centroid (r11: HOF lambdas
+    re-evaluate captured subtrees per element)."""
     from osmesa_spark.functions.litexpr import darr2
 
     cb = darr2([c for _, c in book])
     return (
-        f"transform({cb}, cent -> round(aggregate(zip_with({sub_sql}, cent, "
+        f"element_at(transform(array({sub_sql}), sv -> "
+        f"transform({cb}, cent -> round(aggregate(zip_with(sv, cent, "
         f"(x, c) -> (x - c) * (x - c)), 0.0D, (acc, t) -> acc + t), "
-        f"{round_to}))"
+        f"{round_to}))), 1)"
+    )
+
+
+def _argmin_pos_sql(dists_sql: str) -> str:
+    """1-based position (INT) of the first minimal entry of a distance
+    array — the array is LET-BOUND because it appears twice
+    (array_position + array_min) and would otherwise evaluate twice per
+    row. Ties break to the first (lowest) position, matching the oracle's
+    ORDER BY (dist, cid) with ascending-cid codebooks."""
+    return (
+        f"element_at(transform(array({dists_sql}), dv -> "
+        f"CAST(array_position(dv, array_min(dv)) AS INT)), 1)"
     )
 
 
@@ -98,26 +114,35 @@ def _norm_sql(a_sql: str) -> str:
 
 
 def _cosine_sql(a_sql: str, b_sql: str) -> str:
-    """SQL twin of `cosine`."""
+    """SQL twin of `cosine`. Both sides are LET-BOUND via a two-array
+    zip_with, so each input expression evaluates once per row instead of
+    twice (dot + norm)."""
+    body = (
+        f"({_dot_sql('va', 'vb')} / "
+        f"greatest({_norm_sql('va')} * {_norm_sql('vb')}, 1e-12D))"
+    )
     return (
-        f"({_dot_sql(a_sql, b_sql)} / "
-        f"greatest({_norm_sql(a_sql)} * {_norm_sql(b_sql)}, 1e-12D))"
+        f"element_at(zip_with(array({a_sql}), array({b_sql}), "
+        f"(va, vb) -> {body}), 1)"
     )
 
 
 def _lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
     """Random-hyperplane LSH bucket id: bit b = sign(dot(vec, plane_b)).
     `planes` is a small driver-side list (deterministic, seeded).
-    Disjoint bits, so integer + IS bitwise-or; same `_dot` casts."""
+    Disjoint bits, so integer + IS bitwise-or; same `_dot` casts. The
+    vector is LET-BOUND so its cast/projection evaluates once per row
+    instead of once per plane."""
     from osmesa_spark.functions.litexpr import darr
 
     terms = ["0"]
     for i, p in enumerate(planes):
         terms.append(
-            f"shiftleft((CASE WHEN {_dot_sql(vec_sql, darr(p))} > 0 "
+            f"shiftleft((CASE WHEN {_dot_sql('vb', darr(p))} > 0 "
             f"THEN 1 ELSE 0 END), {i})"
         )
-    return "(" + " + ".join(terms) + ")"
+    body = "(" + " + ".join(terms) + ")"
+    return f"element_at(transform(array({vec_sql}), vb -> {body}), 1)"
 
 
 def _topk_by_cos(
@@ -1296,9 +1321,7 @@ def knn_pq(
         # 1-based position of the first minimal distance — centroids are in
         # ascending-cid order, so ties break to the smallest cluster id,
         # matching the oracle's ORDER BY (dist, cid)
-        dists = _pq_dists_sql(sub_sql(s), books[s])
-        # array_position yields BIGINT; element_at's index wants INT
-        return f"CAST(array_position({dists}, array_min({dists})) AS INT)"
+        return _argmin_pos_sql(_pq_dists_sql(sub_sql(s), books[s]))
 
     cs = ensure_parallelism(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -1422,8 +1445,9 @@ def pq_encode(
     vec_sql = f"CAST({_qn(vec_col)} AS ARRAY<DOUBLE>)"
 
     def code_sql(s: int) -> str:
-        dists = _pq_dists_sql(f"slice({vec_sql}, {s * ds + 1}, {ds})", books[s])
-        pos = f"CAST(array_position({dists}, array_min({dists})) AS INT)"
+        pos = _argmin_pos_sql(
+            _pq_dists_sql(f"slice({vec_sql}, {s * ds + 1}, {ds})", books[s])
+        )
         cids = "array(" + ",".join(str(int(c)) for c, _ in books[s]) + ")"
         return f"element_at({cids}, {pos})"
 
@@ -1503,10 +1527,9 @@ def knn_ivfpq(
     ds = dim // m
 
     def code_sql(vec_sql: str, s: int) -> str:
-        dists = _pq_dists_sql(
-            f"slice({vec_sql}, {s * ds + 1}, {ds})", books[s]
+        return _argmin_pos_sql(
+            _pq_dists_sql(f"slice({vec_sql}, {s * ds + 1}, {ds})", books[s])
         )
-        return f"CAST(array_position({dists}, array_min({dists})) AS INT)"
 
     cs = resid.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1760,9 +1783,11 @@ def kmeans_assign(
     first-minimum tie-break."""
     from osmesa_spark.functions.litexpr import darr, q as _qn
 
+    # the vector cast is let-bound: referenced once per centroid, it would
+    # otherwise re-allocate the double array k times per row
     v_sql = f"CAST({_qn(vec_col)} AS ARRAY<DOUBLE>)"
     structs = ",".join(
-        f"named_struct('d', round(aggregate(zip_with({v_sql}, {darr(cent)}, "
+        f"named_struct('d', round(aggregate(zip_with(vv, {darr(cent)}, "
         f"(x, c) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x), "
         f"{round_to}), 'cid', {int(cid)})"
         for cid, cent in sorted(centroids)
@@ -1770,7 +1795,8 @@ def kmeans_assign(
     return df.select(
         F.col(id_col),
         F.expr(
-            f"CAST(array_min(array({structs})).cid AS INT)"
+            f"CAST(element_at(transform(array({v_sql}), "
+            f"vv -> array_min(array({structs})).cid), 1) AS INT)"
         ).alias("cluster"),
     )
 
