@@ -32,7 +32,8 @@ import math
 def dlit(x: float) -> str:
     """Exact SQL double literal for a Python float (repr round-trips the
     IEEE value; Spark's `<decimal>D` literal parses to the same bits —
-    property-tested in tests/test_properties.py)."""
+    property-tested in tests/test_litexpr_twins.py, which also pins every
+    hand-mirrored DSL→SQL twin to its sibling)."""
     x = float(x)
     if math.isnan(x):
         return "CAST('NaN' AS DOUBLE)"

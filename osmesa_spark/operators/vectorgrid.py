@@ -105,6 +105,15 @@ def pyramid(
 ) -> DataFrame:
     """G5: all zoom levels base_zoom..0 as one DataFrame.
 
+    INPUT CONTRACT (r10 ADVICE): `base` must hold rows whose `zoom`
+    column equals `base_zoom` and must already be aggregated one row per
+    (keys, zoom, abs_col, abs_row) — the level count derives from each
+    row's `zoom` value (base_zoom is the documented expectation, not a
+    clamp), and the single groupBy below SUMS the base level together
+    with its ancestors, so un-aggregated duplicate base rows would be
+    summed rather than passed through. Every in-repo caller builds `base`
+    with a per-cell aggregation at base_zoom.
+
     Single-pass shape: each base cell fans out to its base_zoom+1
     ancestors (`explode` over the zoom delta — a no-shuffle generator),
     then ONE groupBy sums every level together. The chained-halving

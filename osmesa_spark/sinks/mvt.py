@@ -642,7 +642,12 @@ def write_tile_pyramid(
         )
         .transform(lambda d: _spread_groups(d, "zoom", "tx", "ty"))
         .groupBy("zoom", "tx", "ty")
-        .agg(F.collect_list("cell").alias("cells"))
+        .agg(
+            # array_sort: byte-stable tile payloads run to run — the
+            # post-_spread_groups collect order is partition-arrival order
+            # (r10 ADVICE); cells sort by their unique leading __id
+            F.array_sort(F.collect_list("cell")).alias("cells")
+        )
     )
 
     def make_one():
@@ -721,7 +726,12 @@ def write_tile_pyramid_grouped(
         )
         .transform(lambda d: _spread_groups(d, *group_names))
         .groupBy(*group_names)
-        .agg(F.collect_list("cell").alias("cells"))
+        .agg(
+            # array_sort: byte-stable tile payloads run to run — the
+            # post-_spread_groups collect order is partition-arrival order
+            # (r10 ADVICE); cells sort by their unique leading __id
+            F.array_sort(F.collect_list("cell")).alias("cells")
+        )
     )
 
     def make_one():
@@ -900,7 +910,12 @@ def encode_tiles(
         )
         .transform(lambda d: _spread_groups(d, "zoom", "tx", "ty"))
         .groupBy("zoom", "tx", "ty")
-        .agg(F.collect_list("cell").alias("cells"))
+        .agg(
+            # array_sort: byte-stable tile payloads run to run — the
+            # post-_spread_groups collect order is partition-arrival order
+            # (r10 ADVICE); cells sort by their unique leading __id
+            F.array_sort(F.collect_list("cell")).alias("cells")
+        )
     )
     schema = T.StructType(
         [

@@ -74,7 +74,17 @@ class ParquetUpsertTable:
     def upsert_stats(self, batch: DataFrame) -> None:
         """Merge a stats micro-batch: sum maps, add total_edits, union
         augmented_diffs — skipping batch rows whose sequences were already
-        applied (idempotence guard)."""
+        applied (idempotence guard).
+
+        CONTRACT (r10 ADVICE): this method always runs exactly ONE Spark
+        action over `batch`'s plan (the tmp-dir parquet write in _commit,
+        on both the fresh-table and merge branches) — callers such as
+        stats_stream's foreachBatch sink attach an Observation to the
+        batch and block on Observation.get right after this returns, which
+        only terminates because the write executed the observed plan. Any
+        future backend that can return without running an action over
+        `batch` must keep an equivalent action (or the caller must fall
+        back to an explicit agg)."""
         spark = batch.sparkSession
         existing = self.read(spark)
         cols = [

@@ -3,8 +3,24 @@
 from __future__ import annotations
 
 import functools
+import weakref
 
 from pyspark.sql import DataFrame
+
+# SparkContext -> opaque token. Keying the column_memo cache on the token
+# (instead of id(sc), which CPython can recycle for a NEW SparkContext after
+# a stop/restart) guarantees a restarted JVM never hits entries wrapping
+# stale py4j references: a dead context's weak entry vanishes, so the new
+# context mints a fresh token even if it reuses the old object's address.
+_CTX_TOKENS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _ctx_token(sc) -> object:
+    tok = _CTX_TOKENS.get(sc)
+    if tok is None:
+        tok = object()
+        _CTX_TOKENS[sc] = tok
+    return tok
 
 
 def column_memo(fn):
@@ -24,8 +40,11 @@ def column_memo(fn):
 
     Only calls whose args are all primitives (str/int/float/bool/None)
     are cached; anything holding a Column falls through to a fresh build.
-    The cache key includes the active SparkContext so a restarted JVM
-    never serves stale py4j references."""
+    The cache key includes a per-SparkContext weakref token (see
+    _ctx_token) — a non-reusable identity, unlike id(sc), which CPython
+    can recycle for a new SparkContext after a stop/restart and thereby
+    serve memoized Columns wrapping stale py4j references (r10 ADVICE);
+    the token costs no py4j round-trip per call."""
     cache: dict = {}
 
     @functools.wraps(fn)
@@ -39,7 +58,9 @@ def column_memo(fn):
         from pyspark import SparkContext
 
         sc = SparkContext._active_spark_context
-        key = (id(sc), args, tuple(sorted(kwargs.items())))
+        if sc is None:
+            return fn(*args, **kwargs)
+        key = (_ctx_token(sc), args, tuple(sorted(kwargs.items())))
         if key not in cache:
             cache[key] = fn(*args, **kwargs)
         return cache[key]

@@ -602,3 +602,34 @@ def test_aqe_splits_hot_key_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semdedup_pair_stage_runs_at_parallelism(spark):
+    """r10 VERDICT item 5 (evidence gap): semdedup_prune's
+    ensure_parallelism spread sits BELOW the operator's lazy-checkpoint
+    boundary, so no captured explain() can show it — assert it at the
+    STAGE level instead. After running the query, at least one of its
+    stages must have executed with >= defaultParallelism tasks (the
+    cluster-blocked pair stage inherits the spread scan's partitioning);
+    without the spread the whole kernel-to-pair chain runs in the
+    embeddings table's native split count (1 at fixture scale)."""
+    jsc = spark.sparkContext._jsc.sc()
+    tracker = jsc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    Q.registry()["semdedup_prune"].spark(spark, SF_CORRECT).count()
+    jobs = set(tracker.getJobIdsForGroup(None)) - before
+    widths = []
+    for jid in sorted(jobs):
+        info = tracker.getJobInfo(jid)
+        if info is None or info.isEmpty():
+            continue
+        for sid in info.get().stageIds():
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is not None and not sinfo.isEmpty():
+                widths.append(sinfo.get().numTasks())
+    target = spark.sparkContext.defaultParallelism
+    assert widths and max(widths) >= target, (
+        f"no semdedup stage reached defaultParallelism ({target}) tasks; "
+        f"stage widths: {sorted(widths)} — the ensure_parallelism spread "
+        f"below the checkpoint boundary has regressed"
+    )
