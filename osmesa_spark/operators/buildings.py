@@ -107,8 +107,12 @@ def candidate_pairs(
     # partitioning (broadcast joins preserve the probe side's splits) — a
     # small input scanned as 1-2 splits would serialize it. Spread the
     # probe side before the join: cheaper than re-shuffling the (larger)
-    # pair output afterwards.
+    # pair output afterwards. Side b gets the same treatment: its
+    # bbox/cell/flatten synthesis otherwise runs in the scan's split
+    # count — ONE serial task at fixture scale (r11 stage profile: 1.0 s
+    # single-task map stage); a no-op whenever the scan has enough splits.
     a = ensure_parallelism(a, "id")
+    b = ensure_parallelism(b, "id")
     # flatten vertices to x/y double arrays BEFORE the cell join: the
     # shuffle then moves two flat double arrays per row instead of an
     # array of structs (lighter serialization, and Arrow later hands the
