@@ -237,7 +237,32 @@ def _index_fingerprint(
     return h.hexdigest()[:20]
 
 
-def grid_index_frames(spark, countries: PolygonCountries, index: dict):
+# (countries, nx, ny, index, fingerprint) entries. build_grid_index +
+# _index_fingerprint are pure Python over every country vertex (~1 s for
+# the 311-country set) and were re-run on EVERY geocode_grid call — per
+# bench rep, per micro-batch — even though the result depends only on the
+# constant country set. Identity-keyed memo: the held strong reference
+# keeps the dict alive, so a matching `is` can never be a recycled id
+# (the column_memo lesson from r10 ADVICE). Index structures, not query
+# results: nothing here derives from the input tables.
+_GRID_INDEX_MEMO: list = []
+
+
+def _grid_index_cached(
+    countries: PolygonCountries, nx: int, ny: int
+) -> tuple[dict, str]:
+    for ref, cnx, cny, idx, fp in _GRID_INDEX_MEMO:
+        if ref is countries and cnx == nx and cny == ny:
+            return idx, fp
+    idx = build_grid_index(countries, nx, ny)
+    fp = _index_fingerprint(countries, nx, ny)
+    _GRID_INDEX_MEMO.append((countries, nx, ny, idx, fp))
+    return idx, fp
+
+
+def grid_index_frames(
+    spark, countries: PolygonCountries, index: dict, fingerprint: str | None = None
+):
     """The broadcast side of the grid geocode, two-level and
     parquet-backed:
 
@@ -259,7 +284,7 @@ def grid_index_frames(spark, countries: PolygonCountries, index: dict):
     import pyarrow as pa
     import pyarrow.parquet as _pq
 
-    fp = _index_fingerprint(countries, index["nx"], index["ny"])
+    fp = fingerprint or _index_fingerprint(countries, index["nx"], index["ny"])
     # cache root under the user's HOME (falling back to a 0700 temp dir):
     # a predictable world-writable /tmp path could be pre-created by
     # another local user — either planting a crafted index at the
@@ -393,8 +418,8 @@ def geocode_grid(
     # 311-country / 100k-point bench when spread over local[32]); the
     # guard no-ops on streaming inputs
     features = ensure_parallelism(features)
-    index = build_grid_index(countries, nx, ny)
-    cells_df, cands_df = grid_index_frames(spark, countries, index)
+    index, fp = _grid_index_cached(countries, nx, ny)
+    cells_df, cands_df = grid_index_frames(spark, countries, index, fp)
 
     n = F.greatest(F.size(geom_col), F.lit(1)).cast("double")
     cx = (
