@@ -4380,7 +4380,17 @@ _BM_B_SQL = """
 
 
 def _bm_rects(spark: SparkSession, sf_dir: str, side: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    from osmesa_spark.util import ensure_parallelism
+
+    # Spread the BARE id column, then synthesize: the vertex arrays are
+    # pure functions of event_id, so building them below the spread
+    # exchange would (a) run the array-of-struct synthesis in the scan's
+    # split count — ONE serial task at fixture scale (r11 stage profile:
+    # 0.7-0.9 s single-task map stages per side) — and (b) shuffle the
+    # synthesized payload (4.4 MB) instead of the 8-byte ids (guide §2.3:
+    # shuffle keys, not payloads). candidate_pairs' own guard then no-ops.
+    ev = ensure_parallelism(_t(spark, sf_dir, "events").select("event_id"),
+                            "event_id")
     x0 = (F.col("event_id") % 90000) * 0.002
     y0 = ((F.col("event_id") * 13) % 45000) * 0.002
     if side in ("ia", "it"):

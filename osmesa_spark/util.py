@@ -86,6 +86,41 @@ def ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
         # operator that guards its kernel stage stays stream-composable
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
+    w = _prespread_width(df)
+    if w is not None and w >= target:
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
+def _prespread_width(df: DataFrame) -> int | None:
+    """Partition width promised by an explicit repartition at the root of
+    `df`'s logical plan (looking through Project/Filter/alias nodes), or
+    None when the plan makes no such promise.
+
+    Why not just df.rdd.getNumPartitions(): with AQE on, converting a
+    DataFrame whose plan contains an exchange to an RDD MATERIALIZES every
+    non-result query stage as a real Spark job — so a guard probing an
+    already-repartitioned frame would execute its shuffle once for the
+    probe and again in the caller's action (r11 stage profile: two extra
+    jobs per buildings query). The logical-plan peek answers the common
+    composed case (caller spread → operator guard) with zero jobs; any
+    other shape falls back to the RDD probe as before."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        while True:
+            name = plan.getClass().getSimpleName()
+            if name in ("Project", "Filter", "SubqueryAlias"):
+                plan = plan.children().apply(0)
+                continue
+            if name == "RepartitionByExpression":
+                opt = plan.optNumPartitions()
+                return int(opt.get()) if opt.isDefined() else None
+            if name == "Repartition":
+                # shuffle=false is coalesce(): numPartitions is only an
+                # UPPER bound there — trust the round-robin shuffle form
+                return int(plan.numPartitions()) if plan.shuffle() else None
+            return None
+    except Exception:  # pragma: no cover — py4j/shape drift: use the probe
+        return None

@@ -633,3 +633,36 @@ def test_semdedup_pair_stage_runs_at_parallelism(spark):
         f"stage widths: {sorted(widths)} — the ensure_parallelism spread "
         f"below the checkpoint boundary has regressed"
     )
+
+
+def test_ensure_parallelism_skips_probe_on_prespread_frame(spark):
+    """r11: ensure_parallelism's df.rdd.getNumPartitions() probe, applied
+    to a frame whose plan already contains an exchange, MATERIALIZES every
+    non-result AQE query stage as a real Spark job — the guard itself ran
+    the shuffle it was checking for (observed as two extra jobs per
+    buildings query once _bm_rects pre-spread its id scan). The logical-
+    plan peek (_prespread_width) must answer the composed case with ZERO
+    jobs, look through projections, and never trust a coalesce()'s
+    upper-bound numPartitions."""
+    from pyspark.sql import functions as F
+
+    from osmesa_spark.util import _prespread_width, ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    base = spark.range(1000)
+    spread = base.repartition(target, "id").select(
+        F.col("id"), (F.col("id") * 2).alias("y")
+    )
+    assert _prespread_width(spread) == target
+    assert _prespread_width(base.repartition(target + 3)) == target + 3
+    # coalesce's numPartitions is an upper bound, not a promise
+    assert _prespread_width(base.coalesce(target)) is None
+    assert _prespread_width(base) is None
+
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out = ensure_parallelism(spread, "id")
+    assert out is spread, "pre-spread frame must pass through untouched"
+    assert set(tracker.getJobIdsForGroup(None)) == before, (
+        "ensure_parallelism launched a job probing an already-spread frame"
+    )
