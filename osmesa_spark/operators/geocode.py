@@ -380,9 +380,21 @@ def grid_index_frames(
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+    # explicit schemas: the fixed index layout is known, and schema
+    # inference costs one footer-reading Spark job per read — two jobs on
+    # EVERY geocode_grid construction (bench reps, oracle runs) for
+    # metadata that never changes
+    cand_sql = (
+        "array<struct<code:string,xs:array<double>,ys:array<double>,"
+        "xmin:double,ymin:double,xmax:double,ymax:double>>"
+    )
     return (
-        spark.read.parquet(os.path.join(d, "cells.parquet")),
-        spark.read.parquet(os.path.join(d, "cands.parquet")),
+        spark.read.schema(
+            "cell bigint, sure array<string>, set_id bigint"
+        ).parquet(os.path.join(d, "cells.parquet")),
+        spark.read.schema(f"set_id bigint, cand {cand_sql}").parquet(
+            os.path.join(d, "cands.parquet")
+        ),
     )
 
 

@@ -54,6 +54,27 @@ class QuerySpec:
         return self.oracle_src
 
 
+# (ctx token, path) -> inferred StructType. Plain spark.read.parquet()
+# runs a footer-reading schema-inference JOB on every call; a bench rep
+# constructing a 2-table query pays 2 such jobs for schemas of files that
+# never change within a run. First read infers (and caches the schema —
+# metadata, the thing a metastore would hold; no data or results); later
+# reads pass it explicitly, which skips the inference job entirely.
+_TABLE_SCHEMAS: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    from osmesa_spark.util import _ctx_token
+
+    key = (_ctx_token(spark.sparkContext), path)
+    s = _TABLE_SCHEMAS.get(key)
+    if s is None:
+        df = spark.read.parquet(path)
+        _TABLE_SCHEMAS[key] = df.schema
+        return df
+    return spark.read.schema(s).parquet(path)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table. `events` ships nanosecond parquet timestamps,
     which Spark's vectorized reader rejects — read them as long and truncate
@@ -61,7 +82,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     EVENTS_MICRO_CTE)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = _read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes)["ts"] == "bigint":
             # integer `div`, NOT `/`: float division of epoch-nanos (~1.7e18)
             # exceeds double's 53-bit exact range and lands ±1 µs off
@@ -69,7 +90,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # DuckDB-side mirror of the events µs truncation: a CTE that shadows the

@@ -49,12 +49,18 @@ ensure_fixtures()
 
 def _history(spark: SparkSession) -> DataFrame:
     ensure_fixtures()
-    return spark.read.parquet(_HISTORY)
+    # schema-memoized read: skips the per-call footer-inference job every
+    # osm_* query construction was paying (see queries._read_parquet)
+    from osmesa_spark.queries import _read_parquet
+
+    return _read_parquet(spark, _HISTORY)
 
 
 def _changesets(spark: SparkSession) -> DataFrame:
     ensure_fixtures()
-    return spark.read.parquet(_CHANGESETS)
+    from osmesa_spark.queries import _read_parquet
+
+    return _read_parquet(spark, _CHANGESETS)
 
 
 # ---------------------------------------------------------------------------

@@ -89,9 +89,42 @@ def ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     w = _prespread_width(df)
     if w is not None and w >= target:
         return df
-    if df.rdd.getNumPartitions() >= target:
+    if _probed_partitions(df) >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
+# (ctx token, analyzed-plan semantic hash) -> observed partition count.
+# The rdd.getNumPartitions() probe on a frame whose plan contains an
+# exchange runs the subtree as real jobs (AQE materializes all non-result
+# stages), and the answer cannot be reused by the query's own execution —
+# so a query constructed 3× per bench pays the probe 3×. The count is
+# pure plan/metadata (split layout of the scanned files + AQE coalescing
+# of a deterministic subtree), so memoize it per semantic plan. If the
+# files BEHIND an identical plan change between constructions (a path
+# re-read after an append), the memo can serve a stale width — perf-only
+# (a spread decision), never a correctness issue, and the probe it
+# replaces was itself a point-in-time answer. Streaming never reaches
+# here.
+_PROBE_MEMO: dict = {}
+
+
+def _probed_partitions(df: DataFrame) -> int:
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        key = (
+            _ctx_token(sc),
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+        )
+    except Exception:  # pragma: no cover — py4j drift: probe uncached
+        return df.rdd.getNumPartitions()
+    n = _PROBE_MEMO.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _PROBE_MEMO[key] = n
+    return n
 
 
 def _prespread_width(df: DataFrame) -> int | None:
